@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest adapter: canonicalize any "long" table to (key, period, value).
+  *
+  * Replaces the reference's rename-only preparation
+  * (/root/reference/mapping_engine.py:517-527) and adds real period
+  * normalization: string 'yyyy-MM' / 'yyyy-MM-dd', DateType and TimestampType
+  * inputs all become a DateType truncated to the configured unit. Column
+  * names stay parameters as in the reference (key_col/time_col/value_col).
+  */
+object SeriesTable {
+
+  /** Schema validation: fail fast with the missing-column list, like
+    * DataValidator.validate_schema (/root/reference/mapping_engine.py:356-374). */
+  def validateSchema(df: DataFrame, required: Seq[String], tableName: String): Unit = {
+    val have = df.columns.toSet
+    val missing = required.filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$tableName is missing required columns: ${missing.mkString(", ")} " +
+          s"(available: ${df.columns.mkString(", ")})")
+  }
+
+  /** Normalize an arbitrary time column to DateType truncated to `unit`.
+    * Accepts 'yyyy-MM' strings (reference's native format,
+    * /root/reference/01_setup.oy:98), ISO date strings, DateType, TimestampType. */
+  def normalizePeriod(time: Column, timeType: DataType, unit: PeriodUnit): Column = {
+    val asDate: Column = timeType match {
+      case StringType =>
+        // 'yyyy-MM' needs an explicit day before to_date (ANSI-safe).
+        when(time.rlike("^\\d{4}-\\d{2}$"), to_date(concat(time, lit("-01"))))
+          .otherwise(to_date(time))
+      case DateType      => time
+      case TimestampType => to_date(time)
+      case _: NumericType =>
+        throw new IllegalArgumentException(s"numeric time column unsupported: $timeType")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported time column type: $other")
+    }
+    unit match {
+      case PeriodUnit.Day   => asDate
+      case PeriodUnit.Month => trunc(asDate, "MM")
+    }
+  }
+
+  /** Canonical projection: (key string, period date, value double). */
+  def canonicalize(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      unit: PeriodUnit,
+      tableName: String = "table"): DataFrame = {
+    validateSchema(df, Seq(keyCol, timeCol, valueCol), tableName)
+    val timeType = df.schema(timeCol).dataType
+    df.select(
+      col(keyCol).cast(StringType).as("key"),
+      normalizePeriod(col(timeCol), timeType, unit).as("period"),
+      col(valueCol).cast(DoubleType).as("value"))
+  }
+
+  /** Period arithmetic matching the unit — the derived key of the
+    * lag-shifted equi-join (SURVEY.md §2.3 J2). */
+  def shiftPeriod(period: Column, lag: Column, unit: PeriodUnit): Column = unit match {
+    case PeriodUnit.Day   => date_add(period, lag)
+    case PeriodUnit.Month => add_months(period, lag)
+  }
+
+  /** Data-quality metrics mirroring DataValidator.validate_data_quality
+    * (/root/reference/mapping_engine.py:389-406) — but in ONE pass
+    * (conditional aggregates) instead of the reference's 3 actions. */
+  def qualityMetrics(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col(valueCol).isNull, 1)).as("null_values"),
+      count(when(col(valueCol) < 0, 1)).as("negative_values"))
+
+  /** Inner-join the two canonical series on (key, period) — the reference's
+    * "merge" step (/root/reference/mapping_engine.py:540-550). Equi-join on
+    * both keys: Catalyst picks sort-merge or broadcast-hash under AQE. */
+  def merge(t1: DataFrame, t2: DataFrame): DataFrame =
+    t1.withColumnRenamed("value", "v1")
+      .join(t2.withColumnRenamed("value", "v2"), Seq("key", "period"), "inner")
+}

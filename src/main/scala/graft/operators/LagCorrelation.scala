@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.core.{MappingConfig, PeriodUnit, SeriesTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lag-scan Pearson correlation — the reference's flagship method
+  * (/root/reference/mapping_engine.py:117-160, 241-264), re-expressed 100%
+  * relationally (SURVEY.md §2.4 A10a): no UDF, whole-stage-codegen'd, and
+  * DuckDB-oracle-able.
+  *
+  * Shape: explode lags 0..maxLag over the merged series, self-join value2 at
+  * period+lag, hash-aggregate Spark's built-in Pearson `corr` per (key, lag),
+  * then window-argmax the best lag per key.
+  *
+  * Scale notes (100 TB): the exploded side is |merged| × (maxLag+1) rows —
+  * a bounded constant blowup (7× at default maxLag=6). Both join sides are
+  * hash-partitioned on the join key, the aggregate does partial (map-side)
+  * combine, and the argmax window shuffles only the tiny per-(key,lag) corr
+  * table (≤ 7 rows per entity). No driver-side collection anywhere.
+  */
+object LagCorrelation {
+
+  /** Per-(key, lag) correlation table: `(key, lag, correlation, n_overlap)`.
+    *
+    * Semantics preserved from the reference kernel: a lag is skipped unless
+    * at least `minOverlap` (=2) aligned points exist
+    * (mapping_engine.py:136-149), and zero-variance series (NaN corr) are
+    * dropped (pearsonr-NaN guard, mapping_engine.py:153-156). Alignment is
+    * calendar-based: v1(t) pairs with v2(t + lag), equivalent to the
+    * reference's positional slicing on gap-free series (SURVEY.md §7.4).
+    */
+  def lagCorrTable(merged: DataFrame, cfg: MappingConfig): DataFrame = {
+    val left = merged
+      .select(col("key"), col("period"), col("v1"))
+      .withColumn("lag", explode(sequence(lit(0), lit(cfg.maxLag))))
+      .withColumn("target_period", SeriesTable.shiftPeriod(col("period"), col("lag"), cfg.periodUnit))
+    val right = merged.select(
+      col("key").as("r_key"),
+      col("period").as("r_period"),
+      col("v2"))
+    left
+      .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"))
+      .groupBy(col("key"), col("lag"))
+      .agg(corr(col("v1"), col("v2")).as("correlation"), count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= cfg.minOverlap)
+      .filter(col("correlation").isNotNull && !isnan(col("correlation")))
+  }
+
+  /** Best lag per key via window argmax. Tie-break mirrors the reference's
+    * strict `>` (keeps the earliest best lag, mapping_engine.py:154): order
+    * corr DESC, lag ASC. Correlation is rounded to 6 decimals *before*
+    * ranking so the choice is stable across engines (ulp-level corr
+    * differences must not flip the argmax vs the DuckDB oracle). */
+  def bestLag(corrTable: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("key"))
+      .orderBy(round(col("correlation"), 6).desc, col("lag").asc)
+    corrTable
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("key"),
+        col("lag").as("optimal_lag"),
+        round(col("correlation"), 6).as("correlation"),
+        col("n_overlap"))
+  }
+
+  /** Per-entity summary matching the reference's correlation UDF output
+    * (mapping_engine.py:232-239): optimal lag + correlation + series stats. */
+  def summary(merged: DataFrame, cfg: MappingConfig): DataFrame = {
+    val stats = merged
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("num_periods"),
+        round(avg(col("v1")), 6).as("v1_mean"),
+        round(avg(col("v2")), 6).as("v2_mean"))
+    bestLag(lagCorrTable(merged, cfg)).join(stats, Seq("key"))
+  }
+
+  /** Row-level mapping: join the *raw* (not merged) tables through the
+    * per-entity optimal lag — preserving the reference quirk that mapping
+    * rows may exist for periods absent from the merged set
+    * (mapping_engine.py:616-637, SURVEY.md §7.3).
+    *
+    * `best` is one row per entity — provably small — so both join-backs are
+    * explicit broadcasts (mapping_engine.py:617, 641). The lag-shifted join
+    * is derive-then-equi-join: compute `period + optimal_lag` as a column,
+    * then plain equi-join (no custom join operator needed).
+    */
+  def mapping(t1: DataFrame, t2: DataFrame, best: DataFrame, cfg: MappingConfig): DataFrame = {
+    val valid = best.filter(col("correlation") >= cfg.minCorrelation)
+    val withLag = t1.join(broadcast(valid.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
+    val shifted = withLag.withColumn(
+      "target_period",
+      SeriesTable.shiftPeriod(col("period"), col("optimal_lag"), cfg.periodUnit))
+    val right = t2.select(
+      col("key").as("r_key"),
+      col("period").as("r_period"),
+      col("value").as("value2"))
+    shifted
+      .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"), "inner")
+      .select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("time1"),
+        col("value").as("value1"),
+        date_format(col("r_period"), "yyyy-MM-dd").as("time2"),
+        col("value2"),
+        col("optimal_lag").as("lag_offset"),
+        lit("correlation").as("method"))
+      .join(broadcast(valid.select(col("key"), col("correlation"))), Seq("key"), "left")
+  }
+}
