@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.core.{MappingConfig, SeriesTable}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mapping-engine queries over the events-derived daily series
+  * (SURVEY.md §2 — the reference's own capability surface). */
+object MappingQueries {
+
+  private def cfg: MappingConfig = Tables.mappingConfig
+
+  private def series(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    (Tables.engagementSeries(spark, sfDir), Tables.purchaseSeries(spark, sfDir))
+
+  private def merged(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t1, t2) = series(spark, sfDir)
+    SeriesTable.merge(t1, t2)
+  }
+
+  private def corrMapping(s: SparkSession, dir: String): DataFrame = {
+    val (t1, t2) = series(s, dir)
+    val best = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg))
+    LagCorrelation.mapping(t1, t2, best, cfg)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 projection + A3 group-by agg at the scan (SURVEY.md §2.2, §2.4)
+    "m1_series_agg" -> ((s, dir) => {
+      Tables.engagementSeries(s, dir).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value1"))
+    }),
+    // J1 inner equi-join on (key, period) — the merge step (§2.3 J1)
+    "m2_merged" -> ((s, dir) => {
+      merged(s, dir).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("v1"), 6).as("v1"),
+        round(col("v2"), 6).as("v2"))
+    }),
+    // A10a relational lag-corr table: explode lags + self-join + corr agg
+    "m3_lag_corr" -> ((s, dir) => {
+      LagCorrelation.lagCorrTable(merged(s, dir), cfg).select(
+        col("key"),
+        col("lag").cast("long").as("lag"),
+        round(col("correlation"), 6).as("correlation"),
+        col("n_overlap"))
+    }),
+    // window argmax: best lag per entity (§2.5)
+    "m4_best_lag" -> ((s, dir) => {
+      LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg)).select(
+        col("key"),
+        col("optimal_lag").cast("long").as("optimal_lag"),
+        col("correlation"),
+        col("n_overlap"))
+    }),
+    // J2 lag-shifted equi-join + J3/J4 broadcast join-backs: full mapping
+    "m5_corr_mapping" -> ((s, dir) => {
+      corrMapping(s, dir).select(
+        col("key"),
+        col("time1"),
+        round(col("value1"), 6).as("value1"),
+        col("time2"),
+        round(col("value2"), 6).as("value2"),
+        col("lag_offset").cast("long").as("lag_offset"),
+        col("method"),
+        col("correlation"))
+    }),
+    // A11 typed in-JVM DTW via mapGroups + explode (no SQL oracle: rows-only)
+    "m6_dtw_mapping" -> ((s, dir) => {
+      DtwMapping.mapping(merged(s, dir), cfg).select(
+        col("key"), col("time1"), round(col("value1"), 6).as("value1"),
+        col("time2"), round(col("value2"), 6).as("value2"),
+        col("method"), col("dtw_cost"))
+    }),
+    // auto mode: corr/dtw split at 0.7 + unionByName (rows-only)
+    "m7_auto_mapping" -> ((s, dir) => {
+      val (t1, t2) = series(s, dir)
+      MappingEngine.autoMapping(merged(s, dir), t1, t2, cfg).select(
+        col("key"), col("time1"), round(col("value1"), 6).as("value1"),
+        col("time2"), round(col("value2"), 6).as("value2"),
+        col("lag_offset").cast("long").as("lag_offset"),
+        col("method"), col("correlation"), col("dtw_cost"))
+    }),
+    // J8 comparison join + P8 recommendation CASE chains (dtw-dependent: rows-only)
+    "m8_recommendations" -> ((s, dir) => {
+      Comparison.recommendationsFromMerged(merged(s, dir), cfg).select(
+        col("key"), col("correlation"),
+        col("optimal_lag").cast("long").as("optimal_lag"),
+        col("total_cost"), col("recommended_method"), col("confidence"), col("reason"))
+    }),
+    // QA layer: coverage / duplicates / lag / ratio / temporal in one plan
+    "m9_qa_checks" -> ((s, dir) => {
+      val (t1, _) = series(s, dir)
+      QualityChecks.check(
+        corrMapping(s, dir).select(
+          col("key"), col("time1"),
+          round(col("value1"), 6).as("value1"),
+          col("time2"),
+          round(col("value2"), 6).as("value2"),
+          col("lag_offset").cast("long").as("lag_offset")),
+        t1)
+    }),
+    // A4 monitoring aggregate per mapping method
+    "m10_monitoring" -> ((s, dir) => {
+      QualityChecks.monitoringSummary(
+        corrMapping(s, dir).select(
+          col("key"), col("method"),
+          round(col("value1"), 6).as("value1"),
+          round(col("value2"), 6).as("value2")))
+    })
+  )
+
+  /** Shared DuckDB CTE prefix: events → canonical daily series → merged →
+    * corr scan → best lag → mapping (mirrors LagCorrelation exactly). */
+  val seriesCte: String =
+    """WITH t1 AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period, SUM(value) AS v1
+      |  FROM events WHERE event_type IN ('click','view') GROUP BY 1, 2
+      |), t2 AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period, SUM(value) AS v2
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), merged AS (
+      |  SELECT t1.key, t1.period, t1.v1, t2.v2 FROM t1 JOIN t2 USING (key, period)
+      |), corrs AS (
+      |  SELECT m.key, CAST(l.lag AS BIGINT) AS lag, corr(m.v1, r.v2) AS correlation, COUNT(*) AS n_overlap
+      |  FROM merged m
+      |  CROSS JOIN (SELECT UNNEST(range(0, 7)) AS lag) l
+      |  JOIN merged r ON r.key = m.key AND r.period = m.period + CAST(l.lag AS INTEGER)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), valid_corrs AS (
+      |  SELECT * FROM corrs WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+      |), best AS (
+      |  SELECT key, lag, round(correlation, 6) AS correlation, n_overlap,
+      |         row_number() OVER (PARTITION BY key ORDER BY round(correlation, 6) DESC, lag ASC) AS rn
+      |  FROM valid_corrs
+      |), best1 AS (
+      |  SELECT key, lag AS optimal_lag, correlation, n_overlap FROM best WHERE rn = 1
+      |), valid AS (
+      |  SELECT * FROM best1 WHERE correlation >= 0.3
+      |), mapping AS (
+      |  SELECT t1.key, CAST(t1.period AS VARCHAR) AS time1, round(t1.v1, 6) AS value1,
+      |         CAST(t2.period AS VARCHAR) AS time2, round(t2.v2, 6) AS value2,
+      |         v.optimal_lag AS lag_offset, 'correlation' AS method, v.correlation
+      |  FROM t1 JOIN valid v ON v.key = t1.key
+      |  JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + CAST(v.optimal_lag AS INTEGER)
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_series_agg" ->
+      s"$seriesCte SELECT key, CAST(period AS VARCHAR) AS period, round(v1, 6) AS value1 FROM t1",
+    "m2_merged" ->
+      s"$seriesCte SELECT key, CAST(period AS VARCHAR) AS period, round(v1, 6) AS v1, round(v2, 6) AS v2 FROM merged",
+    "m3_lag_corr" ->
+      s"$seriesCte SELECT key, lag, round(correlation, 6) AS correlation, n_overlap FROM valid_corrs",
+    "m4_best_lag" ->
+      s"$seriesCte SELECT key, optimal_lag, correlation, n_overlap FROM best1",
+    "m5_corr_mapping" ->
+      s"$seriesCte SELECT key, time1, value1, time2, value2, lag_offset, method, correlation FROM mapping",
+    "m9_qa_checks" ->
+      s"""$seriesCte, ms AS (
+         |  SELECT COUNT(DISTINCT key) AS mapped_keys,
+         |         COUNT(*) AS total_mappings,
+         |         COUNT(*) - COUNT(DISTINCT (key, time1, time2)) AS duplicate_mappings,
+         |         MIN(lag_offset) AS min_lag, MAX(lag_offset) AS max_lag,
+         |         round(AVG(lag_offset), 6) AS avg_lag,
+         |         round(MIN(CASE WHEN value1 > 0 THEN value2 / value1 END), 6) AS min_ratio,
+         |         round(MAX(CASE WHEN value1 > 0 THEN value2 / value1 END), 6) AS max_ratio,
+         |         round(AVG(CASE WHEN value1 > 0 THEN value2 / value1 END), 6) AS avg_ratio,
+         |         COUNT(CASE WHEN time2 < time1 THEN 1 END) AS temporal_violations
+         |  FROM mapping
+         |), tot AS (SELECT COUNT(DISTINCT key) AS total_keys FROM t1)
+         |SELECT tot.total_keys, ms.mapped_keys,
+         |       round(ms.mapped_keys * 100.0 / tot.total_keys, 6) AS coverage_pct,
+         |       CASE WHEN round(ms.mapped_keys * 100.0 / tot.total_keys, 6) >= 70 THEN 'PASS' ELSE 'FAIL' END AS coverage_status,
+         |       ms.total_mappings, ms.duplicate_mappings,
+         |       CASE WHEN ms.duplicate_mappings = 0 THEN 'PASS' ELSE 'WARNING' END AS duplicate_status,
+         |       ms.min_lag, ms.max_lag, ms.avg_lag,
+         |       CASE WHEN COALESCE(ms.max_lag, 0) <= 12 THEN 'PASS' ELSE 'WARNING' END AS lag_status,
+         |       ms.min_ratio, ms.max_ratio, ms.avg_ratio,
+         |       CASE WHEN ms.max_ratio <= 1 THEN 'PASS' ELSE 'WARNING' END AS ratio_status,
+         |       ms.temporal_violations,
+         |       CASE WHEN ms.temporal_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS temporal_status
+         |FROM ms CROSS JOIN tot""".stripMargin,
+    "m10_monitoring" ->
+      s"""$seriesCte SELECT method, COUNT(*) AS total_mappings,
+         |       COUNT(DISTINCT key) AS unique_keys,
+         |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
+         |FROM mapping GROUP BY method""".stripMargin
+  )
+}

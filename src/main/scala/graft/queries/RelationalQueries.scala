@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery over the TPC-H-ish harness tables, covering
+  * SURVEY.md §2's inventory: joins (J1/J5/J6), filters (P2-P8), aggregates
+  * (A1-A9, A12), windows (§2.5), sorts/top-k (§2.6), set ops (§2.7).
+  *
+  * Float discipline for the DuckDB oracle: sums go through exact
+  * DECIMAL(18,2), averages are exact-decimal-sum / count (bit-identical
+  * double division), everything else is round(x, 6).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
+  private def davg(c: String) =
+    (sum(col(c).cast("decimal(18,2)")).cast("double") / count(lit(1))).as(s"avg_$c")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: multi-metric hash aggregate (pricing summary)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    // J1 chain: customer ⋈ nation ⋈ region ⋈ orders, revenue by geography
+    "q2_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      val orders = t(s, dir, "orders")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_value"))
+    }),
+    // P5 BETWEEN + P6 IN-list + A3 count
+    "q3_filter_range" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_value"))
+    }),
+    // P8 CASE WHEN segmentation + A4 multi-key aggregate
+    "q4_case_when" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn(
+          "balance_segment",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy(col("c_mktsegment"), col("balance_segment"))
+        .agg(count(lit(1)).as("n_customers"), davg("c_acctbal"))
+    }),
+    // O1 top-k: orderBy desc + unique tie-break + limit → TakeOrderedAndProject
+    "q5_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // A5/U3: duplicate detection via count - distinct count
+    "q6_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("total_rows"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("distinct_keys"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("duplicates"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"))
+    }),
+    // §2.5 windows: row_number + lag over per-customer order history
+    "q7_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(w))
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("rn"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          date_format(col("prev_order_date"), "yyyy-MM-dd").as("prev_order_date"))
+    }),
+    // J6 left-semi + left-anti: customers with / without orders
+    "q8_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val keys = t(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = cust.join(keys, cust("c_custkey") === keys("o_custkey"), "left_semi")
+      val withoutOrders = cust.join(keys, cust("c_custkey") === keys("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("customers_with_orders"))
+        .crossJoin(withoutOrders.agg(count(lit(1)).as("customers_without_orders")))
+    }),
+    // U1 unionByName with missing columns across two summaries
+    "q9_union" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_value"))
+      val b = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n_lines"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+    // A6 exact percentiles (interpolated), global + per flag
+    "q10_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+    }),
+    // A12 rank correlation (Spearman-style with min-rank ties)
+    "q11_rank_corr" -> ((s, dir) => {
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          rank().over(wq).as("rank_qty"),
+          rank().over(wp).as("rank_price"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("rank_qty"), col("rank_price")), 6).as("rank_correlation"))
+    }),
+    // §2.5 running aggregate: daily event counts + cumulative per user
+    "q12_running_window" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("user_id").cast("string").as("key"),
+          to_date(col("ts")).as("period"))
+        .agg(count(lit(1)).as("daily_events"))
+      val w = Window.partitionBy(col("key")).orderBy(col("period"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_events", sum(col("daily_events")).over(w))
+        .select(
+          col("key"),
+          date_format(col("period"), "yyyy-MM-dd").as("period"),
+          col("daily_events"),
+          col("cum_events"))
+    }),
+    // A9 derived-ratio aggregate with NULLIF guard
+    "q13_ratio" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("l_extendedprice") / nullif(col("l_quantity"), lit(0))), 6)
+            .as("avg_unit_price"),
+          round(avg(col("l_discount")), 6).as("avg_discount"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q3_filter_range" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q4_case_when" ->
+      """SELECT c_mktsegment,
+        |       CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 1000 THEN 'low'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS balance_segment,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_c_acctbal
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q6_distinct" ->
+      """SELECT COUNT(*) AS total_rows,
+        |       COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys,
+        |       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicates,
+        |       COUNT(DISTINCT l_orderkey) AS distinct_orders
+        |FROM lineitem""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_order_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q8_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS customers_with_orders,
+        |  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS customers_without_orders""".stripMargin,
+    "q9_union" ->
+      """SELECT o_orderpriority AS grp, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(NULL AS BIGINT) AS n_lines
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag AS grp, CAST(NULL AS BIGINT) AS n_orders,
+        |       CAST(NULL AS DOUBLE) AS total_value, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_quantile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q11_rank_corr" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rank_qty,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rank_price
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, round(corr(rank_qty, rank_price), 6) AS rank_correlation
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q12_running_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period,
+        |         COUNT(*) AS daily_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT key, CAST(period AS VARCHAR) AS period, daily_events,
+        |       CAST(SUM(daily_events) OVER (PARTITION BY key ORDER BY period
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        |FROM daily""".stripMargin,
+    "q13_ratio" ->
+      """SELECT l_returnflag,
+        |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,
+        |       round(AVG(l_discount), 6) AS avg_discount,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
