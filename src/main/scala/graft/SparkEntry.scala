@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{MappingQueries, RelationalQueries}
+import graft.queries.{MappingQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,9 +17,9 @@ object SparkEntry {
     queries("m5_corr_mapping")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MappingQueries.queries ++ RelationalQueries.queries
+    MappingQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
-    MappingQueries.oracleSql ++ RelationalQueries.oracleSql
+    MappingQueries.oracleSql ++ RelationalQueries.oracleSql ++ TextQueries.oracleSql
 }

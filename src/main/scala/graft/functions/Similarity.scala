@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (query set broadcast against the
+  * corpus — one pass, no shuffle of the corpus). Scale path: bit-sampling
+  * LSH buckets (sign bits of leading dimensions) so candidate generation
+  * is an equi-join on the bucket id instead of a full cross product.
+  *
+  * Arithmetic is done in double (embeddings cast up) with sequential
+  * fold order, matching DuckDB's list_dot_product on DOUBLE[] bit-for-bit.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. `queries` must be small (it is broadcast); the corpus
+    * is streamed through one projection — O(|corpus|·|queries|) work,
+    * distributed, no corpus shuffle. Ranking uses round(cos, 6) with id
+    * tie-break for cross-engine determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
+  /** Bit-sampling LSH bucket id: sign bits of the first `nBits` dimensions
+    * packed into a long. Vectors in the same orthant bucket are cosine
+    * candidates. */
+  def signBucket(vec: Column, nBits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, i) =>
+        acc + when(element_at(vec, i + 1) >= 0, pow(lit(2.0), i.cast("double")).cast("long"))
+          .otherwise(0L))
+
+  /** LSH-bucketed approximate top-k: candidates share the sign bucket —
+    * an equi-join on bucket id replaces the cross product. Recall is
+    * traded for a |corpus|/2^nBits candidate set per query. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cvec"),
+      signBucket(asDouble(col(vecCol)), nBits).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+      signBucket(asDouble(col(vecCol)), nBits).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        round(cosine(col("cvec"), col("qvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above `threshold`, bucketed by
+    * sign-LSH so the pair generation is an equi-join. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 6): DataFrame = {
+    val v = df.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"),
+      signBucket(asDouble(col(vecCol)), nBits).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions — `transform`/`filter`/`aggregate` — no
+  * UDFs), so plans stay inside whole-stage codegen and every operator is
+  * DuckDB-oracle-able.
+  *
+  * Portable hash: `bigint(first 15 hex chars of md5)` — identical in Spark
+  * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB (`('0x'||...)::BIGINT`),
+  * so MinHash/SimHash results can be verified cross-engine.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokenization. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Lexical diversity: distinct tokens / total tokens. */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Small deterministic stopword lists per language (public-knowledge
+    * function-word sets) — enough signal for a coarse stopword-based
+    * language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "pas", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "un", "no", "por", "para"))
+
+  /** Count of tokens found in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), tok => tok.isin(words: _*)))
+
+  /** Fraction of tokens found in `words`. */
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordHits(text, words).cast("double") / size(tokens(text))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·length saturation (tokens/100 capped) + 0.3·lexical diversity +
+    * 0.3·stopword presence (capped at 10x the hit ratio). */
+  def qualityScore(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    round(
+      lit(0.4) * least(lit(1.0), n / 100.0) +
+        lit(0.3) * distinctTokenRatio(text) +
+        lit(0.3) * least(lit(1.0), stopwordRatio(text, stopwords("en")) * 10.0),
+      6)
+  }
+
+  /** Language-ID: argmax of per-language stopword hit counts; 'und'
+    * (undetermined) when no list matches. Deterministic tie-break by
+    * list order en > de > fr > es. */
+  def predictLang(text: Column): Column = {
+    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(text, stopwords(l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores
+      .foldLeft(when(best <= 0, "und")) { case (acc, (l, s)) => acc.when(s === best, l) }
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lower-cased text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Portable 60-bit hash of a string expression (see object doc). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+}

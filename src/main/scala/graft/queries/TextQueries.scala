@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` and `embeddings`
+  * tables: text analysis, language ID, exact + MinHash + SimHash + n-gram
+  * dedup, cosine similarity search (brute force + LSH), multimodal
+  * metadata plumbing. All oracle-able in DuckDB via the portable
+  * md5-derived hash. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc text statistics + quality score
+    "d1_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TF.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+        round(TF.stopwordRatio(col("text"), TF.stopwords("en")), 6).as("stopword_ratio"),
+        TF.qualityScore(col("text")).as("quality_score"))
+    }),
+    // exact dedup via normalized-text fingerprint
+    "d2_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(docs(s, dir), "text", "doc_id")
+    }),
+    // MinHash-LSH near-dup candidate pairs with estimated Jaccard
+    "d3_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+    // per-doc 60-bit SimHash
+    "d4_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+    }),
+    // exact 3-gram Jaccard across same-source pairs
+    "d5_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", "source")
+        .select(
+          col("bucket").as("source"), col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // brute-force cosine top-5 for the first 10 vectors
+    "d6_embed_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // sign-LSH bucketed approximate top-5 (equi-join instead of cross join)
+    "d7_embed_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nBits = 8)
+    }),
+    // language-ID heuristic vs labeled lang: confusion counts
+    "d8_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TF.predictLang(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+    // per-doc fingerprint (rolling exact-dedup key)
+    "d9_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fingerprint"))
+    }),
+    // multimodal plumbing: binary payload + typed metadata (decode stubbed)
+    "x1_multimodal_meta" -> ((s, dir) => {
+      Multimodal.withBinaryPayload(docs(s, dir), "text").select(
+        col("doc_id"),
+        col("media_meta.n_bytes").cast("long").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.n_frames").cast("long").as("n_frames"))
+    })
+  )
+
+  /** DuckDB equivalents. Shared fragments: tokenization and the portable
+    * md5-derived 60-bit hash. */
+  private val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def phash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private val enList = TF.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val shingleCte =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, list_distinct(list_transform(
+       |    generate_series(0, greatest(len($toks) - 3, 0)),
+       |    i -> array_to_string(($toks)[i + 1 : i + 3], ' '))) AS shingles
+       |  FROM documents
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  len($toks)::BIGINT AS n_tokens,
+         |  round(len(list_distinct($toks))::DOUBLE / len($toks), 6) AS distinct_ratio,
+         |  round(len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks), 6) AS stopword_ratio,
+         |  round(0.4 * least(1.0, len($toks)::DOUBLE / 100.0)
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))
+         |      + 0.3 * least(1.0, (len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks)) * 10.0),
+         |    6) AS quality_score
+         |FROM documents""".stripMargin,
+    "d2_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, COUNT(*) - 1 AS n_duplicates
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""$shingleCte, sigs AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 15),
+         |    i -> list_min(list_transform(shingles, s -> ${phash("i::VARCHAR || ':' || s")}))) AS sig
+         |  FROM sh
+         |), banded AS (
+         |  SELECT doc_id, sig, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |)
+         |SELECT p.id_a, p.id_b,
+         |       round(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 6) AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.id_a
+         |JOIN sigs sb ON sb.doc_id = p.id_b""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($toks, t -> ${phash("t")}) AS hashes
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(list_sum(list_transform(generate_series(0, 59),
+         |         b -> CASE WHEN 2 * len(list_filter(hashes, x -> (x >> b) & 1 = 1)) > len(hashes)
+         |                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "d6_embed_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * q.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * c.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.vec[i] * q.vec[i])))), 6) AS cos_sim
+        |  FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id < 10) q
+        |  WHERE c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d7_embed_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         CAST(list_sum(list_transform(generate_series(0, 7),
+        |           i -> CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * q.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * c.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.vec[i] * q.vec[i])))), 6) AS cos_sim
+        |  FROM v c JOIN (SELECT * FROM v WHERE vec_id < 10) q ON c.bucket = q.bucket
+        |  WHERE c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d8_lang_id" -> {
+      def hits(l: String) = {
+        val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($toks, t -> list_contains($list, t)))"
+      }
+      s"""WITH scored AS (
+         |  SELECT lang, ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+         |         ${hits("fr")} AS s_fr, ${hits("es")} AS s_es
+         |  FROM documents
+         |), pred AS (
+         |  SELECT lang,
+         |         CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+         |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         |              ELSE 'und' END AS predicted
+         |  FROM scored
+         |)
+         |SELECT lang, predicted, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2""".stripMargin
+    },
+    "d9_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "x1_multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text))::BIGINT AS n_bytes,
+        |       md5(text) AS checksum,
+        |       (octet_length(encode(text)) % 640)::BIGINT AS width,
+        |       (octet_length(encode(text)) * 7 % 480)::BIGINT AS height,
+        |       (octet_length(encode(text)) % 24)::BIGINT AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"),
+    (3L, "completely different words entirely unrelated content here", "a"),
+    (4L, "THE  Quick   Brown fox jumps over the lazy dog", "b"), // = doc 1 normalized
+    (5L, "der hund ist nicht ein problem und das ist gut", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("tokenCount and shingles") {
+    val r = docs.select(TF.tokenCount($"text").as("n"), TF.shingles($"text", 3).as("sh"))
+      .filter(docs("doc_id") === 1).head()
+    assert(r.getAs[Int]("n") == 9)
+    val sh = r.getAs[scala.collection.Seq[String]]("sh")
+    assert(sh.contains("the quick brown") && sh.contains("the lazy dog"))
+    assert(sh.length == 7) // 9 tokens -> 7 trigrams, all distinct
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val d = Dedup.exactDedup(docs, "text", "doc_id").filter($"n_copies" > 1).head()
+    assert(d.getAs[Long]("keep_id") == 1L && d.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash est_jaccard high for near-dups, low for unrelated") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id")
+      .select($"id_a", $"id_b", $"est_jaccard").as[(Long, Long, Double)].collect().toMap2
+    // exact normalized duplicates agree on every signature position
+    assert(pairs.get((1L, 4L)).exists(_ == 1.0), s"pairs=$pairs")
+    // near-dup docs 1-2 share most shingles -> high estimate when candidate
+    pairs.get((1L, 2L)).foreach(j => assert(j > 0.3))
+    // unrelated doc 3 must not pair with 1 at high similarity
+    pairs.get((1L, 3L)).foreach(j => assert(j < 0.3))
+  }
+
+  private implicit class ToMap2(a: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = a.map { case (x, y, j) => ((x, y), j) }.toMap
+  }
+
+  test("simhash: identical normalized docs hash equal; unrelated differ") {
+    val m = docs.select($"doc_id", Dedup.simhash("text").as("s")).as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("ngram jaccard: near-dups score high within bucket") {
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source")
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select($"jaccard").as[Double].head()
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("lang id: english vs german stopwords") {
+    val m = docs.select($"doc_id", TF.predictLang($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(m(1L) == "en")
+    assert(m(5L) == "de")
+  }
+
+  test("cosine topk: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .select($"rank", $"corpus_id").as[(Long, Long)].collect().toMap
+    assert(topk(1L) == 1L) // nearest is the almost-parallel vector
+    assert(topk(2L) == 2L) // then the orthogonal one beats the antiparallel
+  }
+
+  test("lsh topk is a subset of brute-force candidates with same scores") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select($"query_id", $"corpus_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 3, nBits = 4)
+      .select($"query_id", $"corpus_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // any pair also present in brute force must carry the identical score
+    lsh.foreach { case (a, b, c) => bf.get((a, b)).foreach(s => assert(s == c)) }
+  }
+
+  test("multimodal: payload roundtrip and deterministic stub features") {
+    val feats = Multimodal
+      .extractFeatures(Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload")
+      .collect()
+      .map(f => f.id -> f)
+      .toMap
+    assert(feats(1L).n_bytes == docs.filter($"doc_id" === 1).head().getAs[String]("text").length)
+    assert(feats(1L).feature.length == 8)
+    assert(math.abs(feats(1L).feature.sum - 1.0) < 1e-9) // histogram normalized
+  }
+
+  test("quality score within [0,1] and favors diverse text") {
+    val scores = docs.select($"doc_id", TF.qualityScore($"text").as("q")).as[(Long, Double)].collect().toMap
+    scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(scores(3L) > 0.0)
+  }
+}
