@@ -29,15 +29,45 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         (count(lit(1)) - 1).as("n_duplicates"))
 
-  /** Per-row MinHash signature: for each of `numHashes` seeds, the min
-    * portable-hash of `seed:shingle`. Column type: array<bigint>. */
-  def minhashSignature(textCol: String, shingleSize: Int, numHashes: Int) = {
-    val sh = TextFunctions.shingles(col(textCol), shingleSize)
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i =>
-        array_min(
-          transform(sh, s => TextFunctions.portableHash(concat(i.cast("string"), lit(":"), s)))))
+  /** MinHash universe: a prime modulus below 2^28 and a fixed family of
+    * affine hash functions h_i(x) = (A_i·x + B_i) mod P over a 28-bit base
+    * hash. Products stay below 2^56 — no 64-bit overflow in Spark OR the
+    * DuckDB oracle (which errors on BIGINT overflow rather than wrapping).
+    * ONE md5 per shingle; the per-seed hashes are cheap arithmetic. */
+  val minhashPrime: Long = 268435399L // largest prime < 2^28
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map { i =>
+      ((1234567L * i) % minhashPrime | 1L, (7654321L * i) % minhashPrime)
+    }
+
+  /** 28-bit portable base hash (first 7 hex chars of md5). */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Per-document MinHash signatures via explode + ONE hash aggregate:
+    * rows (id, shingle) → base hash → groupBy(id) with numHashes `min`
+    * aggregates. Fully partial-aggregated (map-side combine), no nested
+    * lambda re-evaluation, one shuffle by id. Documents with no shingles
+    * (empty text) drop out. */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
+    val hashed = df
+      .select(
+        col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"), baseHash(col("s")).as("h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % minhashPrime).as(s"m$i")
+    }
+    hashed
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array(coeffs.indices.map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -45,7 +75,9 @@ object Dedup {
     * estimated Jaccard (fraction of matching signature positions).
     *
     * rowsPerBand=2, numHashes=16 → 8 bands: pairs with Jaccard ~>0.3 are
-    * likely candidates. */
+    * likely candidates. The signature table (one short row per doc) is
+    * cached — it is read four times (two band sides, two est-join sides);
+    * at production scale persist it to storage instead. */
   def minhashLshPairs(
       df: DataFrame,
       textCol: String,
@@ -54,12 +86,9 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(textCol, shingleSize, numHashes).as("sig"))
+    val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes).cache()
     val banded = sigs.select(
       col("id"),
-      col("sig"),
       explode(
         transform(
           sequence(lit(0), lit(numBands - 1)),
@@ -70,13 +99,15 @@ object Dedup {
                 .portableHash(
                   array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))
                 .as("bucket")))).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),

@@ -38,36 +38,49 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "pas", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "y", "es", "una", "un", "no", "por", "para"))
 
-  /** Count of tokens found in `words`. */
+  /** Count of tokens found in `words`, over a pre-tokenized column.
+    * Take the tokenized column (projected ONCE), not raw text: expressions
+    * that re-derive `tokens(text)` multiple times per row are re-evaluated
+    * per reference inside lambda bodies. */
+  def stopwordHitsOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, tok => tok.isin(words: _*)))
+
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), tok => tok.isin(words: _*)))
+    stopwordHitsOf(tokens(text), words)
 
   /** Fraction of tokens found in `words`. */
+  def stopwordRatioOf(toks: Column, words: Seq[String]): Column =
+    stopwordHitsOf(toks, words).cast("double") / size(toks)
+
   def stopwordRatio(text: Column, words: Seq[String]): Column =
-    stopwordHits(text, words).cast("double") / size(tokens(text))
+    stopwordRatioOf(tokens(text), words)
 
   /** Heuristic quality score in [0,1]:
     * 0.4·length saturation (tokens/100 capped) + 0.3·lexical diversity +
     * 0.3·stopword presence (capped at 10x the hit ratio). */
-  def qualityScore(text: Column): Column = {
-    val n = size(tokens(text)).cast("double")
+  def qualityScoreOf(toks: Column): Column = {
+    val n = size(toks).cast("double")
     round(
       lit(0.4) * least(lit(1.0), n / 100.0) +
-        lit(0.3) * distinctTokenRatio(text) +
-        lit(0.3) * least(lit(1.0), stopwordRatio(text, stopwords("en")) * 10.0),
+        lit(0.3) * (size(array_distinct(toks)).cast("double") / n) +
+        lit(0.3) * least(lit(1.0), stopwordRatioOf(toks, stopwords("en")) * 10.0),
       6)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text))
 
   /** Language-ID: argmax of per-language stopword hit counts; 'und'
     * (undetermined) when no list matches. Deterministic tie-break by
     * list order en > de > fr > es. */
-  def predictLang(text: Column): Column = {
-    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(text, stopwords(l)))
+  def predictLangOf(toks: Column): Column = {
+    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordHitsOf(toks, stopwords(l)))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores
       .foldLeft(when(best <= 0, "und")) { case (acc, (l, s)) => acc.when(s === best, l) }
       .otherwise("und")
   }
+
+  def predictLang(text: Column): Column = predictLangOf(tokens(text))
 
   /** Document fingerprint: md5 of whitespace-normalized lower-cased text —
     * the exact-dedup key. */

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.core.{MappingConfig, SeriesTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production pipeline — Scala counterpart of the reference's
+  * ProductionPipeline / MappingEngine.process
+  * (/root/reference/05_prod_dev.py:329-447, 769-982).
+  *
+  * Given a pre-trained recommendations "model" (one row per entity with
+  * `recommended_method` and `optimal_lag`), segment input entities:
+  *   - Correlation-recommended → lag-shifted join REUSING the stored lag
+  *     (no correlation recompute — the reference's key prod optimization);
+  *   - DTW-recommended → DTW re-run on the merged series;
+  *   - no recommendation → default lag 1 (05_prod_dev.py:410-414).
+  *
+  * Scale notes: segmentation is three filters over one left join of the
+  * distinct-keys table (small) against the model (small, broadcast); the
+  * fact tables are touched once per segment with equi-joins only. No
+  * driver-side counts gate the flow — empty segments union away lazily.
+  */
+object Pipeline {
+
+  /** Correlation mapping with GIVEN per-entity lags (no score recompute).
+    * `lags`: (key, optimal_lag). */
+  def correlationMappingWithLags(
+      t1: DataFrame,
+      t2: DataFrame,
+      lags: DataFrame,
+      cfg: MappingConfig): DataFrame = {
+    val withLag = t1.join(broadcast(lags.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
+    val right = t2.select(
+      col("key").as("r_key"),
+      col("period").as("r_period"),
+      col("value").as("value2"))
+    withLag
+      .withColumn(
+        "target_period",
+        SeriesTable.shiftPeriod(col("period"), col("optimal_lag"), cfg.periodUnit))
+      .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"), "inner")
+      .select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("time1"),
+        col("value").as("value1"),
+        date_format(col("r_period"), "yyyy-MM-dd").as("time2"),
+        col("value2"),
+        col("optimal_lag").as("lag_offset"),
+        lit("correlation").as("method"))
+  }
+
+  /** Full pipeline run: segment by stored recommendation, map per segment,
+    * union, stamp the run id. */
+  def run(
+      t1: DataFrame,
+      t2: DataFrame,
+      recommendations: DataFrame,
+      cfg: MappingConfig,
+      runId: String): DataFrame = {
+    val inputKeys = t1.select(col("key")).distinct()
+    val withRec = inputKeys.join(
+      broadcast(recommendations.select(col("key"), col("recommended_method"), col("optimal_lag"))),
+      Seq("key"),
+      "left")
+
+    val corrKeys = withRec.filter(
+      col("recommended_method")
+        .isin("Correlation", "Either (prefer Correlation for simplicity)"))
+    val dtwKeys = withRec.filter(col("recommended_method") === "DTW")
+    val noRecKeys = withRec.filter(col("recommended_method").isNull)
+
+    val corrPart =
+      correlationMappingWithLags(t1, t2, corrKeys.select(col("key"), col("optimal_lag")), cfg)
+    val dtwPart = DtwMapping
+      .mapping(SeriesTable.merge(t1, t2).join(dtwKeys.select("key"), Seq("key"), "left_semi"), cfg)
+      .drop("dtw_cost")
+    // Default for unknown entities: lag 1 (05_prod_dev.py:412).
+    val defaultPart = correlationMappingWithLags(
+      t1,
+      t2,
+      noRecKeys.select(col("key"), lit(1).as("optimal_lag")),
+      cfg)
+
+    corrPart
+      .unionByName(dtwPart, allowMissingColumns = true)
+      .unionByName(defaultPart, allowMissingColumns = true)
+      .withColumn("pipeline_run_id", lit(runId))
+  }
+
+  /** Incremental mode: the reference's "incremental processing" is a batch
+    * re-run over a date-range filter (05_prod_dev.py:1054-1101) — a
+    * BETWEEN predicate that prunes partitions when the sink is
+    * period-partitioned. */
+  def incrementalSlice(series: DataFrame, start: String, end: String): DataFrame =
+    series.filter(col("period").between(lit(start).cast("date"), lit(end).cast("date")))
+
+  /** Partitioned sink (05_prod_dev.py:862-867): partition by the mapping's
+    * source period so date-range reads prune files. */
+  def writePartitioned(mapping: DataFrame, path: String): Unit =
+    mapping.write.mode("overwrite").partitionBy("time1").parquet(path)
+
+  /** External-table DDL + monitoring view over a written mapping
+    * (05_prod_dev.py:872-876, 1252-1266). */
+  def registerExternalTable(spark: SparkSession, path: String, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"CREATE TABLE $tableName USING PARQUET LOCATION '$path'")
+    // partitioned layout: populate the catalog's partition list
+    spark.sql(s"MSCK REPAIR TABLE $tableName")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${tableName}_monitor AS
+         |SELECT method, time1, COUNT(*) AS n_mappings, COUNT(DISTINCT key) AS n_keys
+         |FROM $tableName GROUP BY method, time1""".stripMargin)
+  }
+}

@@ -15,10 +15,9 @@ object MappingQueries {
   private def series(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     (Tables.engagementSeries(spark, sfDir), Tables.purchaseSeries(spark, sfDir))
 
-  private def merged(spark: SparkSession, sfDir: String): DataFrame = {
-    val (t1, t2) = series(spark, sfDir)
-    SeriesTable.merge(t1, t2)
-  }
+  // One-pass derivation (no join): see Tables.bothSeries scale notes.
+  private def merged(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.mergedSeries(spark, sfDir)
 
   private def corrMapping(s: SparkSession, dir: String): DataFrame = {
     val (t1, t2) = series(s, dir)
@@ -112,6 +111,17 @@ object MappingQueries {
           col("key"), col("method"),
           round(col("value1"), 6).as("value1"),
           round(col("value2"), 6).as("value2")))
+    }),
+    // production pipeline: train recommendations, segment by stored model,
+    // reuse stored lags / re-run dtw / default-lag fallback (rows-only)
+    "m11_pipeline" -> ((s, dir) => {
+      val (t1, t2) = series(s, dir)
+      val recs = Comparison.recommendationsFromMerged(merged(s, dir), cfg)
+        .select(col("key"), col("recommended_method"), col("optimal_lag"))
+      Pipeline.run(t1, t2, recs, cfg, "verify_run").select(
+        col("key"), col("time1"), round(col("value1"), 6).as("value1"),
+        col("time2"), round(col("value2"), 6).as("value2"),
+        col("lag_offset").cast("long").as("lag_offset"), col("method"))
     })
   )
 

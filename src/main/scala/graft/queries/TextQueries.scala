@@ -17,15 +17,18 @@ object TextQueries {
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-doc text statistics + quality score
+    // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
-      docs(s, dir).select(
-        col("doc_id"),
-        col("lang"),
-        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-        round(TF.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
-        round(TF.stopwordRatio(col("text"), TF.stopwords("en")), 6).as("stopword_ratio"),
-        TF.qualityScore(col("text")).as("quality_score"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+            .as("distinct_ratio"),
+          round(TF.stopwordRatioOf(col("toks"), TF.stopwords("en")), 6).as("stopword_ratio"),
+          TF.qualityScoreOf(col("toks")).as("quality_score"))
     }),
     // exact dedup via normalized-text fingerprint
     "d2_dedup_exact" -> ((s, dir) => {
@@ -60,7 +63,8 @@ object TextQueries {
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("lang"), TF.predictLang(col("text")).as("predicted"))
+        .select(col("lang"), TF.tokens(col("text")).as("toks"))
+        .select(col("lang"), TF.predictLangOf(col("toks")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -111,13 +115,18 @@ object TextQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, COUNT(*) - 1 AS n_duplicates
         |FROM documents GROUP BY 1""".stripMargin,
-    "d3_minhash_lsh" ->
-      s"""$shingleCte, sigs AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 15),
-         |    i -> list_min(list_transform(shingles, s -> ${phash("i::VARCHAR || ':' || s")}))) AS sig
-         |  FROM sh
+    "d3_minhash_lsh" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
          |), banded AS (
-         |  SELECT doc_id, sig, b.band,
+         |  SELECT doc_id, b.band,
          |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
          |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
          |), pairs AS (
@@ -128,7 +137,8 @@ object TextQueries {
          |       round(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 6) AS est_jaccard
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.id_a
-         |JOIN sigs sb ON sb.doc_id = p.id_b""".stripMargin,
+         |JOIN sigs sb ON sb.doc_id = p.id_b""".stripMargin
+    },
     "d4_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toks, t -> ${phash("t")}) AS hashes

@@ -25,29 +25,44 @@ object Tables {
     }
   }
 
-  /** The mapping engine's table1: daily engagement (click+view value) per
-    * user, from the `events` table. Aggregation before the engine — the
-    * partial-aggregate (map-side combine) happens at the scan. */
-  def engagementSeries(spark: SparkSession, sfDir: String): DataFrame =
+  /** Both daily series in ONE pass over `events`: conditional sums per
+    * (user, day) — one scan + one partial-aggregated shuffle instead of
+    * two scans and a join. At 100 TB this halves the input I/O of the
+    * mapping pipeline and removes a shuffle entirely; the `merged` table
+    * falls out of the same aggregate (rows where both sums are non-null).
+    *
+    * Output: (key, period, v1, v2) with v1 = click+view value sum,
+    * v2 = purchase value sum; null where that day has no such events. */
+  def bothSeries(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
-      .filter(col("event_type").isin("click", "view"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
       .select(
         col("user_id").cast("string").as("key"),
         to_date(col("ts")).as("period"),
+        col("event_type"),
         col("value"))
       .groupBy(col("key"), col("period"))
-      .agg(sum(col("value")).as("value"))
+      .agg(
+        sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
+        sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
+
+  /** The mapping engine's table1: daily engagement (click+view value) per
+    * user. Projected from the shared one-pass aggregate. */
+  def engagementSeries(spark: SparkSession, sfDir: String): DataFrame =
+    bothSeries(spark, sfDir)
+      .filter(col("v1").isNotNull)
+      .select(col("key"), col("period"), col("v1").as("value"))
 
   /** The mapping engine's table2: daily purchase value per user. */
   def purchaseSeries(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id").cast("string").as("key"),
-        to_date(col("ts")).as("period"),
-        col("value"))
-      .groupBy(col("key"), col("period"))
-      .agg(sum(col("value")).as("value"))
+    bothSeries(spark, sfDir)
+      .filter(col("v2").isNotNull)
+      .select(col("key"), col("period"), col("v2").as("value"))
+
+  /** Merged series without a join: both sums present on the same day. */
+  def mergedSeries(spark: SparkSession, sfDir: String): DataFrame =
+    bothSeries(spark, sfDir)
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
 
   /** Daily period: the harness events span a single month (TESTDATA.md),
     * so lag analysis runs on days, exercising the engine's parameterized

@@ -1,0 +1,128 @@
+package graft
+
+import graft.core.{MappingConfig, PeriodUnit, SeriesTable}
+import graft.operators.{Comparison, Pipeline}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val cfg = MappingConfig(periodUnit = PeriodUnit.Month, maxLag = 3)
+
+  /** Simple archetype: rev(t) = 10% of txn(t-1). */
+  private def seriesPair(nKeys: Int, nMonths: Int): (DataFrame, DataFrame) = {
+    val rows = for {
+      k <- 1 to nKeys
+      m <- 1 to nMonths
+    } yield (s"K$k", f"2024-$m%02d", 100.0 + 13 * ((m * 3 + k) % 7))
+    val t1 = SeriesTable.canonicalize(
+      rows.toDF("k", "t", "v"), "k", "t", "v", PeriodUnit.Month)
+    val t2 = SeriesTable.canonicalize(
+      rows.map { case (k, t, v) =>
+        (k, f"2024-${t.substring(5).toInt + 1}%02d", v * 0.1)
+      }.toDF("k", "t", "v"), "k", "t", "v", PeriodUnit.Month)
+    (t1, t2)
+  }
+
+  test("pipeline reuses stored lags for correlation-recommended keys") {
+    val (t1, t2) = seriesPair(3, 6)
+    val recs = Seq(
+      ("K1", "Correlation", 1),
+      ("K2", "Either (prefer Correlation for simplicity)", 2)
+    ).toDF("key", "recommended_method", "optimal_lag")
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_1")
+    val byKey = out.groupBy("key").agg(
+      first("method").as("m"), first("lag_offset").as("lag")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(2))).toMap
+    assert(byKey("K1") == ("correlation", 1))
+    assert(byKey("K2") == ("correlation", 2)) // stored lag 2 reused verbatim
+    // K3 has no recommendation -> default lag 1
+    assert(byKey("K3") == ("correlation", 1))
+    assert(out.columns.contains("pipeline_run_id"))
+  }
+
+  test("pipeline routes DTW-recommended keys through dtw") {
+    val (t1, t2) = seriesPair(2, 6)
+    val recs = Seq(("K1", "DTW", 0)).toDF("key", "recommended_method", "optimal_lag")
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_2")
+    val methods = out.select("key", "method").distinct().as[(String, String)].collect().toMap
+    assert(methods("K1") == "dtw")
+    assert(methods("K2") == "correlation") // default path
+  }
+
+  test("incremental slice filters the period range") {
+    val (t1, _) = seriesPair(2, 6)
+    val sliced = Pipeline.incrementalSlice(t1, "2024-02-01", "2024-03-31")
+    val periods = sliced.select("period").distinct().as[java.sql.Date].collect().map(_.toString)
+    assert(periods.toSet == Set("2024-02-01", "2024-03-01"))
+  }
+
+  test("partitioned write + external table + monitoring view") {
+    val (t1, t2) = seriesPair(2, 5)
+    val recs = Seq(("K1", "Correlation", 1)).toDF("key", "recommended_method", "optimal_lag")
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_3")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Pipeline.writePartitioned(out, s"$dir/mapping")
+    // partition pruning layout: one directory per time1 value
+    val parts = new java.io.File(s"$dir/mapping").listFiles().map(_.getName).filter(_.startsWith("time1="))
+    assert(parts.nonEmpty)
+    Pipeline.registerExternalTable(spark, s"$dir/mapping", "mapping_test")
+    val viaSql = spark.sql("SELECT COUNT(*) FROM mapping_test").as[Long].head()
+    assert(viaSql == out.count())
+    val mon = spark.sql("SELECT * FROM mapping_test_monitor")
+    assert(mon.columns.toSeq == Seq("method", "time1", "n_mappings", "n_keys"))
+    assert(mon.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS mapping_test")
+  }
+
+  test("end-to-end: train recommendations, run pipeline, QA passes") {
+    val (t1, t2) = seriesPair(4, 8)
+    val merged = SeriesTable.merge(t1, t2)
+    val recs = Comparison.recommendationsFromMerged(merged, cfg)
+      .select(col("key"), col("recommended_method"), col("optimal_lag"))
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_4")
+    assert(out.count() > 0)
+    val qa = graft.operators.QualityChecks.check(
+      out.select(col("key"), col("time1"), col("value1"), col("time2"), col("value2"),
+        col("lag_offset")), t1).head()
+    assert(qa.getAs[String]("coverage_status") == "PASS")
+    assert(qa.getAs[String]("duplicate_status") == "PASS")
+    assert(qa.getAs[String]("temporal_status") == "PASS")
+  }
+
+  test("streaming daily series matches the batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stage the sf0.001 events as the stream input (nanos-safe load)
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val expected = graft.sources.Tables.bothSeries(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("v1", "e1").withColumnRenamed("v2", "e2").cache()
+
+    // complete-mode memory sink: every window present -> full equality
+    val stream = EventsStream.dailySeries(EventsStream.readEvents(spark, s"$dir/in"))
+    val mq = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("series_mem").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mq.awaitTermination(120000)
+    val got = spark.table("series_mem")
+    assert(got.count() == expected.count())
+    val diff = got.join(expected, Seq("key", "period"))
+      .filter(
+        abs(coalesce(col("v1"), lit(0)) - coalesce(col("e1"), lit(0))) > 1e-9 ||
+          abs(coalesce(col("v2"), lit(0)) - coalesce(col("e2"), lit(0))) > 1e-9)
+    assert(diff.count() == 0)
+
+    // append-mode parquet sink: only watermark-finalized windows appear,
+    // but every emitted row must agree with the batch aggregation
+    val pq = EventsStream.writer(
+      EventsStream.dailySeries(EventsStream.readEvents(spark, s"$dir/in"), "0 seconds"),
+      s"$dir/out", s"$dir/ckpt").start()
+    pq.awaitTermination(120000)
+    val sunk = spark.read.parquet(s"$dir/out")
+    assert(sunk.count() > 0 && sunk.count() <= expected.count())
+    assert(sunk.join(expected, Seq("key", "period"), "left_anti").count() == 0)
+  }
+}
