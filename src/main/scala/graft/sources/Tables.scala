@@ -34,17 +34,29 @@ object Tables {
     * Output: (key, period, v1, v2) with v1 = click+view value sum,
     * v2 = purchase value sum; null where that day has no such events. */
   def bothSeries(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .filter(col("event_type").isin("click", "view", "purchase"))
-      .select(
-        col("user_id").cast("string").as("key"),
-        to_date(col("ts")).as("period"),
-        col("event_type"),
-        col("value"))
-      .groupBy(col("key"), col("period"))
-      .agg(
-        sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
-        sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
+    bothSeriesCache.synchronized {
+      bothSeriesCache.getOrElseUpdate(
+        (spark, sfDir), {
+          load(spark, sfDir, "events")
+            .filter(col("event_type").isin("click", "view", "purchase"))
+            .select(
+              col("user_id").cast("string").as("key"),
+              to_date(col("ts")).as("period"),
+              col("event_type"),
+              col("value"))
+            .groupBy(col("key"), col("period"))
+            .agg(
+              sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
+              sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
+            .cache()
+        })
+    }
+
+  /** The canonical series is the shared staging table of the whole mapping
+    * query family — cached per (session, dir), the way a production
+    * deployment would materialize it once and fan out. */
+  private val bothSeriesCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** The mapping engine's table1: daily engagement (click+view value) per
     * user. Projected from the shared one-pass aggregate. */
