@@ -112,6 +112,23 @@ object MappingQueries {
           round(col("value1"), 6).as("value1"),
           round(col("value2"), 6).as("value2")))
     }),
+    // nested array-of-struct summary: all lags per key (02_corr_mapping's
+    // all_lags column), flattened to a deterministic string for comparison
+    "m12_corr_all_lags" -> ((s, dir) => {
+      LagCorrelation.lagCorrTable(merged(s, dir), cfg)
+        .select(
+          col("key"),
+          col("lag"),
+          round(col("correlation") * 1000000).cast("long").as("c"))
+        .groupBy(col("key"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("lag"), col("c")))),
+              s => concat_ws(":", s.getField("lag").cast("string"), s.getField("c").cast("string"))),
+            ",").as("all_lags"),
+          count(lit(1)).as("n_lags"))
+    }),
     // production pipeline: train recommendations, segment by stored model,
     // reuse stored lags / re-run dtw / default-lag fallback (rows-only)
     "m11_pipeline" -> ((s, dir) => {
@@ -200,6 +217,12 @@ object MappingQueries {
       s"""$seriesCte SELECT method, COUNT(*) AS total_mappings,
          |       COUNT(DISTINCT key) AS unique_keys,
          |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
-         |FROM mapping GROUP BY method""".stripMargin
+         |FROM mapping GROUP BY method""".stripMargin,
+    "m12_corr_all_lags" ->
+      s"""$seriesCte SELECT key,
+         |       string_agg(lag::VARCHAR || ':' || CAST(round(correlation * 1000000) AS BIGINT)::VARCHAR,
+         |                  ',' ORDER BY lag) AS all_lags,
+         |       COUNT(*) AS n_lags
+         |FROM valid_corrs GROUP BY key""".stripMargin
   )
 }

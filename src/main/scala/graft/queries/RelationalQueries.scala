@@ -154,6 +154,38 @@ object RelationalQueries {
           col("daily_events"),
           col("cum_events"))
     }),
+    // S7/O2: SQL text over registered temp views, ORDER BY ... LIMIT
+    "q14_sql_views" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT o.o_orderkey, c.c_name, o.o_totalprice,
+          |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date
+          |FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+          |WHERE o.o_totalprice > 100000
+          |ORDER BY o.o_orderdate DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
+    }),
+    // gap-based sessionization: lag + running-sum session ids + session aggs
+    "q15_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("key")).orderBy(col("ts_ms"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("value"))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("key"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+          round(sum(col("value")), 6).as("total_value"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -256,6 +288,31 @@ object RelationalQueries {
         |       CAST(SUM(daily_events) OVER (PARTITION BY key ORDER BY period
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
         |FROM daily""".stripMargin,
+    "q14_sql_views" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 100000
+        |ORDER BY o.o_orderdate DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+    "q15_sessions" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id, epoch_ms(ts) AS ts_ms, value
+        |  FROM events
+        |), flagged AS (
+        |  SELECT key, event_id, ts_ms, value,
+        |         CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+        |                   OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY key ORDER BY ts_ms, event_id)
+        |), sess AS (
+        |  SELECT key, ts_ms, value,
+        |         CAST(SUM(new_session) OVER (PARTITION BY key ORDER BY ts_ms, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT key, session_id, COUNT(*) AS n_events,
+        |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
+        |       round(SUM(value), 6) AS total_value
+        |FROM sess GROUP BY key, session_id""".stripMargin,
     "q13_ratio" ->
       """SELECT l_returnflag,
         |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,
