@@ -32,6 +32,7 @@ object LagCorrelation {
     * reference's positional slicing on gap-free series (SURVEY.md §7.4).
     */
   def lagCorrTable(merged: DataFrame, cfg: MappingConfig): DataFrame = {
+    graft.core.GraftSession.tune(merged.sparkSession)
     val left = merged
       .select(col("key"), col("period"), col("v1"))
       .withColumn("lag", explode(sequence(lit(0), lit(cfg.maxLag))))

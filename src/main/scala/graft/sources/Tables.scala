@@ -13,11 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // The harness `events` table stores TIMESTAMP(NANOS) which the parquet
-    // reader rejects by default; read nanos as long, then rebuild a
+    graft.core.GraftSession.tune(spark)
+    // `events` stores TIMESTAMP(NANOS): read nanos as long, then rebuild a
     // microsecond timestamp (integral division — doubles would lose
     // precision above 2^53 nanos).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
