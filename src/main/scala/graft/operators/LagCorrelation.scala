@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{MappingConfig, PeriodUnit, SeriesTable}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,18 +33,35 @@ object LagCorrelation {
     */
   def lagCorrTable(merged: DataFrame, cfg: MappingConfig): DataFrame = {
     graft.core.GraftSession.tune(merged.sparkSession)
-    val left = merged
-      .select(col("key"), col("period"), col("v1"))
-      .withColumn("lag", explode(sequence(lit(0), lit(cfg.maxLag))))
-      .withColumn("target_period", SeriesTable.shiftPeriod(col("period"), col("lag"), cfg.periodUnit))
-    val right = merged.select(
-      col("key").as("r_key"),
-      col("period").as("r_period"),
-      col("v2"))
-    left
-      .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"))
+    // Window formulation: ONE shuffle of `merged` by key (the window
+    // partition), instead of self-joining the 7x lag-exploded table
+    // (which shuffles both sides). For each row, look 0..maxLag POSITIONS
+    // ahead with lead(struct(period, v2)); each partner's true calendar
+    // lag is its period difference, and since periods are strictly
+    // increasing, calendar-lag <= maxLag implies position-offset <= maxLag
+    // — so scanning maxLag positions finds every calendar partner even
+    // with gaps. Semantics identical to the self-join on period+lag
+    // (locked by the DuckDB oracle, which keeps the join formulation).
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    val unitDiff: (Column, Column) => Column = cfg.periodUnit match {
+      case graft.core.PeriodUnit.Day   => (a, b) => datediff(a, b)
+      case graft.core.PeriodUnit.Month => (a, b) => months_between(a, b).cast("int")
+    }
+    merged
+      .select(
+        col("key"),
+        col("period"),
+        col("v1"),
+        array(
+          (0 to cfg.maxLag).map(l =>
+            lead(struct(col("period").as("p"), col("v2").as("v")), l).over(w)): _*)
+          .as("partners"))
+      .select(col("key"), col("period"), col("v1"), explode(col("partners")).as("pv"))
+      .filter(col("pv").isNotNull)
+      .withColumn("lag", unitDiff(col("pv.p"), col("period")))
+      .filter(col("lag") <= cfg.maxLag)
       .groupBy(col("key"), col("lag"))
-      .agg(corr(col("v1"), col("v2")).as("correlation"), count(lit(1)).as("n_overlap"))
+      .agg(corr(col("v1"), col("pv.v")).as("correlation"), count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= cfg.minOverlap)
       .filter(col("correlation").isNotNull && !isnan(col("correlation")))
   }

@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.core.{MappingConfig, PeriodUnit}
+import graft.operators.{DtwMapping, LagCorrelation}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale stress benchmark: synthesize a two-series workload far above the
+  * reference's "large" tier (>10M rows, ARCHITECTURE.md:193) entirely
+  * distributed (spark.range, no driver loops), then run the correlation
+  * and DTW paths end-to-end and report records/second against BASELINE.md.
+  *
+  * Usage: runMain graft.tools.ScaleBench [nKeys] [nPeriods]
+  */
+object ScaleBench {
+
+  /** Deterministic per-(key, m) value — columnar, no UDF. */
+  private def valueExpr(key: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+    lit(500.0) + (key % 97).cast("double") +
+      lit(20.0) * m.cast("double") +
+      (hash(key, m).cast("double") % 1000.0) / 100.0
+
+  def genSeries(spark: SparkSession, nKeys: Long, nPeriods: Int): (DataFrame, DataFrame) = {
+    val base = spark.range(nKeys * nPeriods).select(
+      (col("id") / nPeriods).cast("long").as("k"),
+      (col("id") % nPeriods).cast("int").as("m"))
+    val t1 = base.select(
+      col("k").cast("string").as("key"),
+      add_months(lit("2020-01-01").cast("date"), col("m")).as("period"),
+      valueExpr(col("k"), col("m")).as("value"))
+    // value2(t) = 10% of value1(t-1): recompute the formula at m-1
+    val t2 = base.filter(col("m") > 0).select(
+      col("k").cast("string").as("key"),
+      add_months(lit("2020-01-01").cast("date"), col("m")).as("period"),
+      (valueExpr(col("k"), col("m") - 1) * 0.1).as("value"))
+    (t1, t2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nKeys = if (args.nonEmpty) args(0).toLong else 200000L
+    val nPeriods = if (args.length > 1) args(1).toInt else 30
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftSession.tune(spark)
+
+    val cfg = MappingConfig(periodUnit = PeriodUnit.Month, maxLag = 6)
+    val (t1, t2) = genSeries(spark, nKeys, nPeriods)
+    val inputRows = nKeys * nPeriods + nKeys * (nPeriods - 1)
+
+    val merged = graft.core.SeriesTable.merge(t1, t2).cache()
+    merged.count() // materialize outside the timed sections
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (corrRows, corrSec) = time {
+      val best = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged, cfg))
+      LagCorrelation.mapping(t1, t2, best, cfg).count()
+    }
+    val (dtwRows, dtwSec) = time {
+      DtwMapping.mapping(merged, cfg.copy(dtwWindow = Some(3))).count()
+    }
+
+    println(
+      s"""{"workload":{"keys":$nKeys,"periods":$nPeriods,"input_rows":$inputRows},
+         |"correlation":{"sec":$corrSec,"mapping_rows":$corrRows,"input_rec_per_sec":${(inputRows / corrSec).toLong}},
+         |"dtw":{"sec":$dtwSec,"mapping_rows":$dtwRows,"input_rec_per_sec":${(inputRows / dtwSec).toLong}},
+         |"baseline":{"correlation_rec_per_sec":"1000-3000 (large tier)","dtw_rec_per_sec":"100-300 (large tier)"}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
