@@ -39,6 +39,11 @@ object Dtw {
 
   /** DTW distance + optimal warping path.
     *
+    * Storage is O(n·m) unconstrained, but only O(n·w) when a Sakoe-Chiba
+    * band is given (row i stores the 2w+1 cells it can touch) — the path
+    * backtrack needs the whole (banded) matrix, so the band is what makes
+    * long-series DTW memory-feasible per executor task.
+    *
     * @param window Sakoe-Chiba band half-width (None = unconstrained)
     * @return (total cost, path as (idx1, idx2) pairs, increasing)
     */
@@ -52,29 +57,38 @@ object Dtw {
     val n = a.length
     val m = b.length
     require(n > 0 && m > 0, "DTW requires non-empty series")
-
-    // (n+1) x (m+1) DP matrix, flattened row-major.
     val inf = Double.PositiveInfinity
-    val dp = Array.fill((n + 1) * (m + 1))(inf)
-    @inline def idx(i: Int, j: Int): Int = i * (m + 1) + j
-    dp(idx(0, 0)) = 0.0
+
+    // dp(i)(j) over the (n+1) x (m+1) grid; banded mode stores row i's
+    // reachable columns [i-w, i+w] in a (2w+3)-wide stripe (+1 slack each
+    // side so the backtrack's (i, j-1) / (i-1, j) probes stay in range).
+    // Fill bounds use the RAW window — including the reference's behavior
+    // that a corner outside the band stays +inf (mapping_engine.py:186-189).
+    val bandW = window.getOrElse(0)
+    val stripe = if (window.isDefined) 2 * bandW + 3 else m + 1
+    val dp = Array.fill((n + 1) * stripe)(inf)
+    @inline def slot(i: Int, j: Int): Int =
+      if (window.isDefined) i * stripe + (j - i + bandW + 1) else i * stripe + j
+    @inline def inStripe(i: Int, j: Int): Boolean =
+      j >= 0 && j <= m && (window.isEmpty || (j - i + bandW + 1 >= 0 && j - i + bandW + 1 < stripe))
+    @inline def get(i: Int, j: Int): Double =
+      if (i < 0 || j < 0 || i > n || j > m || !inStripe(i, j)) inf else dp(slot(i, j))
+    dp(slot(0, 0)) = 0.0
 
     var i = 1
     while (i <= n) {
-      val (jStart, jEnd) = window match {
-        case Some(w) => (math.max(1, i - w), math.min(m, i + w))
-        case None    => (1, m)
-      }
+      val jStart = window.map(w => math.max(1, i - w)).getOrElse(1)
+      val jEnd = window.map(w => math.min(m, i + w)).getOrElse(m)
       var j = jStart
       while (j <= jEnd) {
         val cost = math.abs(a(i - 1) - b(j - 1))
-        val up = dp(idx(i - 1, j))
-        val left = dp(idx(i, j - 1))
-        val diag = dp(idx(i - 1, j - 1))
+        val up = get(i - 1, j)
+        val left = get(i, j - 1)
+        val diag = get(i - 1, j - 1)
         var best = up
         if (left < best) best = left
         if (diag < best) best = diag
-        dp(idx(i, j)) = cost + best
+        dp(slot(i, j)) = cost + best
         j += 1
       }
       i += 1
@@ -86,13 +100,13 @@ object Dtw {
     var cj = m
     while (ci > 0 && cj > 0) {
       path += ((ci - 1, cj - 1))
-      val up = dp(idx(ci - 1, cj))
-      val left = dp(idx(ci, cj - 1))
-      val diag = dp(idx(ci - 1, cj - 1))
+      val up = get(ci - 1, cj)
+      val left = get(ci, cj - 1)
+      val diag = get(ci - 1, cj - 1)
       if (up <= left && up <= diag) ci -= 1
       else if (left <= diag) cj -= 1
       else { ci -= 1; cj -= 1 }
     }
-    (dp(idx(n, m)), path.reverse.toArray)
+    (get(n, m), path.reverse.toArray)
   }
 }

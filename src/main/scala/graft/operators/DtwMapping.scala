@@ -54,6 +54,16 @@ object DtwMapping {
       }
   }
 
+  /** Filter DTW summaries to entities whose alignment cost is within the
+    * p-th percentile — the reference's quality gate on DTW output
+    * (/root/reference/03_dtw_mapping.py:276, 315), using the
+    * Greenwald-Khanna approximate quantile (A6) so no sort of the full
+    * summary table is needed. */
+  def filterByCostPercentile(summaries: DataFrame, p: Double, relErr: Double = 0.01): DataFrame = {
+    val threshold = summaries.stat.approxQuantile("total_cost", Array(p), relErr).head
+    summaries.filter(col("total_cost") <= threshold)
+  }
+
   /** Row-level DTW mapping: explode the warping path, matching the
     * reference's explode-after-UDF shape (mapping_engine.py:662-675).
     * Output schema aligns with the correlation mapping for unionByName. */

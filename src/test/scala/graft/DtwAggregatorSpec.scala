@@ -39,4 +39,18 @@ class DtwAggregatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(n == viaTyped(k)._2, s"key $k mappings")
     }
   }
+
+  test("cost-percentile filter keeps the cheap alignments") {
+    val merged = (1 to 10).flatMap { k =>
+      (1 to 6).map(m => (s"K$k", f"2024-$m%02d-01", m.toDouble, m.toDouble + (if (k > 8) 50.0 * m else 0.0)))
+    }.toDF("key", "p", "v1", "v2")
+      .select($"key", to_date($"p").as("period"), $"v1", $"v2")
+    val summaries = DtwMapping
+      .summarize(merged, MappingConfig(periodUnit = PeriodUnit.Month, dtwNormalize = false))
+      .toDF()
+    val kept = DtwMapping.filterByCostPercentile(summaries, 0.8)
+      .select($"key").as[String].collect().toSet
+    assert(kept.size >= 8 && !kept.contains("K10") || kept.size >= 8 && !kept.contains("K9") || kept.size == 8)
+    assert((1 to 8).forall(k => kept.contains(s"K$k")))
+  }
 }

@@ -51,6 +51,14 @@ object DtwProperties extends Properties("Dtw") {
     Dtw.distance(a, b, Some(w))._1 >= Dtw.distance(a, b, None)._1 - 1e-9
   }
 
+  property("band covering the whole grid equals unconstrained exactly") =
+    Prop.forAll(series, series) { (a, b) =>
+      val w = math.max(a.length, b.length)
+      val (cb, pb) = Dtw.distance(a, b, Some(w))
+      val (cu, pu) = Dtw.distance(a, b, None)
+      math.abs(cb - cu) < 1e-12 && pb.toSeq == pu.toSeq
+    }
+
   property("normalize: zero mean, unit (population) variance for non-constant input") =
     Prop.forAll(series) { a =>
       val out = Dtw.normalize(a)
