@@ -47,7 +47,13 @@ object SeriesTable {
     }
   }
 
-  /** Canonical projection: (key string, period date, value double). */
+  /** Canonical projection: (key string, period date, value double).
+    *
+    * Multiple observations in the same period are SUMMED, so the output
+    * is guaranteed one row per (key, period) — the invariant the lag-scan
+    * window formulation and the merge join both rely on. (The reference
+    * silently mis-slices on duplicate months inside its UDF; aggregating
+    * at ingest is the well-defined semantic.) */
   def canonicalize(
       df: DataFrame,
       keyCol: String,
@@ -61,6 +67,8 @@ object SeriesTable {
       col(keyCol).cast(StringType).as("key"),
       normalizePeriod(col(timeCol), timeType, unit).as("period"),
       col(valueCol).cast(DoubleType).as("value"))
+      .groupBy(col("key"), col("period"))
+      .agg(sum(col("value")).as("value"))
   }
 
   /** Period arithmetic matching the unit — the derived key of the

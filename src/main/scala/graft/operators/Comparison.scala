@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   * scale where entity count << fact count). */
 object Comparison {
 
-  /** J8: corr summary ⋈ dtw summary per entity. */
+  /** J8: corr summary ⋈ dtw summary per entity. The DTW summary covers
+    * every merged entity; entities with NO valid correlation (constant or
+    * too-short series — the relational corr table has no row for them)
+    * must still appear, carrying the reference UDF's sentinel corr = -1
+    * (mapping_engine.py:131-133) so the CASE logic routes them to DTW /
+    * manual review instead of dropping them. */
   def methodComparison(corrSummary: DataFrame, dtwSummary: DataFrame): DataFrame =
-    corrSummary
-      .select(col("key"), col("correlation"), col("optimal_lag"))
+    dtwSummary
+      .select(col("key"), col("total_cost"), col("num_mappings"))
       .join(
-        dtwSummary.select(col("key"), col("total_cost"), col("num_mappings")),
+        corrSummary.select(col("key"), col("correlation"), col("optimal_lag")),
         Seq("key"),
-        "inner")
+        "left")
+      .withColumn("correlation", coalesce(col("correlation"), lit(-1.0)))
+      .withColumn("optimal_lag", coalesce(col("optimal_lag"), lit(0)))
 
   /** Recommendation CASE logic with the reference's exact thresholds
     * (04_comparision.py:251-288). */

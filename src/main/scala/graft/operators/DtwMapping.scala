@@ -35,22 +35,19 @@ object DtwMapping {
         val s1 = pts.map(_.v1)
         val s2 = pts.map(_.v2)
         val periods = pts.map(_.period.toString)
-        if (pts.length < 1) {
-          DtwSummary(key, 0.0, 0, Seq.empty)
-        } else {
-          // Error fallback mirrors the reference (mapping_engine.py:313-315):
-          // identity path with zero cost.
-          val (cost, path) =
-            try Dtw.distance(s1, s2, cfg.dtwWindow, cfg.dtwNormalize)
-            catch {
-              case _: Exception =>
-                (0.0, Array.tabulate(math.min(s1.length, s2.length))(i => (i, i)))
-            }
-          val steps = path.toSeq.map { case (i, j) =>
-            PathStep(i, j, periods(i), periods(j), s1(i), s2(j))
+        // Error fallback mirrors the reference (mapping_engine.py:313-315):
+        // identity path with zero cost. (mapGroups never yields an empty
+        // group, so pts is non-empty here.)
+        val (cost, path) =
+          try Dtw.distance(s1, s2, cfg.dtwWindow, cfg.dtwNormalize)
+          catch {
+            case _: Exception =>
+              (0.0, Array.tabulate(math.min(s1.length, s2.length))(i => (i, i)))
           }
-          DtwSummary(key, cost, steps.length, steps)
+        val steps = path.toSeq.map { case (i, j) =>
+          PathStep(i, j, periods(i), periods(j), s1(i), s2(j))
         }
+        DtwSummary(key, cost, steps.length, steps)
       }
   }
 
@@ -59,16 +56,16 @@ object DtwMapping {
     * (/root/reference/03_dtw_mapping.py:276, 315), using the
     * Greenwald-Khanna approximate quantile (A6) so no sort of the full
     * summary table is needed. */
-  def filterByCostPercentile(summaries: DataFrame, p: Double, relErr: Double = 0.01): DataFrame = {
-    val threshold = summaries.stat.approxQuantile("total_cost", Array(p), relErr).head
-    summaries.filter(col("total_cost") <= threshold)
-  }
+  def filterByCostPercentile(summaries: DataFrame, p: Double, relErr: Double = 0.01): DataFrame =
+    summaries.stat.approxQuantile("total_cost", Array(p), relErr).headOption match {
+      case Some(threshold) => summaries.filter(col("total_cost") <= threshold)
+      case None            => summaries // empty input: nothing to filter
+    }
 
   /** Row-level DTW mapping: explode the warping path, matching the
     * reference's explode-after-UDF shape (mapping_engine.py:662-675).
     * Output schema aligns with the correlation mapping for unionByName. */
   def mapping(merged: DataFrame, cfg: MappingConfig): DataFrame = {
-    val spark = merged.sparkSession
     summarize(merged, cfg)
       .toDF()
       .select(col("key"), round(col("total_cost"), 6).as("dtw_cost"), explode(col("path")).as("step"))

@@ -109,15 +109,23 @@ object LagCorrelation {
     */
   def mapping(t1: DataFrame, t2: DataFrame, best: DataFrame, cfg: MappingConfig): DataFrame = {
     val valid = best.filter(col("correlation") >= cfg.minCorrelation)
-    val withLag = t1.join(broadcast(valid.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
-    val shifted = withLag.withColumn(
-      "target_period",
-      SeriesTable.shiftPeriod(col("period"), col("optimal_lag"), cfg.periodUnit))
+    mappingWithLags(t1, t2, valid.select(col("key"), col("optimal_lag")), cfg)
+      .join(broadcast(valid.select(col("key"), col("correlation"))), Seq("key"), "left")
+  }
+
+  /** The shared lag-shifted join-back: map t1 rows to t2 rows at
+    * period + optimal_lag, given per-entity lags (no score attached).
+    * Also the production path's primitive (stored-model lags). */
+  def mappingWithLags(t1: DataFrame, t2: DataFrame, lags: DataFrame, cfg: MappingConfig): DataFrame = {
+    val withLag = t1.join(broadcast(lags.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
     val right = t2.select(
       col("key").as("r_key"),
       col("period").as("r_period"),
       col("value").as("value2"))
-    shifted
+    withLag
+      .withColumn(
+        "target_period",
+        SeriesTable.shiftPeriod(col("period"), col("optimal_lag"), cfg.periodUnit))
       .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"), "inner")
       .select(
         col("key"),
@@ -127,6 +135,5 @@ object LagCorrelation {
         col("value2"),
         col("optimal_lag").as("lag_offset"),
         lit("correlation").as("method"))
-      .join(broadcast(valid.select(col("key"), col("correlation"))), Seq("key"), "left")
   }
 }

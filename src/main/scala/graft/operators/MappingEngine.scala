@@ -61,7 +61,10 @@ object MappingEngine {
 
   /** Auto mode: entities with best correlation >= 0.7 go down the
     * correlation path, the rest go to DTW (mapping_engine.py:679-746).
-    * The split and the correlation mapping share ONE cached corr table. */
+    * The split and the correlation mapping share ONE cached corr table
+    * (one short row per entity; it stays cached for the session — callers
+    * running many pairs in one long-lived driver should
+    * `spark.catalog.clearCache()` between jobs). */
   def autoMapping(
       merged: DataFrame,
       t1: DataFrame,

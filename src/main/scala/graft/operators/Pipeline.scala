@@ -22,32 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Correlation mapping with GIVEN per-entity lags (no score recompute).
-    * `lags`: (key, optimal_lag). */
+  /** Correlation mapping with GIVEN per-entity lags (no score recompute):
+    * the shared lag-shifted join-back. `lags`: (key, optimal_lag). */
   def correlationMappingWithLags(
       t1: DataFrame,
       t2: DataFrame,
       lags: DataFrame,
-      cfg: MappingConfig): DataFrame = {
-    val withLag = t1.join(broadcast(lags.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
-    val right = t2.select(
-      col("key").as("r_key"),
-      col("period").as("r_period"),
-      col("value").as("value2"))
-    withLag
-      .withColumn(
-        "target_period",
-        SeriesTable.shiftPeriod(col("period"), col("optimal_lag"), cfg.periodUnit))
-      .join(right, col("key") === col("r_key") && col("target_period") === col("r_period"), "inner")
-      .select(
-        col("key"),
-        date_format(col("period"), "yyyy-MM-dd").as("time1"),
-        col("value").as("value1"),
-        date_format(col("r_period"), "yyyy-MM-dd").as("time2"),
-        col("value2"),
-        col("optimal_lag").as("lag_offset"),
-        lit("correlation").as("method"))
-  }
+      cfg: MappingConfig): DataFrame =
+    LagCorrelation.mappingWithLags(t1, t2, lags, cfg)
 
   /** Full pipeline run: segment by stored recommendation, map per segment,
     * union, stamp the run id. */

@@ -53,9 +53,20 @@ object Tables {
 
   /** The canonical series is the shared staging table of the whole mapping
     * query family — cached per (session, dir), the way a production
-    * deployment would materialize it once and fan out. */
+    * deployment would materialize it once and fan out. Long-lived drivers
+    * iterating many datasets should call [[clearCache]] between them. */
   private val bothSeriesCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and forget every cached series for `spark` (all sessions
+    * when None). */
+  def clearCache(spark: Option[SparkSession] = None): Unit =
+    bothSeriesCache.synchronized {
+      val doomed = bothSeriesCache.keys.filter(k => spark.forall(_ == k._1)).toSeq
+      doomed.foreach { k =>
+        bothSeriesCache.remove(k).foreach(df => df.unpersist(blocking = false))
+      }
+    }
 
   /** The mapping engine's table1: daily engagement (click+view value) per
     * user. Projected from the shared one-pass aggregate. */

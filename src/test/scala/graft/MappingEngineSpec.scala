@@ -126,6 +126,32 @@ class MappingEngineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(result.count() > 0)
   }
 
+  test("canonicalize sums duplicate observations per (key, period)") {
+    val raw = Seq(
+      ("K1", "2024-01", 5.0), ("K1", "2024-01", 7.0), ("K1", "2024-02", 1.0)
+    ).toDF("k", "t", "v")
+    val t = SeriesTable.canonicalize(raw, "k", "t", "v", PeriodUnit.Month)
+    val m = t.select($"period".cast("string"), $"value").as[(String, Double)].collect().toMap
+    assert(m.size == 2 && m("2024-01-01") == 12.0 && m("2024-02-01") == 1.0)
+  }
+
+  test("entities with no valid correlation still get a recommendation (corr -1 sentinel)") {
+    // K_flat has a constant v1 series -> every lag's corr is NaN -> no row
+    // in the corr table; it must still appear, routed away from Correlation
+    val rows = (1 to 8).flatMap { m =>
+      Seq(("K_ok", f"2024-$m%02d", m * 10.0, m * 1.0), ("K_flat", f"2024-$m%02d", 5.0, m * 1.0))
+    }
+    val merged = rows.toDF("key", "t", "v1", "v2")
+      .select($"key", to_date(concat($"t", lit("-01"))).as("period"), $"v1", $"v2")
+    val recs = graft.operators.Comparison.recommendationsFromMerged(merged, cfg)
+      .select($"key", $"correlation", $"recommended_method").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(recs.contains("K_flat"), "flat entity must not be dropped")
+    assert(recs("K_flat")._1 == -1.0)
+    assert(recs("K_flat")._2 != "Correlation")
+    assert(recs("K_ok")._1 > 0.9)
+  }
+
   test("short series (<2 overlapping points) produce no correlation rows") {
     val t1 = Seq(("K1", "2024-01", 5.0)).toDF("k", "t", "v")
     val t2 = Seq(("K1", "2024-01", 3.0)).toDF("k", "t", "v")
