@@ -20,7 +20,7 @@ object TextQueries {
     // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("text"), TF.tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
           col("lang"),
@@ -28,7 +28,10 @@ object TextQueries {
           round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
             .as("distinct_ratio"),
           round(TF.stopwordRatioOf(col("toks"), TF.stopwords("en")), 6).as("stopword_ratio"),
-          TF.qualityScoreOf(col("toks")).as("quality_score"))
+          TF.qualityScoreOf(col("toks")).as("quality_score"),
+          // BPE-style pre-tokenizer count: words | numbers | single punct
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_subtokens"))
     }),
     // exact dedup via normalized-text fingerprint
     "d2_dedup_exact" -> ((s, dir) => {
@@ -59,6 +62,10 @@ object TextQueries {
     "d7_embed_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nBits = 8)
+    }),
+    // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
+    "d10_embed_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
     }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
@@ -109,7 +116,8 @@ object TextQueries {
          |  round(0.4 * least(1.0, len($toks)::DOUBLE / 100.0)
          |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))
          |      + 0.3 * least(1.0, (len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks)) * 10.0),
-         |    6) AS quality_score
+         |    6) AS quality_score,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_subtokens
          |FROM documents""".stripMargin,
     "d2_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -189,6 +197,20 @@ object TextQueries {
         |  FROM scored
         |)
         |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d10_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         CAST(list_sum(list_transform(generate_series(0, 5),
+        |           i -> CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> a.vec[i] * b.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.vec[i] * a.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.vec[i] * b.vec[i])))), 6) AS cos_sim
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |) WHERE cos_sim >= 0.3""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
