@@ -93,4 +93,36 @@ object MappingEngine {
     result
       .withColumn("processed_at", current_timestamp())
       .withColumn("run_id", lit(runId))
+
+  /** Run statistics, mirroring GenericMappingEngine.stats
+    * (mapping_engine.py:582-589) — computed with ONE action over the
+    * result plus one over the inputs (the reference burns 6+ actions). */
+  final case class MappingStats(
+      totalMappings: Long,
+      inputTable1Rows: Long,
+      inputTable2Rows: Long,
+      mergedRows: Long,
+      processingTimeSeconds: Double,
+      throughputRowsPerSec: Double)
+
+  /** mapTables + materialization + stats in one call. */
+  def mapTablesWithStats(
+      table1: DataFrame,
+      table2: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      value1Col: String,
+      value2Col: String,
+      cfg: MappingConfig = MappingConfig()): (DataFrame, MappingStats) = {
+    val t0 = System.nanoTime()
+    val t1 = SeriesTable.canonicalize(table1, keyCol, timeCol, value1Col, cfg.periodUnit, "table1")
+    val t2 = SeriesTable.canonicalize(table2, keyCol, timeCol, value2Col, cfg.periodUnit, "table2")
+    val result = mapSeries(t1, t2, cfg).cache()
+    val total = result.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val counts = t1.agg(count(lit(1))).collect()(0).getLong(0) ->
+      t2.agg(count(lit(1))).collect()(0).getLong(0)
+    val mergedRows = SeriesTable.merge(t1, t2).count()
+    (result, MappingStats(total, counts._1, counts._2, mergedRows, sec, total / math.max(sec, 1e-9)))
+  }
 }
