@@ -82,7 +82,7 @@ object MappingEngine {
     val simpleBest = best.join(broadcast(simpleKeys), Seq("key"), "left_semi")
     val corrPart = LagCorrelation.mapping(t1, t2, simpleBest, cfg)
     val dtwPart = DtwMapping.mapping(
-      merged.join(complexKeys, Seq("key"), "left_semi"), cfg)
+      merged.join(broadcast(complexKeys), Seq("key"), "left_semi"), cfg)
     // Schema union across method-specific columns (mapping_engine.py:746).
     corrPart.unionByName(dtwPart, allowMissingColumns = true)
   }

@@ -54,7 +54,10 @@ object Pipeline {
     val corrPart =
       correlationMappingWithLags(t1, t2, corrKeys.select(col("key"), col("optimal_lag")), cfg)
     val dtwPart = DtwMapping
-      .mapping(SeriesTable.merge(t1, t2).join(dtwKeys.select("key"), Seq("key"), "left_semi"), cfg)
+      .mapping(
+        SeriesTable.merge(t1, t2)
+          .join(broadcast(dtwKeys.select("key")), Seq("key"), "left_semi"),
+        cfg)
       .drop("dtw_cost")
     // Default for unknown entities: lag 1 (05_prod_dev.py:412).
     val defaultPart = correlationMappingWithLags(
