@@ -55,4 +55,28 @@ object EventsStream {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** Stream-driven incremental mapping: each micro-batch of finalized
+    * daily windows lands in the series store, then the batch mapping core
+    * re-maps ONLY the entities the batch touched (the streaming
+    * equivalent of the reference's "incremental" date-range re-run,
+    * 05_prod_dev.py:1054-1101, but keyed by affected entity instead of a
+    * blanket date filter). `mapBatch` receives (accumulated series for
+    * the touched keys, batch id) and owns the sink write. */
+  def incrementalMapping(
+      series: DataFrame,
+      storePath: String,
+      checkpoint: String)(mapBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    series.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("append").parquet(storePath)
+        val touched = batch.select("key").distinct()
+        val accumulated = spark.read.parquet(storePath)
+          .join(org.apache.spark.sql.functions.broadcast(touched), Seq("key"), "left_semi")
+        mapBatch(accumulated, batchId)
+      }
 }

@@ -125,4 +125,25 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sunk.count() > 0 && sunk.count() <= expected.count())
     assert(sunk.join(expected, Seq("key", "period"), "left_anti").count() == 0)
   }
+
+  test("stream-driven incremental mapping remaps touched entities per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_map").toString
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val series = EventsStream.dailySeries(
+      EventsStream.readEvents(spark, s"$dir/in"), watermark = "0 seconds")
+    val mapped = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventsStream.incrementalMapping(series, s"$dir/store", s"$dir/ckpt") {
+      (accumulated, batchId) =>
+        val merged = accumulated.filter(col("v1").isNotNull && col("v2").isNotNull)
+        val best = graft.operators.LagCorrelation.bestLag(
+          graft.operators.LagCorrelation.lagCorrTable(
+            merged, MappingConfig(periodUnit = PeriodUnit.Day, maxLag = 6)))
+        mapped += best.count()
+        best.write.mode("overwrite").parquet(s"$dir/mapping")
+    }.start()
+    q.awaitTermination(180000)
+    assert(mapped.nonEmpty && mapped.last > 0)
+    assert(spark.read.parquet(s"$dir/mapping").count() == mapped.last)
+  }
 }
