@@ -186,6 +186,22 @@ object RelationalQueries {
           (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
           round(sum(col("value")), 6).as("total_value"))
     }),
+    // A12 true Spearman: average ranks (min-rank + (ties-1)/2, matching
+    // scipy.stats.spearmanr's tie handling) then Pearson corr of ranks
+    "q16_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def avgRank(c: String) = {
+        val r = rank().over(Window.partitionBy(col("l_returnflag")).orderBy(col(c)))
+        val ties = count(lit(1)).over(Window.partitionBy(col("l_returnflag"), col(c)))
+        r + (ties - 1) / lit(2.0)
+      }
+      li.select(
+          col("l_returnflag"),
+          avgRank("l_quantity").as("rq"),
+          avgRank("l_extendedprice").as("rp"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -313,6 +329,17 @@ object RelationalQueries {
         |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
         |       round(SUM(value), 6) AS total_value
         |FROM sess GROUP BY key, session_id""".stripMargin,
+    "q16_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman_rho
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
     "q13_ratio" ->
       """SELECT l_returnflag,
         |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,

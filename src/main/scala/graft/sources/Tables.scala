@@ -58,6 +58,27 @@ object Tables {
   private val bothSeriesCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Format-generic source/sink: parquet (default), csv (header+schema
+    * inference off — pass a schema for production), json, orc. The engine
+    * is format-agnostic above this point; the canonical-series contract
+    * is the only coupling. */
+  def loadAs(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    graft.core.GraftSession.tune(spark)
+    spark.read.options(options).format(format).load(path)
+  }
+
+  def writeAs(
+      df: DataFrame,
+      path: String,
+      format: String,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(mode).options(options).format(format).save(path)
+
   /** Unpersist and forget every cached series for `spark` (all sessions
     * when None). */
   def clearCache(spark: Option[SparkSession] = None): Unit =

@@ -17,6 +17,27 @@ class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fast == ref)
   }
 
+  test("approx_count_distinct tracks exact within its error bound (A2 scale option)") {
+    val df = (1 to 20000).map(i => i % 3000).toDF("v")
+    val exact = df.agg(countDistinct($"v")).as[Long].head()
+    val approx = df.agg(approx_count_distinct($"v", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("csv and json source/sink roundtrip preserves the canonical series") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val series = (1 to 50).map(i => (s"K${i % 5}", f"2024-${i % 12 + 1}%02d-01", i * 1.5))
+      .toDF("key", "period", "value")
+    for (fmt <- Seq("csv", "json")) {
+      val opts = if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty[String, String]
+      graft.sources.Tables.writeAs(series, s"$dir/$fmt", fmt, options = opts)
+      val back = graft.sources.Tables.loadAs(spark, s"$dir/$fmt", fmt, opts)
+        .select($"key", $"period".cast("string").as("period"), $"value".cast("double"))
+      assert(back.count() == 50)
+      assert(back.except(series).count() == 0 && series.except(back).count() == 0)
+    }
+  }
+
   test("saltedSample bounds per-key sample size and keeps only that key's rows") {
     val df = (1 to 2000).map(i => ("hot", s"p$i")).toDF("key", "payload")
     val out = Skew.saltedSample(df, "key", $"payload", saltBuckets = 8, perSaltLimit = 10)
