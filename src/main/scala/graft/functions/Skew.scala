@@ -19,6 +19,7 @@ object Skew {
     * `groupBy(key).agg(countDistinct(value))` with balanced shuffles. */
   def exactDistinctPerKey(df: DataFrame, key: String, value: String): DataFrame =
     df.select(col(key), col(value))
+      .filter(col(value).isNotNull) // countDistinct ignores nulls; match it
       .distinct()
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"distinct_$value"))

@@ -95,8 +95,7 @@ object MappingEngine {
       .withColumn("run_id", lit(runId))
 
   /** Run statistics, mirroring GenericMappingEngine.stats
-    * (mapping_engine.py:582-589) — computed with ONE action over the
-    * result plus one over the inputs (the reference burns 6+ actions). */
+    * (mapping_engine.py:582-589). */
   final case class MappingStats(
       totalMappings: Long,
       inputTable1Rows: Long,
@@ -105,7 +104,10 @@ object MappingEngine {
       processingTimeSeconds: Double,
       throughputRowsPerSec: Double)
 
-  /** mapTables + materialization + stats in one call. */
+  /** mapTables + materialization + stats. The canonical inputs are cached
+    * for the duration (each feeds the mapping AND the stat counts) and
+    * unpersisted before returning; the returned result stays cached —
+    * the caller owns its lifecycle. */
   def mapTablesWithStats(
       table1: DataFrame,
       table2: DataFrame,
@@ -115,14 +117,19 @@ object MappingEngine {
       value2Col: String,
       cfg: MappingConfig = MappingConfig()): (DataFrame, MappingStats) = {
     val t0 = System.nanoTime()
-    val t1 = SeriesTable.canonicalize(table1, keyCol, timeCol, value1Col, cfg.periodUnit, "table1")
-    val t2 = SeriesTable.canonicalize(table2, keyCol, timeCol, value2Col, cfg.periodUnit, "table2")
-    val result = mapSeries(t1, t2, cfg).cache()
-    val total = result.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val counts = t1.agg(count(lit(1))).collect()(0).getLong(0) ->
-      t2.agg(count(lit(1))).collect()(0).getLong(0)
-    val mergedRows = SeriesTable.merge(t1, t2).count()
-    (result, MappingStats(total, counts._1, counts._2, mergedRows, sec, total / math.max(sec, 1e-9)))
+    val t1 = SeriesTable.canonicalize(table1, keyCol, timeCol, value1Col, cfg.periodUnit, "table1").cache()
+    val t2 = SeriesTable.canonicalize(table2, keyCol, timeCol, value2Col, cfg.periodUnit, "table2").cache()
+    try {
+      val result = mapSeries(t1, t2, cfg).cache()
+      val total = result.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows1 = t1.count()
+      val rows2 = t2.count()
+      val mergedRows = SeriesTable.merge(t1, t2).count()
+      (result, MappingStats(total, rows1, rows2, mergedRows, sec, total / math.max(sec, 1e-9)))
+    } finally {
+      t1.unpersist(blocking = false)
+      t2.unpersist(blocking = false)
+    }
   }
 }

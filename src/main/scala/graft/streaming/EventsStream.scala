@@ -72,11 +72,26 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        batch.write.mode("append").parquet(storePath)
-        val touched = batch.select("key").distinct()
-        val accumulated = spark.read.parquet(storePath)
-          .join(org.apache.spark.sql.functions.broadcast(touched), Seq("key"), "left_semi")
-        mapBatch(accumulated, batchId)
+        // Append mode emits nothing until the watermark passes a window:
+        // skip empty batches (writing one would leave a schema-less store).
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // foreachBatch is at-least-once: land each batch in its own
+          // partition with dynamic overwrite so a retry REPLACES the
+          // partial write instead of appending duplicate (key, period)
+          // rows (which would corrupt every later re-map).
+          batch
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(storePath)
+          val touched = batch.select("key").distinct()
+          val accumulated = spark.read.parquet(storePath)
+            .drop("batch_id")
+            .join(org.apache.spark.sql.functions.broadcast(touched), Seq("key"), "left_semi")
+          mapBatch(accumulated, batchId)
+        }
       }
 }

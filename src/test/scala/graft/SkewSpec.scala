@@ -7,8 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
   import spark.implicits._
 
-  test("exactDistinctPerKey equals countDistinct") {
-    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i % 700))
+  test("exactDistinctPerKey equals countDistinct (nulls excluded)") {
+    val df = (1 to 5000).map(i =>
+      (if (i % 10 == 0) "hot" else s"k${i % 50}",
+        if (i % 97 == 0) null.asInstanceOf[Integer] else Integer.valueOf(i % 700)))
       .toDF("key", "value")
     val fast = Skew.exactDistinctPerKey(df, "key", "value")
       .as[(String, Long)].collect().toMap
