@@ -22,7 +22,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Portable composition form — bit-identical to the native expression
+    * (same sequential accumulation; CosineSimilaritySpec proves it). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native single-pass form: registers the codegen'd cosine_sim
+    * expression and returns a column invoking it — no intermediate
+    * product arrays per row. Used by the top-k operators. */
+  private def cosineNative(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.expressions.CosineSimilarity.register(df.sparkSession)
+    expr(s"cosine_sim($a, $b)")
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -45,7 +55,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("corpus_id"),
-        round(cosine(col("cvec"), col("qvec")), 6).as("cos_sim"))
+        round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -88,7 +98,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("corpus_id"),
-        round(cosine(col("cvec"), col("qvec")), 6).as("cos_sim"))
+        round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -115,7 +125,7 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(cosineNative(df, "vec_a", "vec_b"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
