@@ -93,4 +93,38 @@ object SeriesTable {
   def merge(t1: DataFrame, t2: DataFrame): DataFrame =
     t1.withColumnRenamed("value", "v1")
       .join(t2.withColumnRenamed("value", "v2"), Seq("key", "period"), "inner")
+
+  /** Resample a canonical series to a dense period grid per key: every
+    * period from each key's min to max exists afterwards. Gap values are
+    * zero-filled or forward-filled (last observation carried forward).
+    *
+    * Fully relational: the grid is `explode(sequence(min, max, interval))`
+    * off a per-key min/max aggregate (no driver loops, no UDF); forward
+    * fill is `last(value, ignoreNulls)` over an unbounded-preceding
+    * window — one shuffle by key for the aggregate, one for the window.
+    * The reference has no gap handling at all (its positional lag slicing
+    * silently misaligns on gaps — SURVEY.md §7.4); resampling makes the
+    * positional and calendar semantics coincide. */
+  def resample(series: DataFrame, unit: PeriodUnit, fill: String = "zero"): DataFrame = {
+    require(Set("zero", "forward").contains(fill), s"fill must be zero|forward, got $fill")
+    val step = unit match {
+      case PeriodUnit.Day   => expr("interval 1 day")
+      case PeriodUnit.Month => expr("interval 1 month")
+    }
+    val grid = series
+      .groupBy(col("key"))
+      .agg(min(col("period")).as("p0"), max(col("period")).as("p1"))
+      .select(col("key"), explode(sequence(col("p0"), col("p1"), step)).as("period"))
+      .select(col("key"), col("period").cast(DateType).as("period"))
+    val joined = grid.join(series, Seq("key", "period"), "left")
+    fill match {
+      case "zero" => joined.withColumn("value", coalesce(col("value"), lit(0.0)))
+      case "forward" =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(col("period"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        joined.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+    }
+  }
 }

@@ -129,6 +129,13 @@ object MappingQueries {
             ",").as("all_lags"),
           count(lit(1)).as("n_lags"))
     }),
+    // dense resampling: zero-fill every gap in each key's period range
+    "m13_resample" -> ((s, dir) => {
+      SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero").select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"))
+    }),
     // production pipeline: train recommendations, segment by stored model,
     // reuse stored lags / re-run dtw / default-lag fallback (rows-only)
     "m11_pipeline" -> ((s, dir) => {
@@ -218,6 +225,14 @@ object MappingQueries {
          |       COUNT(DISTINCT key) AS unique_keys,
          |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
          |FROM mapping GROUP BY method""".stripMargin,
+    "m13_resample" ->
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |)
+         |SELECT g.key, CAST(g.period AS VARCHAR) AS period,
+         |       round(COALESCE(t1.v1, 0.0), 6) AS value
+         |FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period""".stripMargin,
     "m12_corr_all_lags" ->
       s"""$seriesCte SELECT key,
          |       string_agg(lag::VARCHAR || ':' || CAST(round(correlation * 1000000) AS BIGINT)::VARCHAR,

@@ -33,6 +33,15 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
+  /** Streaming exact deduplication by event id: late/replayed copies
+    * inside the watermark horizon are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark` expires ids once the watermark
+    * passes them — unbounded-state `dropDuplicates` is the non-scalable
+    * alternative). Feed this BEFORE the window aggregation when the
+    * source is at-least-once. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked daily tumbling-window series aggregation — streaming
     * equivalent of Tables.bothSeries. */
   def dailySeries(events: DataFrame, watermark: String = "1 day"): DataFrame =

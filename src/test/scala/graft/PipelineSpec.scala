@@ -126,6 +126,22 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sunk.join(expected, Seq("key", "period"), "left_anti").count() == 0)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // at-least-once source: the same events land twice
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    events.write.mode("append").parquet(s"$dir/in")
+    val deduped = EventsStream.dedupedEvents(EventsStream.readEvents(spark, s"$dir/in"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_mem")
+    assert(got.count() == events.count(), "each event exactly once")
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
   test("stream-driven incremental mapping remaps touched entities per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_map").toString
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
