@@ -106,6 +106,59 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    * to their nearest centroid (one inverted list per centroid); a query
+    * probes only its `nProbe` nearest lists, so scoring work drops from
+    * |corpus| to ~nProbe·|corpus|/nCentroids per query.
+    *
+    * Centroids here are the first `nCentroids` corpus vectors by id —
+    * deterministic (cross-engine verifiable) in place of k-means; swap in
+    * trained centroids for production recall. Assignment is a broadcast
+    * join + window argmax: fully relational, one corpus shuffle. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val cents = corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
+    def nearest(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df
+        .crossJoin(broadcast(cents))
+        .select(
+          col(id),
+          col(vec),
+          col("cid"),
+          round(cosineNative(df, vec, "centv"), 6).as("ccos"))
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .select(col(id), col(vec), col("cid").as("bucket"))
+    }
+    val assigned = nearest(
+      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec")),
+      "corpus_id", "cvec", 1)
+    val probes = nearest(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")),
+      "query_id", "qvec", nProbe)
+    val scored = assigned
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        round(cosineNative(assigned, "cvec", "qvec"), 6).as("cos_sim"))
+      .distinct() // a candidate can appear via multiple probed buckets
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold`, bucketed by
     * sign-LSH so the pair generation is an equi-join. */
   def embeddingNearDupPairs(

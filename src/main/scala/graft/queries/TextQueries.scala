@@ -63,6 +63,11 @@ object TextQueries {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nBits = 8)
     }),
+    // IVF inverted-list ANN: probe the 2 nearest of 16 centroid lists
+    "d11_embed_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
@@ -191,6 +196,36 @@ object TextQueries {
         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.vec[i] * q.vec[i])))), 6) AS cos_sim
         |  FROM v c JOIN (SELECT * FROM v WHERE vec_id < 10) q ON c.bucket = q.bucket
         |  WHERE c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d11_embed_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, vec AS centv FROM v WHERE vec_id < 16),
+        |cscore AS (
+        |  SELECT v.vec_id, v.vec, c.cid,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> v.vec[i] * c.centv[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v.vec[i] * v.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.centv[i] * c.centv[i])))), 6) AS ccos
+        |  FROM v CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id AS corpus_id, vec AS cvec, cid AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+        |    FROM cscore) WHERE crn <= 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, vec AS qvec, cid AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+        |    FROM cscore WHERE vec_id < 10) WHERE crn <= 2
+        |), scored AS (
+        |  SELECT DISTINCT p.query_id, a.corpus_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> a.cvec[i] * p.qvec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.cvec[i] * a.cvec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> p.qvec[i] * p.qvec[i])))), 6) AS cos_sim
+        |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
+        |  WHERE a.corpus_id <> p.query_id
         |), ranked AS (
         |  SELECT query_id, corpus_id, cos_sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank

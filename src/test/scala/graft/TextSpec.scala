@@ -90,6 +90,21 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     lsh.foreach { case (a, b, c) => bf.get((a, b)).foreach(s => assert(s == c)) }
   }
 
+  test("ivf topk candidates score identically to brute force where they overlap") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"corpus_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"corpus_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (a, b, c) => bf.get((a, b)).foreach(s => assert(s == c)) }
+    // probing 2 of 16 lists should still recover a fair share of true top-5
+    val recall = ivf.count { case (a, b, _) => bf.contains((a, b)) }.toDouble / bf.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("multimodal: payload roundtrip and deterministic stub features") {
     val feats = Multimodal
       .extractFeatures(Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload")
