@@ -129,6 +129,20 @@ object MappingQueries {
             ",").as("all_lags"),
           count(lit(1)).as("n_lags"))
     }),
+    // J5: full-outer alignment audit — matched / t1-only / t2-only
+    // (reference 01_setup.oy:250-259)
+    "m14_alignment_audit" -> ((s, dir) => {
+      val (t1, t2) = series(s, dir)
+      t1.select(col("key"), col("period"), col("value").as("v1"))
+        .join(
+          t2.select(col("key"), col("period"), col("value").as("v2")),
+          Seq("key", "period"),
+          "full_outer")
+        .agg(
+          count(when(col("v1").isNotNull && col("v2").isNotNull, 1)).as("matched"),
+          count(when(col("v1").isNotNull && col("v2").isNull, 1)).as("t1_only"),
+          count(when(col("v1").isNull && col("v2").isNotNull, 1)).as("t2_only"))
+    }),
     // dense resampling: zero-fill every gap in each key's period range
     "m13_resample" -> ((s, dir) => {
       SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero").select(
@@ -225,6 +239,12 @@ object MappingQueries {
          |       COUNT(DISTINCT key) AS unique_keys,
          |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
          |FROM mapping GROUP BY method""".stripMargin,
+    "m14_alignment_audit" ->
+      s"""$seriesCte SELECT
+         |  COUNT(CASE WHEN t1.v1 IS NOT NULL AND t2.v2 IS NOT NULL THEN 1 END) AS matched,
+         |  COUNT(CASE WHEN t1.v1 IS NOT NULL AND t2.v2 IS NULL THEN 1 END) AS t1_only,
+         |  COUNT(CASE WHEN t1.v1 IS NULL AND t2.v2 IS NOT NULL THEN 1 END) AS t2_only
+         |FROM t1 FULL OUTER JOIN t2 ON t1.key = t2.key AND t1.period = t2.period""".stripMargin,
     "m13_resample" ->
       s"""$seriesCte, grid AS (
          |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period

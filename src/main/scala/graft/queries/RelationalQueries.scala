@@ -202,6 +202,18 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))
     }),
+    // rollup: subtotals + grand total in one pass (sentinel 'ALL' for the
+    // rolled-up levels keeps null-free sort/compare semantics)
+    "q17_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"),
+          col("sum_qty"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -340,6 +352,12 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman_rho
         |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q17_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q13_ratio" ->
       """SELECT l_returnflag,
         |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,

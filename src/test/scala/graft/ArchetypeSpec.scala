@@ -98,6 +98,27 @@ class ArchetypeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("T4-parity throughput: 200 entities x 24 months beats the reference floor") {
+    // reference perf scenario (test_mapping_engine.py:211-240): 200x24,
+    // correlation, max_lag=6; its own floor is ~1,000 rec/s
+    val rng = new scala.util.Random(4)
+    val rows = for (k <- 1 to 200; m <- 0 until 24)
+      yield (s"C$k", f"2022-${m % 12 + 1}%02d-01".patch(0, (2022 + m / 12).toString, 4),
+        100.0 + rng.nextDouble() * 50 + m)
+    val txn = rows.toDF("customer_id", "month", "amount")
+    val rev = rows.map { case (k, month, v) =>
+      (k, java.time.LocalDate.parse(month).plusMonths(1).toString, v * 0.1)
+    }.toDF("customer_id", "month", "rev")
+    val t0 = System.nanoTime()
+    val n = graft.operators.MappingEngine.mapTables(
+      txn, rev, "customer_id", "month", "amount", "rev",
+      cfg.copy(method = "correlation", maxLag = 6)).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val recPerSec = (rows.length * 2) / sec
+    assert(n > 0)
+    assert(recPerSec > 1000, f"throughput $recPerSec%.0f rec/s below reference floor")
+  }
+
   test("empty merged input: auto mapping yields empty result with full schema") {
     val empty = merged.filter(lit(false))
     val out = MappingEngine.autoMapping(empty, t1.filter(lit(false)), t2.filter(lit(false)), cfg)
