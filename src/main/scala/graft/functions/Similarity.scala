@@ -36,6 +36,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Shared top-k tail: rank candidates per query with the cross-engine
+    * determinism contract (round-6 score desc, id asc) and keep k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. `queries` must be small (it is broadcast); the corpus
     * is streamed through one projection — O(|corpus|·|queries|) work,
@@ -56,11 +66,7 @@ object Similarity {
         col("query_id"),
         col("corpus_id"),
         round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Bit-sampling LSH bucket id: sign bits of the first `nBits` dimensions
@@ -99,11 +105,7 @@ object Similarity {
         col("query_id"),
         col("corpus_id"),
         round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
@@ -123,8 +125,12 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 2): DataFrame = {
+    // first nCentroids vectors by id — orderBy/limit works for any
+    // orderable id type (a `< nCentroids` filter would silently null out
+    // on string keys)
     val cents = corpus
-      .filter(col(idCol) < nCentroids)
+      .orderBy(col(idCol).asc)
+      .limit(nCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
     def nearest(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val scored = df
@@ -152,11 +158,7 @@ object Similarity {
         col("corpus_id"),
         round(cosineNative(assigned, "cvec", "qvec"), 6).as("cos_sim"))
       .distinct() // a candidate can appear via multiple probed buckets
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold`, bucketed by

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * [[CosineSimilarity.register]] and call as `cosine_sim(a, b)` from SQL
   * or `expr(...)`.
   *
-  * Returns null if either input is null; NaN when either vector has zero
-  * norm (matching double division semantics).
+  * Returns null if either input is null OR the lengths differ (matching
+  * the portable zip_with/aggregate form, where the null padding of the
+  * shorter array nulls the fold — dimension mismatches are data bugs and
+  * must surface, not truncate); NaN when either vector has zero norm.
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,23 +40,29 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i)
-      val yv = y.getDouble(i)
-      dot += xv * yv
-      nx += xv * xv
-      ny += yv * yv
-      i += 1
+    if (x.numElements() != y.numElements()) {
+      null
+    } else {
+      val n = x.numElements()
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i)
+        val yv = y.getDouble(i)
+        dot += xv * yv
+        nx += xv * xv
+        ny += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,14 +75,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

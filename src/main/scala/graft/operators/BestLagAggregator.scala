@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions.udaf
   *
   * This is the positional (array-slicing) semantics of the reference UDF,
   * complementing the relational calendar-based path (LagCorrelation) —
-  * identical on gap-free series, and the cross-check test locks that
-  * equivalence. Use the relational path for large jobs (it partial
-  * aggregates; this one buffers the group's points).
+  * identical on gap-free series with at least one valid lag (the
+  * cross-check test locks that). Divergence by design on degenerate
+  * series: zero-variance input returns the reference's sentinel
+  * correlation -1.0 here (mapping_engine.py:131-133), while the
+  * relational path emits no row at all. Use the relational path for
+  * large jobs (it partial-aggregates; this one buffers the group).
   */
 object BestLagAggregator {
 

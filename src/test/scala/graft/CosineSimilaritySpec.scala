@@ -24,16 +24,17 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(diffs == 0, s"$diffs pairs differ")
   }
 
-  test("null input yields null, zero vector yields NaN") {
+  test("null input and length mismatch yield null, zero vector yields NaN") {
     CosineSimilarity.register(spark)
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))),
       (None, Some(Seq(1.0, 2.0))),
-      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0)))
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0))) // dimension mismatch
     ).toDF("a", "b")
     val out = df.select(expr("cosine_sim(a, b)").as("c")).collect().map(r =>
       if (r.isNullAt(0)) "null" else if (r.getDouble(0).isNaN) "nan" else "ok")
-    assert(out.toSeq == Seq("ok", "null", "nan"))
+    assert(out.toSeq == Seq("ok", "null", "nan", "null"))
   }
 
   test("plan stays in whole-stage codegen") {

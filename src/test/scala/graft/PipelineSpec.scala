@@ -106,7 +106,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val mq = stream.writeStream.outputMode("complete").format("memory")
       .queryName("series_mem").trigger(
         org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    mq.awaitTermination(120000)
+    assert(mq.awaitTermination(120000), "memory-sink stream did not finish in time")
     val got = spark.table("series_mem")
     assert(got.count() == expected.count())
     val diff = got.join(expected, Seq("key", "period"))
@@ -120,7 +120,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val pq = EventsStream.writer(
       EventsStream.dailySeries(EventsStream.readEvents(spark, s"$dir/in"), "0 seconds"),
       s"$dir/out", s"$dir/ckpt").start()
-    pq.awaitTermination(120000)
+    assert(pq.awaitTermination(120000), "parquet-sink stream did not finish in time")
     val sunk = spark.read.parquet(s"$dir/out")
     assert(sunk.count() > 0 && sunk.count() <= expected.count())
     assert(sunk.join(expected, Seq("key", "period"), "left_anti").count() == 0)
@@ -136,7 +136,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val q = deduped.writeStream.outputMode("append").format("memory")
       .queryName("dedup_mem")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "dedup stream did not finish in time")
     val got = spark.table("dedup_mem")
     assert(got.count() == events.count(), "each event exactly once")
     assert(got.select("event_id").distinct().count() == got.count())
@@ -158,7 +158,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         mapped += best.count()
         best.write.mode("overwrite").parquet(s"$dir/mapping")
     }.start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "incremental-mapping stream did not finish in time")
     assert(mapped.nonEmpty && mapped.last > 0)
     assert(spark.read.parquet(s"$dir/mapping").count() == mapped.last)
   }
