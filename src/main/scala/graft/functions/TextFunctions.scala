@@ -91,6 +91,42 @@ object TextFunctions {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** TF-IDF top terms per document, fully relational: explode tokens →
+    * per-(doc, term) counts → document frequency (one small aggregate,
+    * broadcast back) → tf·idf ranking with deterministic tie-break.
+    * Returns (idCol, term, tf long, df long, tfidf, term_rank).
+    *
+    * Scale notes: two shuffles (doc-term count, term df) + a broadcast
+    * join of the term dictionary; idf = ln(N / df) with raw-count tf. */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val docTerms = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window
+      .partitionBy(col("id"))
+      .orderBy(round(col("tfidf"), 6).desc, col("term").asc)
+    docTerms
+      .join(broadcast(docFreq), Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(
+        col("id").as(idCol),
+        col("term"),
+        col("tf"),
+        col("df"),
+        round(col("tfidf"), 6).as("tfidf"),
+        col("term_rank").cast("long").as("term_rank"))
+  }
+
   /** Distinct word n-gram shingles as an array column. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)

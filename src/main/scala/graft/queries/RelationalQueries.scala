@@ -214,6 +214,32 @@ object RelationalQueries {
           col("n"),
           col("sum_qty"))
     }),
+    // HAVING: frequent customers only (post-aggregation filter)
+    "q18_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_spend"))
+        .filter(col("n_orders") >= 15)
+    }),
+    // EXISTS as a conditioned left-semi join: parts with a high-quantity line
+    "q19_exists" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45).select(col("l_partkey"))
+      part
+        .join(bigLines, part("p_partkey") === bigLines("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+    // CUBE: all grouping combinations with sentinel keys
+    "q20_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -352,6 +378,20 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman_rho
         |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q18_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin,
+    "q19_exists" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |GROUP BY p_brand""".stripMargin,
+    "q20_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
     "q17_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,

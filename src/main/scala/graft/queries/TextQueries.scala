@@ -72,6 +72,10 @@ object TextQueries {
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
     }),
+    // TF-IDF: top-3 distinguishing terms per document
+    "d12_tfidf" -> ((s, dir) => {
+      TF.tfIdfTopTerms(docs(s, dir), "text", "doc_id", 3)
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -246,6 +250,23 @@ object TextQueries {
         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.vec[i] * b.vec[i])))), 6) AS cos_sim
         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE cos_sim >= 0.3""".stripMargin,
+    "d12_tfidf" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id AS id, UNNEST($toks) AS term FROM documents
+         |), doc_terms AS (
+         |  SELECT id, term, COUNT(*) AS tf FROM dt GROUP BY id, term
+         |), doc_freq AS (
+         |  SELECT term, COUNT(*) AS df FROM doc_terms GROUP BY term
+         |), n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT t.id, t.term, t.tf, f.df, t.tf * ln(n.n_docs / f.df) AS tfidf
+         |  FROM doc_terms t JOIN doc_freq f USING (term) CROSS JOIN n
+         |), ranked AS (
+         |  SELECT id, term, tf, df, round(tfidf, 6) AS tfidf,
+         |         row_number() OVER (PARTITION BY id ORDER BY round(tfidf, 6) DESC, term ASC) AS term_rank
+         |  FROM scored
+         |)
+         |SELECT id AS doc_id, term, tf, df, tfidf, term_rank FROM ranked WHERE term_rank <= 3""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
