@@ -132,6 +132,19 @@ object Dedup {
           .otherwise(0L))
   }
 
+  /** Keep-first near-dup removal: from the LSH candidate pairs at or
+    * above `minEstJaccard`, drop the higher id of each pair (every
+    * cluster keeps its lowest id). Returns the ids to DROP. */
+  def nearDupIdsToDrop(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minEstJaccard: Double): DataFrame =
+    minhashLshPairs(df, textCol, idCol)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_b").as("drop_id"))
+      .distinct()
+
   /** Exact n-gram Jaccard for candidate pairs within a bucket column
     * (e.g. same source, same LSH bucket): |A ∩ B| / |A ∪ B| over distinct
     * shingles. Bucketed by design — never call on an unbucketed table. */

@@ -90,6 +90,28 @@ object TextQueries {
         col("doc_id"),
         TF.fingerprint(col("text")).as("fingerprint"))
     }),
+    // end-to-end curation pipeline: quality gate + language filter +
+    // near-dup removal -> per-source yield
+    "d13_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"), TF.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), col("source"), col("text"),
+          TF.qualityScoreOf(col("toks")).as("quality"),
+          TF.predictLangOf(col("toks")).as("predicted"))
+      val drops = Dedup.nearDupIdsToDrop(docs(s, dir), "text", "doc_id", 0.5)
+      val flagged = d
+        .join(broadcast(drops), d("doc_id") === drops("drop_id"), "left")
+        .withColumn(
+          "kept",
+          col("quality") >= 0.6 && col("predicted") === "en" && col("drop_id").isNull)
+      flagged
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -291,6 +313,52 @@ object TextQueries {
     "d9_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "d13_curation" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      def hits(l: String) = {
+        val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($toks, t -> list_contains($list, t)))"
+      }
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |), drops AS (
+         |  SELECT DISTINCT p.id_b AS drop_id FROM pairs p
+         |  JOIN sigs sa ON sa.doc_id = p.id_a
+         |  JOIN sigs sb ON sb.doc_id = p.id_b
+         |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16 >= 0.5
+         |), scored AS (
+         |  SELECT doc_id, source,
+         |    round(0.4 * least(1.0, len($toks)::DOUBLE / 100.0)
+         |        + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))
+         |        + 0.3 * least(1.0, (len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks)) * 10.0),
+         |      6) AS quality,
+         |    CASE WHEN greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) <= 0 THEN 'und'
+         |         WHEN ${hits("en")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'en'
+         |         WHEN ${hits("de")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'de'
+         |         WHEN ${hits("fr")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'fr'
+         |         WHEN ${hits("es")} = greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'es'
+         |         ELSE 'und' END AS predicted
+         |  FROM documents
+         |)
+         |SELECT s.source, COUNT(*) AS n_docs,
+         |       COUNT(CASE WHEN s.quality >= 0.6 AND s.predicted = 'en' AND d.drop_id IS NULL THEN 1 END) AS n_kept,
+         |       round(AVG(s.quality), 6) AS avg_quality
+         |FROM scored s LEFT JOIN drops d ON d.drop_id = s.doc_id
+         |GROUP BY s.source""".stripMargin
+    },
     "x1_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text))::BIGINT AS n_bytes,
