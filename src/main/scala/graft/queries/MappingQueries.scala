@@ -19,10 +19,22 @@ object MappingQueries {
   private def merged(spark: SparkSession, sfDir: String): DataFrame =
     Tables.mergedSeries(spark, sfDir)
 
+  // The best-lag table is the second shared staging table of the query
+  // family (8 queries consume it) — cached per (session, dir) like
+  // Tables.bothSeries; one short row per entity.
+  private val bestLagCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def bestLag(s: SparkSession, dir: String): DataFrame =
+    bestLagCache.synchronized {
+      bestLagCache.getOrElseUpdate(
+        (s, dir),
+        LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg)).cache())
+    }
+
   private def corrMapping(s: SparkSession, dir: String): DataFrame = {
     val (t1, t2) = series(s, dir)
-    val best = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg))
-    LagCorrelation.mapping(t1, t2, best, cfg)
+    LagCorrelation.mapping(t1, t2, bestLag(s, dir), cfg)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,7 +63,7 @@ object MappingQueries {
     }),
     // window argmax: best lag per entity (§2.5)
     "m4_best_lag" -> ((s, dir) => {
-      LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg)).select(
+      bestLag(s, dir).select(
         col("key"),
         col("optimal_lag").cast("long").as("optimal_lag"),
         col("correlation"),
