@@ -141,6 +141,22 @@ object MappingQueries {
             ",").as("all_lags"),
           count(lit(1)).as("n_lags"))
     }),
+    // monthly-unit mapping: per-supplier revenue vs quantity series from
+    // lineitem (add_months/months_between arithmetic, the reference's
+    // native granularity)
+    "m15_monthly_corr" -> ((s, dir) => {
+      val monthlyCfg = cfg.copy(periodUnit = graft.core.PeriodUnit.Month, maxLag = 3)
+      val m = Tables.load(s, dir, "lineitem")
+        .groupBy(
+          col("l_suppkey").cast("string").as("key"),
+          trunc(col("l_shipdate"), "MM").as("period"))
+        .agg(sum(col("l_extendedprice")).as("v1"), sum(col("l_quantity")).as("v2"))
+      LagCorrelation.bestLag(LagCorrelation.lagCorrTable(m, monthlyCfg)).select(
+        col("key"),
+        col("optimal_lag").cast("long").as("optimal_lag"),
+        col("correlation"),
+        col("n_overlap"))
+    }),
     // J5: full-outer alignment audit — matched / t1-only / t2-only
     // (reference 01_setup.oy:250-259)
     "m14_alignment_audit" -> ((s, dir) => {
@@ -251,6 +267,25 @@ object MappingQueries {
          |       COUNT(DISTINCT key) AS unique_keys,
          |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
          |FROM mapping GROUP BY method""".stripMargin,
+    "m15_monthly_corr" ->
+      """WITH m AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |         CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+        |         SUM(l_extendedprice) AS v1, SUM(l_quantity) AS v2
+        |  FROM lineitem GROUP BY 1, 2
+        |), corrs AS (
+        |  SELECT m.key, CAST(l.lag AS BIGINT) AS lag, corr(m.v1, r.v2) AS correlation, COUNT(*) AS n_overlap
+        |  FROM m CROSS JOIN (SELECT UNNEST(range(0, 4)) AS lag) l
+        |  JOIN m r ON r.key = m.key AND r.period = CAST(m.period + INTERVAL (l.lag) MONTH AS DATE)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), valid_corrs AS (
+        |  SELECT * FROM corrs WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+        |), best AS (
+        |  SELECT key, lag, round(correlation, 6) AS correlation, n_overlap,
+        |         row_number() OVER (PARTITION BY key ORDER BY round(correlation, 6) DESC, lag ASC) AS rn
+        |  FROM valid_corrs
+        |)
+        |SELECT key, lag AS optimal_lag, correlation, n_overlap FROM best WHERE rn = 1""".stripMargin,
     "m14_alignment_audit" ->
       s"""$seriesCte SELECT
          |  COUNT(CASE WHEN t1.v1 IS NOT NULL AND t2.v2 IS NOT NULL THEN 1 END) AS matched,
