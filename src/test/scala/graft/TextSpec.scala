@@ -45,6 +45,29 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     def toMap2: Map[(Long, Long), Double] = a.map { case (x, y, j) => ((x, y), j) }.toMap
   }
 
+  test("minhash estimate tracks exact shingle jaccard") {
+    // generate doc pairs with controlled overlap: doc i shares a prefix of
+    // the vocabulary with doc 0
+    val vocab = (1 to 120).map(i => s"w$i")
+    val docs2 = (0 until 12).map { i =>
+      val words = vocab.drop(i * 10) ++ vocab.take(i * 2) // varying overlap
+      (i.toLong, words.mkString(" "), "b")
+    }.toDF("doc_id", "text", "source")
+    val exact = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", "source")
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val est = Dedup.minhashLshPairs(docs2, "text", "doc_id")
+      .select($"id_a", $"id_b", $"est_jaccard").as[(Long, Long, Double)].collect()
+    assert(est.nonEmpty)
+    // 16-hash signatures: estimates are coarse but must track the exact
+    // value within a wide statistical band
+    est.foreach { case (a, b, e) =>
+      exact.get((a, b)).foreach { j =>
+        assert(math.abs(e - j) < 0.35, s"pair ($a,$b): est=$e exact=$j")
+      }
+    }
+  }
+
   test("simhash: identical normalized docs hash equal; unrelated differ") {
     val m = docs.select($"doc_id", Dedup.simhash("text").as("s")).as[(Long, Long)].collect().toMap
     assert(m(1L) == m(4L))
