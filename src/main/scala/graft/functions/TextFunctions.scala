@@ -104,7 +104,9 @@ object TextFunctions {
       idCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count()
+    // doc count as a lazy 1-row aggregate cross-joined in (an eager
+    // df.count() here would run a job at query-construction time)
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val docTerms = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -115,7 +117,8 @@ object TextFunctions {
       .orderBy(round(col("tfidf"), 6).desc, col("term").asc)
     docTerms
       .join(broadcast(docFreq), Seq("term"))
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= k)
       .select(

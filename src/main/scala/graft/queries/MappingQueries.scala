@@ -20,16 +20,11 @@ object MappingQueries {
     Tables.mergedSeries(spark, sfDir)
 
   // The best-lag table is the second shared staging table of the query
-  // family (8 queries consume it) — cached per (session, dir) like
-  // Tables.bothSeries; one short row per entity.
-  private val bestLagCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
+  // family (8 queries consume it) — one short row per entity, memoized in
+  // the same registry as Tables.bothSeries so clearCache sweeps both.
   private def bestLag(s: SparkSession, dir: String): DataFrame =
-    bestLagCache.synchronized {
-      bestLagCache.getOrElseUpdate(
-        (s, dir),
-        LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg)).cache())
+    graft.sources.StagingCache.getOrElseUpdate(s, s"bestLag:$dir") {
+      LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged(s, dir), cfg))
     }
 
   private def corrMapping(s: SparkSession, dir: String): DataFrame = {

@@ -33,30 +33,23 @@ object Tables {
     * Output: (key, period, v1, v2) with v1 = click+view value sum,
     * v2 = purchase value sum; null where that day has no such events. */
   def bothSeries(spark: SparkSession, sfDir: String): DataFrame =
-    bothSeriesCache.synchronized {
-      bothSeriesCache.getOrElseUpdate(
-        (spark, sfDir), {
-          load(spark, sfDir, "events")
-            .filter(col("event_type").isin("click", "view", "purchase"))
-            .select(
-              col("user_id").cast("string").as("key"),
-              to_date(col("ts")).as("period"),
-              col("event_type"),
-              col("value"))
-            .groupBy(col("key"), col("period"))
-            .agg(
-              sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
-              sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
-            .cache()
-        })
+    // The canonical series is the shared staging table of the whole
+    // mapping query family — cached per (session, dir), the way a
+    // production deployment would materialize it once and fan out.
+    // Long-lived drivers iterating many datasets call clearCache between.
+    StagingCache.getOrElseUpdate(spark, s"bothSeries:$sfDir") {
+      load(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(
+          col("user_id").cast("string").as("key"),
+          to_date(col("ts")).as("period"),
+          col("event_type"),
+          col("value"))
+        .groupBy(col("key"), col("period"))
+        .agg(
+          sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
+          sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
     }
-
-  /** The canonical series is the shared staging table of the whole mapping
-    * query family — cached per (session, dir), the way a production
-    * deployment would materialize it once and fan out. Long-lived drivers
-    * iterating many datasets should call [[clearCache]] between them. */
-  private val bothSeriesCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** Format-generic source/sink: parquet (default), csv (header+schema
     * inference off — pass a schema for production), json, orc. The engine
@@ -79,15 +72,11 @@ object Tables {
       options: Map[String, String] = Map.empty): Unit =
     df.write.mode(mode).options(options).format(format).save(path)
 
-  /** Unpersist and forget every cached series for `spark` (all sessions
-    * when None). */
+  /** Unpersist and forget EVERY staging table for `spark` (all sessions
+    * when None) — the canonical series, the best-lag table, and any other
+    * StagingCache entry. */
   def clearCache(spark: Option[SparkSession] = None): Unit =
-    bothSeriesCache.synchronized {
-      val doomed = bothSeriesCache.keys.filter(k => spark.forall(_ == k._1)).toSeq
-      doomed.foreach { k =>
-        bothSeriesCache.remove(k).foreach(df => df.unpersist(blocking = false))
-      }
-    }
+    StagingCache.clear(spark)
 
   /** The mapping engine's table1: daily engagement (click+view value) per
     * user. Projected from the shared one-pass aggregate. */
