@@ -40,28 +40,48 @@ object LagCorrelation {
     // lag is its period difference, and since periods are strictly
     // increasing, calendar-lag <= maxLag implies position-offset <= maxLag
     // — so scanning maxLag positions finds every calendar partner even
-    // with gaps. Semantics identical to the self-join on period+lag
-    // (locked by the DuckDB oracle, which keeps the join formulation).
+    // with gaps.
+    //
+    // No row blowup either: instead of exploding maxLag+1 partner rows
+    // per input row, each calendar lag L gets its OWN aggregate column —
+    // partner_L = the (unique) positional lead at calendar distance L
+    // (coalesce over positions 0..L) — and `corr` skips null pairs, so
+    // one pass with maxLag+1 corr accumulators replaces the exploded
+    // aggregate. The per-key 7-column result unpivots at the end (tiny).
+    // Semantics identical to the self-join on period+lag (locked by the
+    // DuckDB oracle, which keeps the join formulation).
     val w = Window.partitionBy(col("key")).orderBy(col("period"))
     val unitDiff: (Column, Column) => Column = cfg.periodUnit match {
       case graft.core.PeriodUnit.Day   => (a, b) => datediff(a, b)
       case graft.core.PeriodUnit.Month => (a, b) => months_between(a, b).cast("int")
     }
-    merged
+    val lags = 0 to cfg.maxLag
+    val withLeads = merged.select(
+      col("key") +: col("period") +: col("v1") +:
+        lags.map(l =>
+          lead(struct(col("period").as("p"), col("v2").as("v")), l).over(w).as(s"pv$l")): _*)
+    val withPartners = withLeads.select(
+      col("key") +: col("v1") +:
+        lags.map { calLag =>
+          coalesce(
+            (0 to calLag).map { pos =>
+              val pv = col(s"pv$pos")
+              when(pv.isNotNull && unitDiff(pv("p"), col("period")) === calLag, pv("v"))
+            }: _*).as(s"partner$calLag")
+        }: _*)
+    val aggregated = withPartners
+      .groupBy(col("key"))
+      .agg(
+        corr(col("v1"), col(s"partner${lags.head}")).as(s"corr${lags.head}"),
+        lags.tail.map(l => corr(col("v1"), col(s"partner$l")).as(s"corr$l")) ++
+          lags.map(l => count(col(s"partner$l")).as(s"cnt$l")): _*)
+    aggregated
       .select(
         col("key"),
-        col("period"),
-        col("v1"),
-        array(
-          (0 to cfg.maxLag).map(l =>
-            lead(struct(col("period").as("p"), col("v2").as("v")), l).over(w)): _*)
-          .as("partners"))
-      .select(col("key"), col("period"), col("v1"), explode(col("partners")).as("pv"))
-      .filter(col("pv").isNotNull)
-      .withColumn("lag", unitDiff(col("pv.p"), col("period")))
-      .filter(col("lag") <= cfg.maxLag)
-      .groupBy(col("key"), col("lag"))
-      .agg(corr(col("v1"), col("pv.v")).as("correlation"), count(lit(1)).as("n_overlap"))
+        explode(array(lags.map(l =>
+          struct(lit(l).as("lag"), col(s"corr$l").as("correlation"), col(s"cnt$l").as("n_overlap"))): _*))
+          .as("x"))
+      .select(col("key"), col("x.lag").as("lag"), col("x.correlation").as("correlation"), col("x.n_overlap").as("n_overlap"))
       .filter(col("n_overlap") >= cfg.minOverlap)
       .filter(col("correlation").isNotNull && !isnan(col("correlation")))
   }
