@@ -10,15 +10,15 @@ import org.apache.spark.sql.functions._
   * relationally (SURVEY.md §2.4 A10a): no UDF, whole-stage-codegen'd, and
   * DuckDB-oracle-able.
   *
-  * Shape: explode lags 0..maxLag over the merged series, self-join value2 at
-  * period+lag, hash-aggregate Spark's built-in Pearson `corr` per (key, lag),
-  * then window-argmax the best lag per key.
+  * Shape: one window pass over the merged series (lead partners for
+  * positions 0..maxLag), per-calendar-lag `corr` accumulator columns in a
+  * single hash aggregate (no row blowup), then window-argmax the best lag
+  * per key.
   *
-  * Scale notes (100 TB): the exploded side is |merged| × (maxLag+1) rows —
-  * a bounded constant blowup (7× at default maxLag=6). Both join sides are
-  * hash-partitioned on the join key, the aggregate does partial (map-side)
-  * combine, and the argmax window shuffles only the tiny per-(key,lag) corr
-  * table (≤ 7 rows per entity). No driver-side collection anywhere.
+  * Scale notes (100 TB): ONE shuffle of |merged| by key (the window),
+  * partial-aggregated corr accumulators, and an argmax over the tiny
+  * per-(key,lag) table (≤ maxLag+1 rows per entity). No driver-side
+  * collection anywhere.
   */
 object LagCorrelation {
 
@@ -122,22 +122,30 @@ object LagCorrelation {
     * rows may exist for periods absent from the merged set
     * (mapping_engine.py:616-637, SURVEY.md §7.3).
     *
-    * `best` is one row per entity — provably small — so both join-backs are
-    * explicit broadcasts (mapping_engine.py:617, 641). The lag-shifted join
-    * is derive-then-equi-join: compute `period + optimal_lag` as a column,
-    * then plain equi-join (no custom join operator needed).
+    * `best` is one row per entity; both join-backs broadcast it when
+    * `cfg.broadcastSummaries` (the reference's choice,
+    * mapping_engine.py:617, 641) — at very high entity counts set it
+    * false and AQE picks the strategy from runtime sizes. The lag-shifted
+    * join is derive-then-equi-join: compute `period + optimal_lag` as a
+    * column, then plain equi-join (no custom join operator needed).
     */
   def mapping(t1: DataFrame, t2: DataFrame, best: DataFrame, cfg: MappingConfig): DataFrame = {
     val valid = best.filter(col("correlation") >= cfg.minCorrelation)
     mappingWithLags(t1, t2, valid.select(col("key"), col("optimal_lag")), cfg)
-      .join(broadcast(valid.select(col("key"), col("correlation"))), Seq("key"), "left")
+      .join(maybeBroadcast(valid.select(col("key"), col("correlation")), cfg), Seq("key"), "left")
   }
+
+  /** Broadcast per-entity summaries when the config says so (reference
+    * default); otherwise leave the join strategy to Catalyst/AQE. */
+  private def maybeBroadcast(df: DataFrame, cfg: MappingConfig): DataFrame =
+    if (cfg.broadcastSummaries) broadcast(df) else df
 
   /** The shared lag-shifted join-back: map t1 rows to t2 rows at
     * period + optimal_lag, given per-entity lags (no score attached).
     * Also the production path's primitive (stored-model lags). */
   def mappingWithLags(t1: DataFrame, t2: DataFrame, lags: DataFrame, cfg: MappingConfig): DataFrame = {
-    val withLag = t1.join(broadcast(lags.select(col("key"), col("optimal_lag"))), Seq("key"), "inner")
+    val withLag =
+      t1.join(maybeBroadcast(lags.select(col("key"), col("optimal_lag")), cfg), Seq("key"), "inner")
     val right = t2.select(
       col("key").as("r_key"),
       col("period").as("r_period"),

@@ -50,7 +50,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.tune(spark)
 
-    val cfg = MappingConfig(periodUnit = PeriodUnit.Month, maxLag = 6)
+    // at >=1M entities the per-entity summary is too big to force-broadcast
+    val cfg = MappingConfig(
+      periodUnit = PeriodUnit.Month,
+      maxLag = 6,
+      broadcastSummaries = nKeys < 1000000)
     val (t1, t2) = genSeries(spark, nKeys, nPeriods)
     val inputRows = nKeys * nPeriods + nKeys * (nPeriods - 1)
 
