@@ -230,6 +230,17 @@ object RelationalQueries {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"))
     }),
+    // GROUPING SETS: explicit grouping combinations via SQL text
+    "q21_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
     // CUBE: all grouping combinations with sentinel keys
     "q20_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -387,6 +398,13 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_partkey = p_partkey AND l_quantity > 45)
         |GROUP BY p_brand""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q20_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
         |       COALESCE(o_orderstatus, 'ALL') AS status,
