@@ -136,6 +136,21 @@ object MappingQueries {
             ",").as("all_lags"),
           count(lit(1)).as("n_lags"))
     }),
+    // relational z-normalization (the reference does this inside its DTW
+    // kernel; here as a windowed column op over the merged series)
+    "m16_znorm" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      merged(s, dir)
+        .withColumn("v1_mean", avg(col("v1")).over(w))
+        .withColumn("v1_std", stddev_pop(col("v1")).over(w))
+        .select(
+          col("key"),
+          date_format(col("period"), "yyyy-MM-dd").as("period"),
+          round(
+            when(col("v1_std") === 0 || isnan(col("v1_std")), col("v1") - col("v1_mean"))
+              .otherwise((col("v1") - col("v1_mean")) / col("v1_std")),
+            6).as("v1_z"))
+    }),
     // monthly-unit mapping: per-supplier revenue vs quantity series from
     // lineitem (add_months/months_between arithmetic, the reference's
     // native granularity)
@@ -262,6 +277,12 @@ object MappingQueries {
          |       COUNT(DISTINCT key) AS unique_keys,
          |       round(AVG(CASE WHEN value1 <> 0 THEN value2 / value1 END), 6) AS avg_value_ratio
          |FROM mapping GROUP BY method""".stripMargin,
+    "m16_znorm" ->
+      s"""$seriesCte SELECT key, CAST(period AS VARCHAR) AS period,
+         |  round(CASE WHEN stddev_pop(v1) OVER w = 0 OR isnan(stddev_pop(v1) OVER w)
+         |             THEN v1 - AVG(v1) OVER w
+         |             ELSE (v1 - AVG(v1) OVER w) / (stddev_pop(v1) OVER w) END, 6) AS v1_z
+         |FROM merged WINDOW w AS (PARTITION BY key)""".stripMargin,
     "m15_monthly_corr" ->
       """WITH m AS (
         |  SELECT CAST(l_suppkey AS VARCHAR) AS key,

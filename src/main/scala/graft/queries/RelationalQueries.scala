@@ -137,6 +137,24 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(round(corr(col("rank_qty"), col("rank_price")), 6).as("rank_correlation"))
     }),
+    // §2.5 RANGE frame: 7-day trailing event count per user-day (value
+    // -based frame, complementing q12's ROWS frame)
+    "q22_range_window" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("user_id").cast("string").as("key"),
+          to_date(col("ts")).as("period"))
+        .agg(count(lit(1)).as("daily_events"))
+        .withColumn("day_num", datediff(col("period"), lit("2024-01-01").cast("date")))
+      val w = Window.partitionBy(col("key")).orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("trailing_7d_events", sum(col("daily_events")).over(w))
+        .select(
+          col("key"),
+          date_format(col("period"), "yyyy-MM-dd").as("period"),
+          col("daily_events"),
+          col("trailing_7d_events"))
+    }),
     // §2.5 running aggregate: daily event counts + cumulative per user
     "q12_running_window" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -343,6 +361,17 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag, round(corr(rank_qty, rank_price), 6) AS rank_correlation
         |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q22_range_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period,
+        |         COUNT(*) AS daily_events,
+        |         CAST(ts AS DATE) - DATE '2024-01-01' AS day_num
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT key, CAST(period AS VARCHAR) AS period, daily_events,
+        |       CAST(SUM(daily_events) OVER (PARTITION BY key ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_events
+        |FROM daily""".stripMargin,
     "q12_running_window" ->
       """WITH daily AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period,
