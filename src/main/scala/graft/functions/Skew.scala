@@ -34,9 +34,12 @@ object Skew {
       payload: Column,
       saltBuckets: Int,
       perSaltLimit: Int): DataFrame =
+    // Salt from the row's physical position, not hash(payload): a hot key
+    // whose payload is constant/low-cardinality would collapse into one
+    // salt bucket and defeat the spreading entirely.
     df.select(
       col(key),
-      (abs(hash(payload)) % saltBuckets).as("salt"),
+      (monotonically_increasing_id() % saltBuckets).as("salt"),
       payload.as("payload"))
       .groupBy(col(key), col("salt"))
       .agg(slice(collect_list(col("payload")), 1, perSaltLimit).as("bucket"))

@@ -97,13 +97,20 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
 object CosineSimilarity {
 
-  /** Register `cosine_sim(a, b)` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      })
+  /** Register `cosine_sim(a, b)` in the session's function registry.
+    * Idempotent: a second call is a no-op (re-registering is harmless but
+    * warns "replaced a previously registered function" on every query,
+    * flooding bench logs). */
+  def register(spark: SparkSession): Unit = {
+    val ident = FunctionIdentifier("cosine_sim")
+    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+          CosineSimilarity(children.head, children(1))
+        })
+    }
+  }
 }

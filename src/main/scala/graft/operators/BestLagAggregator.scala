@@ -60,20 +60,35 @@ object BestLagAggregator {
     BestLag(bestL, best, n)
   }
 
-  final class Agg(maxLag: Int) extends Aggregator[Pt, List[Pt], BestLag] {
-    override def zero: List[Pt] = Nil
-    override def reduce(b: List[Pt], a: Pt): List[Pt] = a :: b
-    override def merge(a: List[Pt], b: List[Pt]): List[Pt] = a ::: b
-    override def finish(pts: List[Pt]): BestLag = {
-      val sorted = pts.sortBy(_.period).toArray
+  /** Aggregation buffer: the group's points plus a running count, so the
+    * size guard is O(1) per row (List.length per reduce would be O(n²)). */
+  final case class Buf(n: Int, pts: List[Pt])
+
+  final class Agg(maxLag: Int, maxSeriesLength: Int) extends Aggregator[Pt, Buf, BestLag] {
+    // Same fail-fast as DtwMapping's maxSeriesLength check: a pathological
+    // hot key must error with a diagnosable message, not OOM the executor
+    // while buffering the group.
+    private def guard(n: Int): Unit =
+      if (n > maxSeriesLength)
+        throw new IllegalStateException(
+          s"best_lag group has $n points > maxSeriesLength=$maxSeriesLength")
+    override def zero: Buf = Buf(0, Nil)
+    override def reduce(b: Buf, a: Pt): Buf = { guard(b.n + 1); Buf(b.n + 1, a :: b.pts) }
+    override def merge(a: Buf, b: Buf): Buf = { guard(a.n + b.n); Buf(a.n + b.n, a.pts ::: b.pts) }
+    override def finish(buf: Buf): BestLag = {
+      val sorted = buf.pts.sortBy(_.period).toArray
       bestLag(sorted.map(_.v1), sorted.map(_.v2), maxLag)
     }
-    override def bufferEncoder: Encoder[List[Pt]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Pt]]()
+    override def bufferEncoder: Encoder[Buf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
     override def outputEncoder: Encoder[BestLag] = Encoders.product[BestLag]
   }
 
   /** Register `best_lag(period, v1, v2)` on the session. */
-  def register(spark: SparkSession, name: String = "best_lag", maxLag: Int = 6): Unit =
-    spark.udf.register(name, udaf(new Agg(maxLag), Encoders.product[Pt]))
+  def register(
+      spark: SparkSession,
+      name: String = "best_lag",
+      maxLag: Int = 6,
+      maxSeriesLength: Int = 100000): Unit =
+    spark.udf.register(name, udaf(new Agg(maxLag, maxSeriesLength), Encoders.product[Pt]))
 }

@@ -70,9 +70,20 @@ object Comparison {
       round(avg(col("num_mappings")), 6).as("avg_dtw_mappings"))
 
   /** Convenience: full pipeline from a merged series table. */
-  def recommendationsFromMerged(merged: DataFrame, cfg: MappingConfig): DataFrame = {
+  def recommendationsFromMerged(merged: DataFrame, cfg: MappingConfig): DataFrame =
+    recommendationsFromSummaries(merged, DtwMapping.summarize(merged, cfg).toDF(), cfg)
+
+  /** Recommendations from ALREADY-COMPUTED DTW summaries (key, total_cost,
+    * num_mappings, path). Callers that also need the row-level DTW mapping
+    * (e.g. the production pipeline's DTW segment) compute the summaries
+    * once — ideally cached — and feed both this and
+    * [[DtwMapping.mappingFromSummaries]], so the DTW kernel runs once. */
+  def recommendationsFromSummaries(
+      merged: DataFrame,
+      dtwSummaries: DataFrame,
+      cfg: MappingConfig): DataFrame = {
     val corr = LagCorrelation.summary(merged, cfg)
-    val dtw = DtwMapping.summarize(merged, cfg).toDF()
+    val dtw = dtwSummaries
       .select(col("key"), round(col("total_cost"), 6).as("total_cost"), col("num_mappings"))
     recommendations(methodComparison(corr, dtw))
   }

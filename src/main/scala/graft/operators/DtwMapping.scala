@@ -65,9 +65,15 @@ object DtwMapping {
   /** Row-level DTW mapping: explode the warping path, matching the
     * reference's explode-after-UDF shape (mapping_engine.py:662-675).
     * Output schema aligns with the correlation mapping for unionByName. */
-  def mapping(merged: DataFrame, cfg: MappingConfig): DataFrame = {
-    summarize(merged, cfg)
-      .toDF()
+  def mapping(merged: DataFrame, cfg: MappingConfig): DataFrame =
+    mappingFromSummaries(summarize(merged, cfg).toDF())
+
+  /** Same explode, from ALREADY-COMPUTED summaries (key, total_cost, path)
+    * — lets a caller that needed the summaries anyway (recommendation
+    * training, Pipeline.run) derive the row-level mapping without running
+    * the DTW kernel a second time. */
+  def mappingFromSummaries(summaries: DataFrame): DataFrame = {
+    summaries
       .select(col("key"), round(col("total_cost"), 6).as("dtw_cost"), explode(col("path")).as("step"))
       .select(
         col("key"),

@@ -106,7 +106,15 @@ object LagCorrelation {
   }
 
   /** Per-entity summary matching the reference's correlation UDF output
-    * (mapping_engine.py:232-239): optimal lag + correlation + series stats. */
+    * (mapping_engine.py:232-239): optimal lag + correlation + series stats,
+    * PLUS the nested `all_lags` array-of-struct the reference exposes for
+    * later exploration (02_corr_mapping.p:25-29) — sorted by lag, each
+    * element (lag, correlation, n_overlap).
+    *
+    * One groupBy pass builds the nested array AND derives the best lag
+    * from it (array fold argmax — strict `>` over the lag-ascending array
+    * keeps the earliest best, identical to [[bestLag]]'s window ranking),
+    * so the per-(key,lag) table is aggregated once, not twice. */
   def summary(merged: DataFrame, cfg: MappingConfig): DataFrame = {
     val stats = merged
       .groupBy(col("key"))
@@ -114,7 +122,27 @@ object LagCorrelation {
         count(lit(1)).as("num_periods"),
         round(avg(col("v1")), 6).as("v1_mean"),
         round(avg(col("v2")), 6).as("v2_mean"))
-    bestLag(lagCorrTable(merged, cfg)).join(stats, Seq("key"))
+    val perKey = lagCorrTable(merged, cfg)
+      .select(
+        col("key"),
+        struct(
+          col("lag"),
+          round(col("correlation"), 6).as("correlation"),
+          col("n_overlap")).as("lc"))
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(col("lc"))).as("all_lags"))
+    val best = aggregate(
+      slice(col("all_lags"), lit(2), size(col("all_lags")) - 1),
+      element_at(col("all_lags"), 1),
+      (acc, x) => when(x.getField("correlation") > acc.getField("correlation"), x).otherwise(acc))
+    perKey
+      .select(
+        col("key"),
+        best.getField("lag").as("optimal_lag"),
+        best.getField("correlation").as("correlation"),
+        best.getField("n_overlap").as("n_overlap"),
+        col("all_lags"))
+      .join(stats, Seq("key"))
   }
 
   /** Row-level mapping: join the *raw* (not merged) tables through the
@@ -136,8 +164,10 @@ object LagCorrelation {
   }
 
   /** Broadcast per-entity summaries when the config says so (reference
-    * default); otherwise leave the join strategy to Catalyst/AQE. */
-  private def maybeBroadcast(df: DataFrame, cfg: MappingConfig): DataFrame =
+    * default); otherwise leave the join strategy to Catalyst/AQE. Shared
+    * by every operator that joins a one-row-per-entity table back to a
+    * fact table (Pipeline segments through here too). */
+  private[operators] def maybeBroadcast(df: DataFrame, cfg: MappingConfig): DataFrame =
     if (cfg.broadcastSummaries) broadcast(df) else df
 
   /** The shared lag-shifted join-back: map t1 rows to t2 rows at

@@ -69,7 +69,8 @@ object MappingEngine {
       merged: DataFrame,
       t1: DataFrame,
       t2: DataFrame,
-      cfg: MappingConfig): DataFrame = {
+      cfg: MappingConfig,
+      dtwSummaries: Option[DataFrame] = None): DataFrame = {
     val best = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged, cfg)).cache()
     val simpleKeys = best.filter(col("correlation") >= cfg.autoCorrThreshold).select(col("key"))
     // Keys whose best correlation is below the threshold — plus keys with NO
@@ -81,8 +82,18 @@ object MappingEngine {
 
     val simpleBest = best.join(broadcast(simpleKeys), Seq("key"), "left_semi")
     val corrPart = LagCorrelation.mapping(t1, t2, simpleBest, cfg)
-    val dtwPart = DtwMapping.mapping(
-      merged.join(broadcast(complexKeys), Seq("key"), "left_semi"), cfg)
+    // DTW is per-key independent, so precomputed full-table summaries
+    // restricted to the complex segment are identical to running the
+    // kernel on the restricted series — callers holding summaries (e.g.
+    // from recommendation training) skip the second kernel run.
+    val dtwPart = dtwSummaries match {
+      case Some(s) =>
+        DtwMapping.mappingFromSummaries(
+          s.join(broadcast(complexKeys), Seq("key"), "left_semi"))
+      case None =>
+        DtwMapping.mapping(
+          merged.join(broadcast(complexKeys), Seq("key"), "left_semi"), cfg)
+    }
     // Schema union across method-specific columns (mapping_engine.py:746).
     corrPart.unionByName(dtwPart, allowMissingColumns = true)
   }

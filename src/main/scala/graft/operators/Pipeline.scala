@@ -32,16 +32,30 @@ object Pipeline {
     LagCorrelation.mappingWithLags(t1, t2, lags, cfg)
 
   /** Full pipeline run: segment by stored recommendation, map per segment,
-    * union, stamp the run id. */
+    * union, stamp the run id.
+    *
+    * Per-entity tables (the model, the DTW key set) broadcast only when
+    * `cfg.broadcastSummaries` — the reference's default, right while the
+    * entity count is small; at 1M+ entities set it false and AQE picks
+    * the join strategy from runtime sizes (same gate as
+    * [[LagCorrelation.maybeBroadcast]]).
+    *
+    * `dtwSummaries`: optionally pass ALREADY-COMPUTED DTW summaries
+    * (key, total_cost, path) over the merged series — e.g. the ones the
+    * recommendation training just produced — and the DTW segment's mapping
+    * is derived by exploding their stored paths instead of re-running the
+    * DTW kernel over the fact tables. */
   def run(
       t1: DataFrame,
       t2: DataFrame,
       recommendations: DataFrame,
       cfg: MappingConfig,
-      runId: String): DataFrame = {
+      runId: String,
+      dtwSummaries: Option[DataFrame] = None): DataFrame = {
+    def gate(df: DataFrame): DataFrame = LagCorrelation.maybeBroadcast(df, cfg)
     val inputKeys = t1.select(col("key")).distinct()
     val withRec = inputKeys.join(
-      broadcast(recommendations.select(col("key"), col("recommended_method"), col("optimal_lag"))),
+      gate(recommendations.select(col("key"), col("recommended_method"), col("optimal_lag"))),
       Seq("key"),
       "left")
 
@@ -53,12 +67,19 @@ object Pipeline {
 
     val corrPart =
       correlationMappingWithLags(t1, t2, corrKeys.select(col("key"), col("optimal_lag")), cfg)
-    val dtwPart = DtwMapping
-      .mapping(
-        SeriesTable.merge(t1, t2)
-          .join(broadcast(dtwKeys.select("key")), Seq("key"), "left_semi"),
-        cfg)
-      .drop("dtw_cost")
+    val dtwPart = dtwSummaries match {
+      case Some(s) =>
+        DtwMapping
+          .mappingFromSummaries(s.join(gate(dtwKeys.select("key")), Seq("key"), "left_semi"))
+          .drop("dtw_cost")
+      case None =>
+        DtwMapping
+          .mapping(
+            SeriesTable.merge(t1, t2)
+              .join(gate(dtwKeys.select("key")), Seq("key"), "left_semi"),
+            cfg)
+          .drop("dtw_cost")
+    }
     // Default for unknown entities: lag 1 (05_prod_dev.py:412).
     val defaultPart = correlationMappingWithLags(
       t1,
@@ -79,6 +100,34 @@ object Pipeline {
   def incrementalSlice(series: DataFrame, start: String, end: String): DataFrame =
     series.filter(col("period").between(lit(start).cast("date"), lit(end).cast("date")))
 
+  /** End-to-end incremental run (05_prod_dev.py:1054-1101): slice both
+    * series to [start, end], run the stored-model pipeline on the slice,
+    * write the result to a temp path partitioned by `time1`, and read it
+    * back date-filtered — the read-back is the validation step AND the
+    * hand-off the reference does before swapping into the serving table
+    * (its write-temp-then-read-back loop). The returned DataFrame scans
+    * only the slice's partitions (partition pruning on `time1`;
+    * PipelineSpec locks the pruned scan in the executed plan). */
+  def incrementalRun(
+      t1: DataFrame,
+      t2: DataFrame,
+      recommendations: DataFrame,
+      cfg: MappingConfig,
+      runId: String,
+      start: String,
+      end: String,
+      tmpPath: String): DataFrame = {
+    val sliced = run(
+      incrementalSlice(t1, start, end),
+      incrementalSlice(t2, start, end),
+      recommendations,
+      cfg,
+      runId)
+    writePartitioned(sliced, tmpPath)
+    t1.sparkSession.read.parquet(tmpPath)
+      .filter(col("time1").between(start, end))
+  }
+
   /** Partitioned sink (05_prod_dev.py:862-867): partition by the mapping's
     * source period so date-range reads prune files. */
   def writePartitioned(mapping: DataFrame, path: String): Unit =
@@ -87,13 +136,19 @@ object Pipeline {
   /** External-table DDL + monitoring view over a written mapping
     * (05_prod_dev.py:872-876, 1252-1266). */
   def registerExternalTable(spark: SparkSession, path: String, tableName: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.sql(s"CREATE TABLE $tableName USING PARQUET LOCATION '$path'")
+    // Identifiers/paths are interpolated into DDL text: backtick-quote the
+    // table name (escaping embedded backticks) and escape quotes in the
+    // path so a hostile or merely unusual name can't break out of the
+    // statement.
+    val tn = "`" + tableName.replace("`", "``") + "`"
+    val p = path.replace("'", "''")
+    spark.sql(s"DROP TABLE IF EXISTS $tn")
+    spark.sql(s"CREATE TABLE $tn USING PARQUET LOCATION '$p'")
     // partitioned layout: populate the catalog's partition list
-    spark.sql(s"MSCK REPAIR TABLE $tableName")
+    spark.sql(s"MSCK REPAIR TABLE $tn")
     spark.sql(
-      s"""CREATE OR REPLACE TEMPORARY VIEW ${tableName}_monitor AS
+      s"""CREATE OR REPLACE TEMPORARY VIEW `${tableName.replace("`", "``")}_monitor` AS
          |SELECT method, time1, COUNT(*) AS n_mappings, COUNT(DISTINCT key) AS n_keys
-         |FROM $tableName GROUP BY method, time1""".stripMargin)
+         |FROM $tn GROUP BY method, time1""".stripMargin)
   }
 }

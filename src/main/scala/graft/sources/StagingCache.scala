@@ -11,9 +11,13 @@ object StagingCache {
   private val cache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Memoize `build` (cached) under (spark, name). */
+  /** Memoize `build` (cached) under (spark, name). Entries belonging to a
+    * stopped session are evicted on every access so long-lived
+    * multi-session drivers don't accumulate dead DataFrames and session
+    * references. */
   def getOrElseUpdate(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
+      cache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach(cache.remove)
       cache.getOrElseUpdate((spark, name), build.cache())
     }
 

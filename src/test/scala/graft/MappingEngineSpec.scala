@@ -152,6 +152,29 @@ class MappingEngineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recs("K_ok")._1 > 0.9)
   }
 
+  test("summary exposes nested all_lags; exploding it round-trips the corr table") {
+    val (txn, rev) = simpleData(4, 8)
+    val t1 = SeriesTable.canonicalize(txn, "customer_id", "month", "amount", PeriodUnit.Month)
+    val t2 = SeriesTable.canonicalize(rev, "customer_id", "month", "rev", PeriodUnit.Month)
+    val merged = SeriesTable.merge(t1, t2)
+    val summary = LagCorrelation.summary(merged, cfg)
+    // nested column is an array<struct<lag,correlation,n_overlap>> a user
+    // can explode later (the reference's all_lags, 02_corr_mapping.p:25-29)
+    val exploded = summary
+      .select(col("key"), explode(col("all_lags")).as("x"))
+      .select(col("key"), col("x.lag").as("lag"),
+        col("x.correlation").as("correlation"), col("x.n_overlap").as("n_overlap"))
+    val direct = LagCorrelation.lagCorrTable(merged, cfg)
+      .select(col("key"), col("lag"), round(col("correlation"), 6).as("correlation"), col("n_overlap"))
+    assert(exploded.count() == direct.count())
+    assert(exploded.except(direct).count() == 0 && direct.except(exploded).count() == 0)
+    // and the summary's best-lag fields agree with the window-argmax path
+    val viaWindow = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged, cfg))
+      .select(col("key"), col("optimal_lag"), col("correlation"))
+    val viaFold = summary.select(col("key"), col("optimal_lag"), col("correlation"))
+    assert(viaFold.except(viaWindow).count() == 0 && viaWindow.except(viaFold).count() == 0)
+  }
+
   test("short series (<2 overlapping points) produce no correlation rows") {
     val t1 = Seq(("K1", "2024-01", 5.0)).toDF("k", "t", "v")
     val t2 = Seq(("K1", "2024-01", 3.0)).toDF("k", "t", "v")

@@ -93,6 +93,85 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(qa.getAs[String]("temporal_status") == "PASS")
   }
 
+  test("sla report after a pipeline run: PASS rows and the summary verdict") {
+    val (t1, t2) = seriesPair(3, 6)
+    val recs = Seq(("K1", "Correlation", 1)).toDF("key", "recommended_method", "optimal_lag")
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_sla")
+    val rows = graft.operators.Sla.report(out, t1, durationSec = 12.5)
+      .collect().map(r => r.getAs[String]("check") -> r).toMap
+    assert(rows.keySet == Set("coverage_pct", "duration_sec", "total_mappings", "sla_met"))
+    assert(rows("coverage_pct").getAs[String]("status") == "PASS") // all keys map (default lag)
+    assert(rows("duration_sec").getAs[String]("status") == "PASS")
+    assert(rows("duration_sec").getAs[Double]("metric_value") == 12.5)
+    assert(rows("total_mappings").getAs[String]("severity") == "CRITICAL")
+    assert(rows("sla_met").getAs[String]("status") == "PASS")
+  }
+
+  test("sla report alerts on low coverage, long duration, empty output") {
+    val (t1, t2) = seriesPair(2, 6)
+    val empty = Pipeline.run(t1, t2,
+      Seq.empty[(String, String, Int)].toDF("key", "recommended_method", "optimal_lag"),
+      cfg, "run_sla2").filter(lit(false))
+    val rows = graft.operators.Sla.report(empty, t1, durationSec = 3600.0)
+      .collect().map(r => r.getAs[String]("check") -> r.getAs[String]("status")).toMap
+    assert(rows("coverage_pct") == "ALERT")
+    assert(rows("duration_sec") == "ALERT")
+    assert(rows("total_mappings") == "ALERT")
+    assert(rows("sla_met") == "ALERT")
+  }
+
+  test("incremental run: slice -> temp write -> partition-pruned read-back") {
+    val (t1, t2) = seriesPair(3, 6)
+    val recs = Seq(("K1", "Correlation", 1)).toDF("key", "recommended_method", "optimal_lag")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val back = Pipeline.incrementalRun(
+      t1, t2, recs, cfg, "run_incr", "2024-02-01", "2024-04-30", s"$dir/tmp")
+    // read-back rows are exactly the slice
+    val times = back.select("time1").distinct().as[String].collect()
+    assert(times.nonEmpty && times.forall(t => t >= "2024-02-01" && t <= "2024-04-30"))
+    // and the scan PRUNES partitions: the executed plan carries a
+    // partition filter on time1 (no full-table file read)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("time1"), plan)
+    // prune actually drops partitions: the temp dir has partitions outside
+    // the slice window only if the unsliced run would have written them;
+    // all written partitions come from the slice, so every directory is in range
+    val parts = new java.io.File(s"$dir/tmp").listFiles()
+      .map(_.getName).filter(_.startsWith("time1="))
+    assert(parts.forall { p => val d = p.stripPrefix("time1="); d >= "2024-02-01" && d <= "2024-04-30" })
+  }
+
+  test("broadcastSummaries=false plans no forced broadcast; results unchanged") {
+    val (t1, t2) = seriesPair(3, 6)
+    val recs = Seq(
+      ("K1", "Correlation", 1),
+      ("K2", "DTW", 0)
+    ).toDF("key", "recommended_method", "optimal_lag")
+    val forced = Pipeline.run(t1, t2, recs, cfg, "run_bc")
+    val gated = Pipeline.run(t1, t2, recs, cfg.copy(broadcastSummaries = false), "run_bc")
+    assert(forced.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "broadcastSummaries=false must leave join strategy to Catalyst/AQE")
+    val a = forced.drop("pipeline_run_id").collect().map(_.toString).sorted
+    val b = gated.drop("pipeline_run_id").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("precomputed DTW summaries reproduce the in-run DTW segment exactly") {
+    val (t1, t2) = seriesPair(3, 6)
+    val recs = Seq(
+      ("K1", "DTW", 0),
+      ("K2", "Correlation", 1)
+    ).toDF("key", "recommended_method", "optimal_lag")
+    val merged = SeriesTable.merge(t1, t2)
+    val summaries = graft.operators.DtwMapping.summarize(merged, cfg).toDF()
+    val direct = Pipeline.run(t1, t2, recs, cfg, "run_pre")
+    val reused = Pipeline.run(t1, t2, recs, cfg, "run_pre", dtwSummaries = Some(summaries))
+    val a = direct.collect().map(_.toString).sorted
+    val b = reused.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("streaming daily series matches the batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // stage the sf0.001 events as the stream input (nanos-safe load)
