@@ -80,6 +80,91 @@ object Similarity {
         acc + when(element_at(vec, i + 1) >= 0, pow(lit(2.0), i.cast("double")).cast("long"))
           .otherwise(0L))
 
+  /** Multi-band sign-LSH buckets: `nBands` independent bands, band b
+    * packing the sign bits of dimensions [b·nBits, (b+1)·nBits) — the
+    * OR-amplification construction MinHash banding uses (Dedup
+    * .minhashLshPairs): a pair is a candidate if it collides in ANY band,
+    * so per-band selectivity stays high while recall compounds across
+    * bands. Returns array<struct<band, bucket>>. Requires
+    * nBits·nBands <= dim. */
+  def signBandBuckets(vec: Column, nBits: Int, nBands: Int): Column =
+    transform(
+      sequence(lit(0), lit(nBands - 1)),
+      b =>
+        struct(
+          b.as("band"),
+          aggregate(
+            sequence(lit(0), lit(nBits - 1)),
+            lit(0L),
+            (acc, i) =>
+              acc + when(
+                element_at(vec, b * nBits + i + 1) >= 0,
+                pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)).as("bucket")))
+
+  /** Expand each (band, bucket) with its `nBits` Hamming-distance-1
+    * neighbors (one sign bit flipped) — multi-probe: a query also checks
+    * the buckets a borderline-sign neighbor would land in, recovering the
+    * near-dups that straddle one hyperplane. */
+  private def multiProbeBuckets(bandBuckets: Column, nBits: Int): Column =
+    flatten(transform(
+      bandBuckets,
+      bb =>
+        transform(
+          concat(
+            array(bb.getField("bucket")),
+            transform(
+              sequence(lit(0), lit(nBits - 1)),
+              i =>
+                bb.getField("bucket")
+                  .bitwiseXOR(pow(lit(2.0), i.cast("double")).cast("long")))),
+          probe => struct(bb.getField("band").as("band"), probe.as("bucket")))))
+
+  /** Banded (and optionally multi-probed) sign-LSH approximate top-k —
+    * the scale path for ANN search: candidate generation is an equi-join
+    * on (band, bucket) with the small probe side broadcast, never a cross
+    * product. Recall compounds as 1-(1-p^nBits)^nBands per true neighbor
+    * (p = collision probability per hyperplane), so unlike the
+    * single-bucket [[lshTopK]] a neighbor straddling one sign bit is
+    * still found by the other bands — and multi-probe flips each bit of
+    * the query's own bucket for another recall boost at fixed storage.
+    * Defaults hit recall@5 >= 0.9 vs [[bruteForceTopK]] on the harness
+    * embeddings (AnnRecallSpec locks that). */
+  def lshTopKBanded(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 6,
+      nBands: Int = 10,
+      multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("corpus_id"),
+      explode(signBandBuckets(asDouble(col(vecCol)), nBits, nBands)).as("bb"))
+      .select(col("corpus_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val qBuckets = {
+      val base = signBandBuckets(asDouble(col(vecCol)), nBits, nBands)
+      if (multiProbe) multiProbeBuckets(base, nBits) else base
+    }
+    val q = queries.select(col(idCol).as("query_id"), explode(qBuckets).as("bb"))
+      .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = c
+      .join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val scored = pairs
+      .join(cv, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        round(cosineNative(corpus, "cvec", "qvec"), 6).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the sign bucket —
     * an equi-join on bucket id replaces the cross product. Recall is
     * traded for a |corpus|/2^nBits candidate set per query. */
@@ -132,6 +217,18 @@ object Similarity {
       .orderBy(col(idCol).asc)
       .limit(nCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** IVF top-k against an explicit centroid table (cid, centv). */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: DataFrame,
+      nProbe: Int): DataFrame = {
     def nearest(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val scored = df
         .crossJoin(broadcast(cents))
@@ -159,6 +256,83 @@ object Similarity {
         round(cosineNative(assigned, "cvec", "qvec"), 6).as("cos_sim"))
       .distinct() // a candidate can appear via multiple probed buckets
     rankTopK(scored, k)
+  }
+
+  /** Spherical k-means centroid training for IVF, MLlib-style driver
+    * coordination: each iteration is ONE distributed pass (cosine argmax
+    * assignment against the broadcast current centroids, then a
+    * partial-aggregated element-wise mean per cluster); only the k·dim
+    * model itself ever reaches the driver — the same pattern as
+    * approxQuantile's scalar and Spark's own KMeans, NOT a data collect.
+    * Init is the first k sample vectors by id (deterministic); a cluster
+    * that empties keeps its previous centroid. `sampleN` caps the
+    * training set (sorted-by-id prefix) — at 100 TB train on a sample,
+    * assign the full corpus. */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int = 3,
+      sampleN: Int = 100000): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .orderBy(col(idCol).asc)
+      .limit(sampleN)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .cache()
+    try {
+      var cents: Array[Array[Double]] =
+        sample.orderBy(col("id").asc).limit(nCentroids).collect()
+          .map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val centDf = broadcast(
+          spark.createDataFrame(cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+            .toDF("cid", "centv")
+            .select(col("cid"), col("centv").cast("array<double>").as("centv")))
+        val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+        val assigned = sample
+          .crossJoin(centDf)
+          .select(col("id"), col("vec"), col("cid"), round(cosineNative(sample, "vec", "centv"), 6).as("ccos"))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") === 1)
+        val means = assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("centv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .toMap
+        cents = Array.tabulate(nCentroids)(i => means.getOrElse(i, cents(i)))
+      }
+      cents
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** IVF top-k with TRAINED centroids: a few spherical k-means iterations
+    * over a sample replace the first-N-by-id stand-in, tightening the
+    * inverted lists so fewer probes reach the same recall (the recall@5
+    * gate in AnnRecallSpec holds at these defaults on the harness
+    * embeddings). */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 12,
+      iters: Int = 3,
+      sampleN: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids, iters, sampleN)
+    val centDf = spark
+      .createDataFrame(cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cid", "centv")
+      .select(col("cid"), col("centv").cast("array<double>").as("centv"))
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centDf, nProbe)
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold`, bucketed by

@@ -68,6 +68,19 @@ object TextQueries {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // multi-band + multi-probe sign-LSH top-5: the recall-hardened scale
+    // path (10 bands x 6 sign bits, 1-bit-flip probes)
+    "d14_embed_lsh_bands" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopKBanded(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // IVF with TRAINED centroids (3 spherical k-means iterations over the
+    // corpus sample); k-means is not practical to mirror in oracle SQL ->
+    // rows-only here, recall@5 >= 0.9 gated by AnnRecallSpec
+    "d15_embed_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
@@ -252,6 +265,34 @@ object TextQueries {
         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> p.qvec[i] * p.qvec[i])))), 6) AS cos_sim
         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
         |  WHERE a.corpus_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d14_embed_lsh_bands" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 5),
+        |           i -> CASE WHEN vec[b.band * 6 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, (SELECT UNNEST(generate_series(0, 9)) AS band) b
+        |), qb AS (
+        |  SELECT vec_id, band,
+        |         UNNEST(list_concat([bucket],
+        |           list_transform(generate_series(0, 5), i -> xor(bucket, 1::BIGINT << i)))) AS bucket
+        |  FROM cb WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM cb c JOIN qb q ON c.band = q.band AND c.bucket = q.bucket
+        |  WHERE c.vec_id <> q.vec_id
+        |), scored AS (
+        |  SELECT p.query_id, p.corpus_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> cv.vec[i] * qv.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv.vec[i] * cv.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv.vec[i] * qv.vec[i])))), 6) AS cos_sim
+        |  FROM pairs p JOIN v cv ON cv.vec_id = p.corpus_id JOIN v qv ON qv.vec_id = p.query_id
         |), ranked AS (
         |  SELECT query_id, corpus_id, cos_sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
