@@ -85,6 +85,28 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
+    val (sigs, pairs) = lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+  }
+
+  /** Shared LSH core: cached signature table + banded-bucket candidate
+    * pairs (id_a < id_b, distinct). The pair-generation join is on
+    * (band, bucket) — candidate count scales with the number of TRUE
+    * near-dup groups, not with any coarse attribute's group size. */
+  private def lshSignaturesAndPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val numBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes).cache()
     val banded = sigs.select(
@@ -105,14 +127,35 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    (sigs, pairs)
+  }
+
+  /** Exact n-gram Jaccard over LSH-BAND candidate pairs: pair generation
+    * is the MinHash banded bucket join (sub-quadratic — a hot attribute
+    * bucket costs nothing unless its members really are near-duplicates),
+    * then the exact shingle-set Jaccard is verified only on candidates.
+    * This replaces attribute-bucketed all-pairs ([[ngramJaccardPairs]])
+    * as the 100 TB path: with B-row buckets that one is O(B²) per bucket,
+    * this one is O(candidates). */
+  def ngramJaccardViaLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val (_, pairs) = lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+    val sh = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
   /** SimHash: majority vote over token-hash bits, packed into a 60-bit
@@ -147,7 +190,12 @@ object Dedup {
 
   /** Exact n-gram Jaccard for candidate pairs within a bucket column
     * (e.g. same source, same LSH bucket): |A ∩ B| / |A ∪ B| over distinct
-    * shingles. Bucketed by design — never call on an unbucketed table. */
+    * shingles. Bucketed by design — never call on an unbucketed table.
+    * NOTE this is O(B²) within a B-row bucket: for near-dup detection at
+    * scale prefer [[ngramJaccardViaLsh]], whose candidate generation is
+    * the banded MinHash join (a hot attribute bucket costs nothing).
+    * Kept for genuinely small, semantically meaningful buckets where ALL
+    * pair scores are wanted, not just near-duplicates'. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,

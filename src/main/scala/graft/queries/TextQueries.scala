@@ -46,12 +46,11 @@ object TextQueries {
     "d4_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), Dedup.simhash("text").as("simhash"))
     }),
-    // exact 3-gram Jaccard across same-source pairs
+    // exact 3-gram Jaccard, LSH-band candidate generation (sub-quadratic:
+    // no within-bucket all-pairs)
     "d5_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", "source")
-        .select(
-          col("bucket").as("source"), col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard"))
+      Dedup.ngramJaccardViaLsh(docs(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     // brute-force cosine top-5 for the first 10 vectors
     "d6_embed_topk" -> ((s, dir) => {
@@ -201,12 +200,29 @@ object TextQueries {
          |         b -> CASE WHEN 2 * len(list_filter(hashes, x -> (x >> b) & 1 = 1)) > len(hashes)
          |                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h""".stripMargin,
-    "d5_ngram_jaccard" ->
-      s"""$shingleCte
-         |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+    "d5_ngram_jaccard" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |)
+         |SELECT p.id_a, p.id_b,
          |       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+         |FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b""".stripMargin
+    },
     "d6_embed_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |scored AS (

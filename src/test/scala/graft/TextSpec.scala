@@ -81,6 +81,29 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("LSH-band pair generation stays sub-quadratic on a hot attribute bucket") {
+    // 200 distinct docs ALL in one source bucket + 5 exact duplicates:
+    // attribute-bucketed all-pairs scores every pair (O(B²) in the hot
+    // bucket); LSH-band candidates scale with the true near-dup count.
+    val distinct = (1 to 200).map { i =>
+      (i.toLong, (1 to 12).map(j => s"w${i}x$j").mkString(" "), "hot")
+    }
+    val dups = (1 to 5).map { i =>
+      (200L + i, (1 to 12).map(j => s"w${i}x$j").mkString(" "), "hot")
+    }
+    val df = (distinct ++ dups).toDF("doc_id", "text", "source")
+    val allPairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", "source").count()
+    assert(allPairs == 205L * 204 / 2) // the quadratic blowup this replaces
+    val viaLsh = Dedup.ngramJaccardViaLsh(df, "text", "doc_id").cache()
+    val n = viaLsh.count()
+    assert(n < allPairs / 20, s"LSH candidates $n not sub-quadratic vs $allPairs")
+    // and every true duplicate pair is still found, at jaccard 1.0
+    val found = viaLsh.filter($"jaccard" === 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (1 to 5).foreach { i => assert(found.contains((i.toLong, 200L + i))) }
+    viaLsh.unpersist()
+  }
+
   test("lang id: english vs german stopwords") {
     val m = docs.select($"doc_id", TF.predictLang($"text").as("l")).as[(Long, String)].collect().toMap
     assert(m(1L) == "en")
