@@ -27,13 +27,23 @@ object DtwAggregator {
   /** total cost + warping path, minus the key (GROUP BY carries it). */
   final case class DtwOut(total_cost: Double, num_mappings: Int, path: Seq[PathStep])
 
-  final class DtwAgg(window: Option[Int], normalize: Boolean)
-      extends Aggregator[Pt, List[Pt], DtwOut] {
-    override def zero: List[Pt] = Nil
-    override def reduce(b: List[Pt], a: Pt): List[Pt] = a :: b
-    override def merge(b1: List[Pt], b2: List[Pt]): List[Pt] = b1 ::: b2
-    override def finish(pts: List[Pt]): DtwOut = {
-      val sorted = pts.sortBy(_.period).toArray
+  /** Aggregation buffer with a running count so the group-size guard is
+    * O(1) per row (same fail-fast as DtwMapping.summarize / best_lag: a
+    * pathological hot key errors with its size, never OOMs an executor
+    * mid-buffer). */
+  final case class Buf(n: Int, pts: List[Pt])
+
+  final class DtwAgg(window: Option[Int], normalize: Boolean, maxSeriesLength: Int = 100000)
+      extends Aggregator[Pt, Buf, DtwOut] {
+    private def guard(n: Int): Unit =
+      if (n > maxSeriesLength)
+        throw new IllegalStateException(
+          s"dtw group has $n points > maxSeriesLength=$maxSeriesLength")
+    override def zero: Buf = Buf(0, Nil)
+    override def reduce(b: Buf, a: Pt): Buf = { guard(b.n + 1); Buf(b.n + 1, a :: b.pts) }
+    override def merge(b1: Buf, b2: Buf): Buf = { guard(b1.n + b2.n); Buf(b1.n + b2.n, b1.pts ::: b2.pts) }
+    override def finish(buf: Buf): DtwOut = {
+      val sorted = buf.pts.sortBy(_.period).toArray
       if (sorted.isEmpty) DtwOut(0.0, 0, Seq.empty)
       else {
         val s1 = sorted.map(_.v1)
@@ -50,8 +60,8 @@ object DtwAggregator {
         DtwOut(cost, steps.length, steps)
       }
     }
-    override def bufferEncoder: Encoder[List[Pt]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Pt]]()
+    override def bufferEncoder: Encoder[Buf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
     override def outputEncoder: Encoder[DtwOut] = Encoders.product[DtwOut]
   }
 
@@ -60,6 +70,8 @@ object DtwAggregator {
       spark: SparkSession,
       name: String = "dtw",
       window: Option[Int] = None,
-      normalize: Boolean = true): Unit =
-    spark.udf.register(name, udaf(new DtwAgg(window, normalize), Encoders.product[Pt]))
+      normalize: Boolean = true,
+      maxSeriesLength: Int = 100000): Unit =
+    spark.udf.register(
+      name, udaf(new DtwAgg(window, normalize, maxSeriesLength), Encoders.product[Pt]))
 }

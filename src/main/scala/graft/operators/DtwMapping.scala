@@ -53,14 +53,24 @@ object DtwMapping {
 
   /** Filter DTW summaries to entities whose alignment cost is within the
     * p-th percentile — the reference's quality gate on DTW output
-    * (/root/reference/03_dtw_mapping.py:276, 315), using the
-    * Greenwald-Khanna approximate quantile (A6) so no sort of the full
-    * summary table is needed. */
-  def filterByCostPercentile(summaries: DataFrame, p: Double, relErr: Double = 0.01): DataFrame =
-    summaries.stat.approxQuantile("total_cost", Array(p), relErr).headOption match {
-      case Some(threshold) => summaries.filter(col("total_cost") <= threshold)
-      case None            => summaries // empty input: nothing to filter
-    }
+    * (/root/reference/03_dtw_mapping.py:276, 315).
+    *
+    * Fully LAZY: the threshold is a one-row approx-percentile aggregate
+    * (no sort of the summary table) broadcast-crossed back into the
+    * filter, so composing this into a larger pipeline does not force an
+    * eager driver action the way `df.stat.approxQuantile` (which
+    * collects at call time) would. Empty input yields a null threshold
+    * and the `<=` comparison drops nothing into the output — same
+    * behavior as the reference's no-op on empty. */
+  def filterByCostPercentile(summaries: DataFrame, p: Double, relErr: Double = 0.01): DataFrame = {
+    val accuracy = math.max(100, math.round(1.0 / math.max(relErr, 1e-6)).toInt)
+    val thr = summaries.agg(
+      percentile_approx(col("total_cost"), lit(p), lit(accuracy)).as("cost_threshold"))
+    summaries
+      .crossJoin(org.apache.spark.sql.functions.broadcast(thr))
+      .filter(col("total_cost") <= col("cost_threshold"))
+      .drop("cost_threshold")
+  }
 
   /** Row-level DTW mapping: explode the warping path, matching the
     * reference's explode-after-UDF shape (mapping_engine.py:662-675).

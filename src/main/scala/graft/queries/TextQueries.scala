@@ -84,6 +84,11 @@ object TextQueries {
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
     }),
+    // multi-band near-dup pairs: candidates from ANY of 16 sign-LSH bands
+    // (recall-hardened version of d10; pair recall gated in AnnRecallSpec)
+    "d16_embed_neardup_bands" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairsBanded(embs(s, dir), "vec_id", "embedding", 0.3)
+    }),
     // TF-IDF: top-3 distinguishing terms per document
     "d12_tfidf" -> ((s, dir) => {
       TF.tfIdfTopTerms(docs(s, dir), "text", "doc_id", 3)
@@ -328,6 +333,24 @@ object TextQueries {
         |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.vec[i] * a.vec[i]))) *
         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.vec[i] * b.vec[i])))), 6) AS cos_sim
         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |) WHERE cos_sim >= 0.3""".stripMargin,
+    "d16_embed_neardup_bands" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 3),
+        |           i -> CASE WHEN vec[b.band * 4 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, (SELECT UNNEST(generate_series(0, 15)) AS band) b
+        |), pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cb a JOIN cb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |SELECT * FROM (
+        |  SELECT p.id_a, p.id_b,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> av.vec[i] * bv.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> av.vec[i] * av.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> bv.vec[i] * bv.vec[i])))), 6) AS cos_sim
+        |  FROM pairs p JOIN v av ON av.vec_id = p.id_a JOIN v bv ON bv.vec_id = p.id_b
         |) WHERE cos_sim >= 0.3""".stripMargin,
     "d12_tfidf" ->
       s"""WITH dt AS (

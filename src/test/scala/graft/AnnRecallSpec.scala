@@ -56,6 +56,32 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n > 0)
   }
 
+  test("banded near-dup pairs: pair recall >= 0.9 vs exact thresholded pairs") {
+    import spark.implicits._
+    val v = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val exactPairs = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity
+      .embeddingNearDupPairsBanded(emb, "vec_id", "embedding", 0.3)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exactPairs), "banded pairs must be exact-verified candidates")
+    val r = (exactPairs & banded).size.toDouble / exactPairs.size
+    assert(r >= 0.9, s"banded near-dup pair recall = $r < 0.9 (exact=${exactPairs.size})")
+    // and strictly better than the single-bucket path the reference round flagged
+    val single = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3, nBits = 6)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(banded.size >= single.size)
+  }
+
   test("k-means training is deterministic and keeps centroid count") {
     val c1 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, iters = 2)
     val c2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, iters = 2)
