@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational `describe()`/`summary()` equivalent (SURVEY.md §2.4 A7):
+  * one row per requested column with count / mean / stddev / min /
+  * quartiles / max, computed in a SINGLE aggregate pass over the input
+  * (all columns' aggregates in one groupBy(), then a constant-size
+  * unpivot) — unlike Dataset.summary(), the output is typed (no
+  * stringly values) and deterministic enough to oracle-check.
+  *
+  * Scale note: exact `percentile` buffers each column's values in the
+  * single final-aggregation task; at very large row counts swap
+  * `percentile` for `approx_percentile` (same call shape, bounded
+  * memory, GK-sketch partial aggregation). Exact is kept here for
+  * bit-stable cross-engine verification, matching q10's discipline. */
+object Stats {
+
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    def d(c: String): Column = col(c).cast("double")
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        count(d(c)).cast("long").as(s"${c}__n"),
+        round(avg(d(c)), 6).as(s"${c}__mean"),
+        round(stddev(d(c)), 6).as(s"${c}__std"),
+        round(min(d(c)), 6).as(s"${c}__min"),
+        round(expr(s"percentile(CAST($c AS DOUBLE), 0.25)"), 6).as(s"${c}__p25"),
+        round(expr(s"percentile(CAST($c AS DOUBLE), 0.5)"), 6).as(s"${c}__p50"),
+        round(expr(s"percentile(CAST($c AS DOUBLE), 0.75)"), 6).as(s"${c}__p75"),
+        round(max(d(c)), 6).as(s"${c}__max"))
+    }
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column"),
+          col(s"${c}__n").as("n"),
+          col(s"${c}__mean").as("mean"),
+          col(s"${c}__std").as("std"),
+          col(s"${c}__min").as("min"),
+          col(s"${c}__p25").as("p25"),
+          col(s"${c}__p50").as("p50"),
+          col(s"${c}__p75").as("p75"),
+          col(s"${c}__max").as("max"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+  }
+}

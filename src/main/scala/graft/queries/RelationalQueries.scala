@@ -139,6 +139,12 @@ object RelationalQueries {
     }),
     // §2.5 RANGE frame: 7-day trailing event count per user-day (value
     // -based frame, complementing q12's ROWS frame)
+    // A7: describe()/summary() equivalent — one aggregate pass, typed
+    // output, one row per column
+    "q23_describe" -> ((s, dir) => {
+      graft.operators.Stats.describe(
+        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
     "q22_range_window" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(
@@ -361,6 +367,19 @@ object RelationalQueries {
         |)
         |SELECT l_returnflag, round(corr(rank_qty, rank_price), 6) AS rank_correlation
         |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q23_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT($c)::BIGINT AS n,
+           |       round(avg(CAST($c AS DOUBLE)), 6) AS mean,
+           |       round(stddev(CAST($c AS DOUBLE)), 6) AS std,
+           |       round(min(CAST($c AS DOUBLE)), 6) AS min,
+           |       round(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS p25,
+           |       round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+           |       round(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS p75,
+           |       round(max(CAST($c AS DOUBLE)), 6) AS max
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("\nUNION ALL\n")
+    },
     "q22_range_window" ->
       """WITH daily AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(ts AS DATE) AS period,

@@ -37,7 +37,50 @@ object ScaleBench {
     (t1, t2)
   }
 
+  /** Hot-bucket dedup stress: `nDocs` synthetic documents that ALL share
+    * one attribute bucket, with a 1% planted exact-duplicate tail.
+    * Attribute-bucketed all-pairs would score nDocs²/2 pairs; the
+    * LSH-band path's candidate count scales with the duplicate tail.
+    * Usage: runMain graft.tools.ScaleBench dedup [nDocs] */
+  def dedupMain(spark: SparkSession, nDocs: Long): Unit = {
+    val dups = math.max(1L, nDocs / 100)
+    // doc i gets 12 tokens unique to i; the last `dups` docs copy doc
+    // (id - nDocs + dups)'s text exactly — all deterministic, no driver loop
+    def textOf(id: org.apache.spark.sql.Column) =
+      concat_ws(" ", (1 to 12).map(j => concat(lit("w"), id, lit(s"x$j"))): _*)
+    val docs = spark.range(nDocs + dups).select(
+      col("id").as("doc_id"),
+      textOf(when(col("id") >= nDocs, col("id") - nDocs + (nDocs - dups)).otherwise(col("id")))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val pairs = graft.functions.Dedup.ngramJaccardViaLsh(docs, "text", "doc_id")
+    val nPairs = pairs.count()
+    val exactDups = pairs.filter(col("jaccard") === 1.0).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val quadratic = (nDocs + dups) * (nDocs + dups - 1) / 2
+    println(
+      s"""{"workload":{"docs":${nDocs + dups},"planted_dups":$dups},
+         |"lsh_pairs":{"sec":$sec,"candidate_pairs":$nPairs,"exact_dup_pairs":$exactDups},
+         |"all_pairs_avoided":$quadratic,
+         |"candidate_fraction":${nPairs.toDouble / quadratic}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 1000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      dedupMain(spark, nDocs)
+      spark.stop()
+      return
+    }
     val nKeys = if (args.nonEmpty) args(0).toLong else 200000L
     val nPeriods = if (args.length > 1) args(1).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
