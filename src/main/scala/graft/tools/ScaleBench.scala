@@ -66,7 +66,80 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** ANN stress on CLUSTERED embeddings (the realistic regime — the
+    * sf0.01 recall gate runs on near-random vectors, the adversarial
+    * one): `nVecs` synthetic dim-64 vectors in `nClusters` hash-derived
+    * clusters with 10% noise, generated distributed. Reports wall time +
+    * recall@5 of banded LSH and trained IVF vs brute force on the same
+    * query set. Usage: runMain graft.tools.ScaleBench ann [nVecs] */
+  def annMain(spark: SparkSession, nVecs: Long, nClusters: Int = 200): Unit = {
+    import graft.functions.Similarity
+    val dim = 64
+    // center(c)[j] in [-1,1) from hash(c,j); vector = center + 10% noise
+    val v = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        j =>
+          (pmod(hash(col("id") % nClusters, j), lit(2000)).cast("double") - 1000.0) / 1000.0 +
+            (pmod(hash(col("id"), j), lit(2000)).cast("double") - 1000.0) / 10000.0)
+        .as("embedding")).cache()
+    v.count()
+    val q = v.filter(col("vec_id") < 100)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (brute, bruteSec) = time {
+      Similarity.bruteForceTopK(v, q, "vec_id", "embedding", 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    def recall(pairs: Set[(Long, Long)]): Double = (brute & pairs).size.toDouble / brute.size
+    val (lshPairs, lshSec) = time {
+      Similarity.lshTopKBanded(v, q, "vec_id", "embedding", 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val (ivfPairs, ivfSec) = time {
+      Similarity.ivfTopKTrained(v, q, "vec_id", "embedding", 5, sampleN = 100000).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    // the defaults above are tuned for the ADVERSARIAL near-random gate;
+    // clustered data keeps full recall with far cheaper settings — the
+    // knob a production deployment would turn
+    val (lshCheapPairs, lshCheapSec) = time {
+      Similarity.lshTopKBanded(v, q, "vec_id", "embedding", 5,
+        nBits = 8, nBands = 2, multiProbe = false).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val (ivfCheapPairs, ivfCheapSec) = time {
+      Similarity.ivfTopKTrained(v, q, "vec_id", "embedding", 5,
+        nCentroids = 32, nProbe = 2, iters = 2, sampleN = 100000).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    println(
+      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"clusters":$nClusters,"queries":100},
+         |"brute":{"sec":$bruteSec},
+         |"lsh_banded_adversarial_cfg":{"sec":$lshSec,"recall_at_5":${recall(lshPairs)}},
+         |"ivf_trained_adversarial_cfg":{"sec":$ivfSec,"recall_at_5":${recall(ivfPairs)}},
+         |"lsh_banded_clustered_cfg":{"sec":$lshCheapSec,"recall_at_5":${recall(lshCheapPairs)}},
+         |"ivf_trained_clustered_cfg":{"sec":$ivfCheapSec,"recall_at_5":${recall(ivfCheapPairs)}}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ann")) {
+      val nVecs = if (args.length > 1) args(1).toLong else 200000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      annMain(spark, nVecs)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dedup")) {
       val nDocs = if (args.length > 1) args(1).toLong else 1000000L
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
