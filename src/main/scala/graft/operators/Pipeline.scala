@@ -133,6 +133,63 @@ object Pipeline {
   def writePartitioned(mapping: DataFrame, path: String): Unit =
     mapping.write.mode("overwrite").partitionBy("time1").parquet(path)
 
+  /** Everything the run produced, with the mapping re-read from its
+    * persisted form (what downstream consumers will actually see). */
+  final case class ProductionResult(
+      mapping: DataFrame,
+      qa: DataFrame,
+      sla: DataFrame,
+      outputPath: String,
+      slaMet: Boolean)
+
+  /** The reference ProductionPipeline.run orchestration
+    * (05_prod_dev.py:769-982), end to end: validate input schemas →
+    * stored-model mapping → partitioned save + external-table DDL → QA
+    * checks → SLA report (computed on the PERSISTED output, as the
+    * reference's monitor does) → metadata JSON next to the data.
+    *
+    * Returns lazily-usable QA/SLA DataFrames plus the overall SLA
+    * verdict; only the constant-size metadata touches the driver. */
+  def productionRun(
+      spark: SparkSession,
+      t1: DataFrame,
+      t2: DataFrame,
+      recommendations: DataFrame,
+      cfg: MappingConfig,
+      runId: String,
+      outputPath: String,
+      tableName: String,
+      dtwSummaries: Option[DataFrame] = None): ProductionResult = {
+    SeriesTable.validateSchema(t1, Seq("key", "period", "value"), "table1")
+    SeriesTable.validateSchema(t2, Seq("key", "period", "value"), "table2")
+    val t0 = System.nanoTime()
+    val mapped = run(t1, t2, recommendations, cfg, runId, dtwSummaries)
+    val path = s"$outputPath/mappings_$runId"
+    writePartitioned(mapped, path)
+    registerExternalTable(spark, path, tableName)
+    val persisted = spark.read.parquet(path)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val qa = QualityChecks.check(
+      persisted.select(
+        col("key"), col("time1"), col("value1"), col("time2"), col("value2"),
+        col("lag_offset")),
+      t1)
+    val sla = Sla.report(persisted, t1, elapsed)
+    val slaRows = sla.collect()
+    val slaMet = slaRows
+      .find(_.getAs[String]("check") == "sla_met")
+      .exists(_.getAs[String]("status") == "PASS")
+    // metadata JSON beside the data (05_prod_dev.py:884-905) — run
+    // identity + the SLA verdicts, not data, so it stays driver-safe
+    val checks = slaRows.map { r =>
+      s""""${r.getAs[String]("check")}": "${r.getAs[String]("status")}""""
+    }.mkString(", ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outputPath/metadata_$runId.json"),
+      s"""{"run_id": "$runId", "output_path": "$path", "table": "$tableName", $checks}""")
+    ProductionResult(persisted, qa, sla, path, slaMet)
+  }
+
   /** External-table DDL + monitoring view over a written mapping
     * (05_prod_dev.py:872-876, 1252-1266). */
   def registerExternalTable(spark: SparkSession, path: String, tableName: String): Unit = {

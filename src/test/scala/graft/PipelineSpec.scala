@@ -172,6 +172,36 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a.sameElements(b))
   }
 
+  test("productionRun: validate -> map -> save -> QA -> SLA -> metadata, end to end") {
+    val (t1, t2) = seriesPair(4, 8)
+    val merged = SeriesTable.merge(t1, t2)
+    val recs = Comparison.recommendationsFromMerged(merged, cfg)
+      .select(col("key"), col("recommended_method"), col("optimal_lag"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_prod").toString
+    val res = Pipeline.productionRun(
+      spark, t1, t2, recs, cfg, "r42", dir, "prod_mappings_test")
+    assert(res.slaMet, "sla must pass on the archetype data")
+    assert(res.mapping.count() > 0)
+    // persisted partition layout + registered table agree with the result
+    assert(new java.io.File(res.outputPath).listFiles().exists(_.getName.startsWith("time1=")))
+    assert(spark.sql("SELECT COUNT(*) FROM prod_mappings_test").as[Long].head() == res.mapping.count())
+    // QA on the persisted output passes the same gates as the direct path
+    val qa = res.qa.head()
+    assert(qa.getAs[String]("coverage_status") == "PASS")
+    assert(qa.getAs[String]("temporal_status") == "PASS")
+    // metadata JSON exists and carries the run id + SLA verdicts
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata_r42.json")))
+    assert(meta.contains("\"run_id\": \"r42\"") && meta.contains("\"sla_met\": \"PASS\""))
+    // schema validation fail-fast: a malformed input raises before any work
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.productionRun(
+        spark, t1.drop("value"), t2, recs, cfg, "r43", dir, "prod_mappings_test2")
+    }
+    assert(e.getMessage.contains("value"))
+    spark.sql("DROP TABLE IF EXISTS prod_mappings_test")
+  }
+
   test("streaming daily series matches the batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // stage the sf0.001 events as the stream input (nanos-safe load)
