@@ -43,6 +43,19 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("d14: banded LSH candidates come from an equi-join on (band, bucket)") {
+    val p = plan("d14_embed_lsh_bands")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q23: describe is ONE aggregate pass (no per-column re-scan)") {
+    val p = plan("q23_describe")
+    // one scan of lineitem feeding one aggregate; a per-column union of
+    // aggregates would show three scans
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)
