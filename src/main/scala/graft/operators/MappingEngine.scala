@@ -70,8 +70,12 @@ object MappingEngine {
       t1: DataFrame,
       t2: DataFrame,
       cfg: MappingConfig,
-      dtwSummaries: Option[DataFrame] = None): DataFrame = {
-    val best = LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged, cfg)).cache()
+      dtwSummaries: Option[DataFrame] = None,
+      bestLag: Option[DataFrame] = None): DataFrame = {
+    // callers that already staged the best-lag table (it feeds half the
+    // query family) pass it in; otherwise compute-and-cache here
+    val best = bestLag.getOrElse(
+      LagCorrelation.bestLag(LagCorrelation.lagCorrTable(merged, cfg)).cache())
     val simpleKeys = best.filter(col("correlation") >= cfg.autoCorrThreshold).select(col("key"))
     // Keys whose best correlation is below the threshold — plus keys with NO
     // valid correlation at all (all-lag NaN / too-short): the reference's

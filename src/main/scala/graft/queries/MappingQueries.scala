@@ -95,7 +95,8 @@ object MappingQueries {
     // auto mode: corr/dtw split at 0.7 + unionByName (rows-only)
     "m7_auto_mapping" -> ((s, dir) => {
       val (t1, t2) = series(s, dir)
-      MappingEngine.autoMapping(merged(s, dir), t1, t2, cfg, Some(dtwSummaries(s, dir))).select(
+      MappingEngine.autoMapping(
+        merged(s, dir), t1, t2, cfg, Some(dtwSummaries(s, dir)), Some(bestLag(s, dir))).select(
         col("key"), col("time1"), round(col("value1"), 6).as("value1"),
         col("time2"), round(col("value2"), 6).as("value2"),
         col("lag_offset").cast("long").as("lag_offset"),

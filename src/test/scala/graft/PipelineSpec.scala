@@ -202,6 +202,18 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     spark.sql("DROP TABLE IF EXISTS prod_mappings_test")
   }
 
+  test("GraftSession.restore puts tuned confs back to the caller's values") {
+    val key = "spark.sql.ansi.enabled"
+    graft.core.GraftSession.restore(spark) // drop any recording from earlier suites
+    spark.conf.set(key, "true")
+    graft.core.GraftSession.tune(spark) // records the caller's "true"
+    assert(spark.conf.get(key) == "false") // engine semantics while tuned
+    graft.core.GraftSession.restore(spark)
+    assert(spark.conf.get(key) == "true", "restore must return the caller's ANSI setting")
+    // put the suite back into engine mode for the remaining tests
+    graft.core.GraftSession.tune(spark)
+  }
+
   test("streaming daily series matches the batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // stage the sf0.001 events as the stream input (nanos-safe load)
