@@ -85,7 +85,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
-    val (sigs, pairs) = lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+    val (sigs, pairs) =
+      lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand, cacheSigs = true)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -96,19 +97,25 @@ object Dedup {
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
   }
 
-  /** Shared LSH core: cached signature table + banded-bucket candidate
-    * pairs (id_a < id_b, distinct). The pair-generation join is on
+  /** Shared LSH core: signature table + banded-bucket candidate pairs
+    * (id_a < id_b, distinct). The pair-generation join is on
     * (band, bucket) — candidate count scales with the number of TRUE
-    * near-dup groups, not with any coarse attribute's group size. */
+    * near-dup groups, not with any coarse attribute's group size.
+    * `cacheSigs`: cache the signature table when the caller reads it
+    * several times (minhashLshPairs: 4 reads); the cache lives until
+    * `spark.catalog.clearCache()`, so callers that only need the pairs
+    * pass false and pay one recompute instead of an unbounded leak. */
   private def lshSignaturesAndPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int,
       numHashes: Int,
-      rowsPerBand: Int): (DataFrame, DataFrame) = {
+      rowsPerBand: Int,
+      cacheSigs: Boolean): (DataFrame, DataFrame) = {
     val numBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes).cache()
+    val raw = minhashSignatures(df, textCol, idCol, shingleSize, numHashes)
+    val sigs = if (cacheSigs) raw.cache() else raw
     val banded = sigs.select(
       col("id"),
       explode(
@@ -144,7 +151,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
-    val (_, pairs) = lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+    // signatures feed only the band self-join here (two reads): recompute
+    // rather than leak an uncollectable cached table into the session
+    val (_, pairs) =
+      lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand, cacheSigs = false)
     val sh = df.select(
       col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), shingleSize).as("sh"))

@@ -86,9 +86,13 @@ object Similarity {
     * .minhashLshPairs): a pair is a candidate if it collides in ANY band,
     * so per-band selectivity stays high while recall compounds across
     * bands. Returns array<struct<band, bucket>>. Requires
-    * nBits·nBands <= dim. */
-  def signBandBuckets(vec: Column, nBits: Int, nBands: Int): Column =
-    transform(
+    * nBits·nBands <= dim — ENFORCED at runtime: an undersized vector
+    * raises instead of silently collapsing the out-of-range bands into
+    * one all-zero bucket (which would degrade the candidate equi-join to
+    * an effectively quadratic self-join). */
+  def signBandBuckets(vec: Column, nBits: Int, nBands: Int): Column = {
+    val needed = nBits * nBands
+    val buckets = transform(
       sequence(lit(0), lit(nBands - 1)),
       b =>
         struct(
@@ -100,6 +104,11 @@ object Similarity {
               acc + when(
                 element_at(vec, b * nBits + i + 1) >= 0,
                 pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)).as("bucket")))
+    when(size(vec) >= needed, buckets)
+      .otherwise(raise_error(concat(
+        lit(s"signBandBuckets: nBits*nBands=$needed exceeds vector dimension "),
+        size(vec).cast("string"))))
+  }
 
   /** Expand each (band, bucket) with its `nBits` Hamming-distance-1
     * neighbors (one sign bit flipped) — multi-probe: a query also checks
@@ -282,9 +291,12 @@ object Similarity {
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .cache()
     try {
+      // a corpus smaller than nCentroids under-fills the init: clamp k to
+      // what the data provides instead of indexing past the model array
       var cents: Array[Array[Double]] =
         sample.orderBy(col("id").asc).limit(nCentroids).collect()
           .map(_.getSeq[Double](1).toArray)
+      val k = cents.length
       for (_ <- 1 to iters) {
         val centDf = broadcast(
           spark.createDataFrame(cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
@@ -305,7 +317,7 @@ object Similarity {
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
           .toMap
-        cents = Array.tabulate(nCentroids)(i => means.getOrElse(i, cents(i)))
+        cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
       }
       cents
     } finally sample.unpersist(blocking = false)

@@ -27,19 +27,26 @@ object Skew {
   /** Salted two-phase aggregation for non-algebraic per-key reductions
     * (e.g. building bounded samples of a hot key's rows): phase 1 groups
     * by (key, salt) limiting each salt bucket, phase 2 merges buckets per
-    * key. `perSaltLimit` bounds memory per reducer deterministically. */
+    * key. `perSaltLimit` bounds memory per reducer deterministically.
+    *
+    * `saltBy` MUST be a deterministic per-row expression (default:
+    * hash of the payload). A nondeterministic salt (rand,
+    * monotonically_increasing_id) before the shuffle is a correctness
+    * hazard — task retries recompute different salts than the partitions
+    * reducers already fetched. When the payload is constant or
+    * low-cardinality for a hot key (so its hash collapses into one salt
+    * bucket), pass a unique row attribute (primary key, offset) as
+    * `saltBy` instead. */
   def saltedSample(
       df: DataFrame,
       key: String,
       payload: Column,
       saltBuckets: Int,
-      perSaltLimit: Int): DataFrame =
-    // Salt from the row's physical position, not hash(payload): a hot key
-    // whose payload is constant/low-cardinality would collapse into one
-    // salt bucket and defeat the spreading entirely.
+      perSaltLimit: Int,
+      saltBy: Option[Column] = None): DataFrame =
     df.select(
       col(key),
-      (monotonically_increasing_id() % saltBuckets).as("salt"),
+      (abs(hash(saltBy.getOrElse(payload))) % saltBuckets).as("salt"),
       payload.as("payload"))
       .groupBy(col(key), col("salt"))
       .agg(slice(collect_list(col("payload")), 1, perSaltLimit).as("bucket"))

@@ -180,31 +180,43 @@ object Pipeline {
       .find(_.getAs[String]("check") == "sla_met")
       .exists(_.getAs[String]("status") == "PASS")
     // metadata JSON beside the data (05_prod_dev.py:884-905) — run
-    // identity + the SLA verdicts, not data, so it stays driver-safe
+    // identity + the SLA verdicts, not data, so it stays driver-safe.
+    // Written through the Hadoop FileSystem resolved from the output
+    // path, so hdfs:// and s3a:// destinations work the same as local.
     val checks = slaRows.map { r =>
       s""""${r.getAs[String]("check")}": "${r.getAs[String]("status")}""""
     }.mkString(", ")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outputPath/metadata_$runId.json"),
-      s"""{"run_id": "$runId", "output_path": "$path", "table": "$tableName", $checks}""")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outputPath/metadata_$runId.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(
+      s"""{"run_id": "$runId", "output_path": "$path", "table": "$tableName", $checks}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     ProductionResult(persisted, qa, sla, path, slaMet)
   }
 
   /** External-table DDL + monitoring view over a written mapping
     * (05_prod_dev.py:872-876, 1252-1266). */
   def registerExternalTable(spark: SparkSession, path: String, tableName: String): Unit = {
-    // Identifiers/paths are interpolated into DDL text: backtick-quote the
-    // table name (escaping embedded backticks) and escape quotes in the
-    // path so a hostile or merely unusual name can't break out of the
-    // statement.
-    val tn = "`" + tableName.replace("`", "``") + "`"
-    val p = path.replace("'", "''")
+    // Identifiers/paths are interpolated into DDL text: backtick-quote
+    // each dot-separated part of the (possibly database-qualified) table
+    // name, and backslash-escape quotes in the path (Spark's lexer uses
+    // backslash escapes; SQL-standard '' doubling would silently
+    // concatenate adjacent literals and mangle the location).
+    def quoted(name: String): String =
+      name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val tn = quoted(tableName)
+    val p = path.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"DROP TABLE IF EXISTS $tn")
     spark.sql(s"CREATE TABLE $tn USING PARQUET LOCATION '$p'")
     // partitioned layout: populate the catalog's partition list
     spark.sql(s"MSCK REPAIR TABLE $tn")
+    // the monitor view is temporary → always unqualified; derive its name
+    // from the table's last part
+    val viewName = tableName.split('.').last
     spark.sql(
-      s"""CREATE OR REPLACE TEMPORARY VIEW `${tableName.replace("`", "``")}_monitor` AS
+      s"""CREATE OR REPLACE TEMPORARY VIEW `${viewName.replace("`", "``")}_monitor` AS
          |SELECT method, time1, COUNT(*) AS n_mappings, COUNT(DISTINCT key) AS n_keys
          |FROM $tn GROUP BY method, time1""".stripMargin)
   }

@@ -26,9 +26,9 @@ object Stats {
         round(avg(d(c)), 6).as(s"${c}__mean"),
         round(stddev(d(c)), 6).as(s"${c}__std"),
         round(min(d(c)), 6).as(s"${c}__min"),
-        round(expr(s"percentile(CAST($c AS DOUBLE), 0.25)"), 6).as(s"${c}__p25"),
-        round(expr(s"percentile(CAST($c AS DOUBLE), 0.5)"), 6).as(s"${c}__p50"),
-        round(expr(s"percentile(CAST($c AS DOUBLE), 0.75)"), 6).as(s"${c}__p75"),
+        round(percentile(d(c), lit(0.25)), 6).as(s"${c}__p25"),
+        round(percentile(d(c), lit(0.5)), 6).as(s"${c}__p50"),
+        round(percentile(d(c), lit(0.75)), 6).as(s"${c}__p75"),
         round(max(d(c)), 6).as(s"${c}__max"))
     }
     df.agg(aggExprs.head, aggExprs.tail: _*)

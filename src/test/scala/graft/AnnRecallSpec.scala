@@ -82,6 +82,27 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(banded.size >= single.size)
   }
 
+  test("training clamps to the corpus when it has fewer vectors than nCentroids") {
+    val tiny = emb.filter(col("vec_id") < 10) // 10 vectors, ask for 32 centroids
+    val c = Similarity.trainIvfCentroids(tiny, "vec_id", "embedding", 32, iters = 2)
+    assert(c.length == 10)
+    // and the trained top-k still answers on the tiny corpus
+    val got = Similarity.ivfTopKTrained(tiny, tiny.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3, nCentroids = 32, nProbe = 12)
+    assert(got.count() > 0)
+  }
+
+  test("signBandBuckets raises on vectors shorter than nBits*nBands") {
+    import spark.implicits._
+    val short = Seq((1L, Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(Similarity.signBandBuckets(
+        col("embedding"), nBits = 6, nBands = 10).as("b")).collect()
+    }
+    assert(e.getMessage.contains("exceeds vector dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds vector dimension")))
+  }
+
   test("k-means training is deterministic and keeps centroid count") {
     val c1 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, iters = 2)
     val c2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, iters = 2)

@@ -78,6 +78,23 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     spark.sql("DROP TABLE IF EXISTS mapping_test")
   }
 
+  test("registerExternalTable handles database-qualified names") {
+    val (t1, t2) = seriesPair(2, 5)
+    val recs = Seq(("K1", "Correlation", 1)).toDF("key", "recommended_method", "optimal_lag")
+    val out = Pipeline.run(t1, t2, recs, cfg, "run_q")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qual").toString
+    Pipeline.writePartitioned(out, s"$dir/m")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_testdb")
+    try {
+      Pipeline.registerExternalTable(spark, s"$dir/m", "graft_testdb.mapping_q")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_testdb.mapping_q").as[Long].head() == out.count())
+      assert(spark.sql("SELECT COUNT(*) FROM mapping_q_monitor").as[Long].head() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_testdb.mapping_q")
+      spark.sql("DROP DATABASE IF EXISTS graft_testdb")
+    }
+  }
+
   test("end-to-end: train recommendations, run pipeline, QA passes") {
     val (t1, t2) = seriesPair(4, 8)
     val merged = SeriesTable.merge(t1, t2)
