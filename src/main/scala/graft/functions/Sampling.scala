@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a partition-seeded RNG: the selected rows
+  * change with partitioning, task retries, and engine — unusable for
+  * reproducible train/test splits or auditable data mixing. These
+  * operators key every decision on the 60-bit md5-derived portable hash
+  * of a stable row id, so a row's fate is a pure function of its id:
+  * identical across runs, partitionings, engines (DuckDB-oracle-able),
+  * and INCREMENTAL — re-running over a grown dataset keeps every
+  * previous decision, the property a 100 TB pipeline needs to avoid
+  * re-shuffling its training set on every ingest.
+  *
+  * All per-row work is a map-side filter (no shuffle); the mixture
+  * computation is one small aggregate broadcast back.
+  */
+object Sampling {
+
+  /** 2^60 — the portable hash is 15 hex chars = 60 bits, uniform. */
+  val hashSpace: Double = math.pow(2.0, 60)
+
+  private def keep(idCol: Column, fraction: Column): Column =
+    TextFunctions.portableHash(idCol.cast("string")) < (fraction * lit(hashSpace)).cast("long")
+
+  /** Deterministic Bernoulli(fraction) sample keyed on `idCol`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(keep(col(idCol), lit(fraction)))
+  }
+
+  /** Stratified deterministic sample: per-stratum fractions (strata not
+    * listed are dropped — the reference semantics of sampleBy). */
+  def hashSampleBy(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(keep(col(idCol), frac))
+  }
+
+  /** Reproducible train/test split: adds a `split` column ("test" for
+    * the hash-lowest `testFraction` of ids, else "train"). A row never
+    * migrates between splits as the dataset grows. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double): DataFrame =
+    df.withColumn(
+      "split",
+      when(keep(col(idCol), lit(testFraction)), "test").otherwise("train"))
+
+  /** Data-mixing rates: given per-row token counts, a stratum column
+    * (e.g. source), target mixture weights, and a total token budget,
+    * compute each stratum's deterministic sampling rate
+    * `min(1, weight·budget / stratum_tokens)` plus its expected token
+    * yield — the planning step of an LLM data-mixture pipeline.
+    * One partial-aggregated pass; output is one row per stratum. */
+  def mixtureRates(
+      df: DataFrame,
+      strataCol: String,
+      tokenCountCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(tokenCountCol)).cast("long").as("stratum_tokens"))
+      .withColumn(
+        "weight",
+        weights.foldLeft(lit(0.0)) { case (acc, (stratum, wt)) =>
+          when(col("stratum") === stratum, lit(wt)).otherwise(acc)
+        })
+      .withColumn(
+        "sample_rate",
+        round(least(lit(1.0), col("weight") * tokenBudget / col("stratum_tokens")), 6))
+      .withColumn(
+        "expected_tokens",
+        round(col("sample_rate") * col("stratum_tokens")).cast("long"))
+      .select(col("stratum"), col("stratum_tokens"), round(col("weight"), 6).as("weight"),
+        col("sample_rate"), col("expected_tokens"))
+  }
+}

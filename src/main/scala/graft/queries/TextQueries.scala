@@ -129,6 +129,24 @@ object TextQueries {
           count(when(col("kept"), 1)).as("n_kept"),
           round(avg(col("quality")), 6).as("avg_quality"))
     }),
+    // deterministic stratified sampling: per-lang binary-fraction rates
+    // keyed on the portable doc-id hash (reproducible + incremental —
+    // a row's fate never changes as the dataset grows)
+    "d17_hash_sample" -> ((s, dir) => {
+      graft.functions.Sampling
+        .hashSampleBy(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125))
+        .select(col("doc_id"), col("lang"))
+    }),
+    // data-mixture planning: per-source token totals -> deterministic
+    // sampling rate min(1, weight*budget/tokens) + expected token yield
+    "d18_mixture" -> ((s, dir) => {
+      graft.functions.Sampling.mixtureRates(
+        docs(s, dir).select(col("source"), TF.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3),
+        tokenBudget = 10000L)
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -439,6 +457,29 @@ object TextQueries {
          |FROM scored s LEFT JOIN drops d ON d.drop_id = s.doc_id
          |GROUP BY s.source""".stripMargin
     },
+    "d17_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+        |      CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                      WHEN 'fr' THEN 0.125 ELSE 0.0 END)
+        |           * 1152921504606846976 AS BIGINT)""".stripMargin,
+    "d18_mixture" ->
+      s"""WITH t AS (
+         |  SELECT source AS stratum,
+         |         CAST(SUM(len($toks)) AS BIGINT) AS stratum_tokens
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT stratum, stratum_tokens,
+         |         round(CASE stratum WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+         |                            WHEN 'src2' THEN 0.3 ELSE 0.0 END, 6) AS weight,
+         |         round(least(1.0, CASE stratum WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+         |                                       WHEN 'src2' THEN 0.3 ELSE 0.0 END
+         |                          * 10000 / stratum_tokens), 6) AS sample_rate
+         |  FROM t
+         |)
+         |SELECT stratum, stratum_tokens, weight, sample_rate,
+         |       CAST(round(sample_rate * stratum_tokens) AS BIGINT) AS expected_tokens
+         |FROM w""".stripMargin,
     "x1_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text))::BIGINT AS n_bytes,

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The properties deterministic sampling exists for: same ids in, same
+  * rows out — across runs, partitionings, and dataset growth. */
+class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val docs = (1 to 2000)
+    .map(i => (i.toLong, if (i % 3 == 0) "en" else "de", s"text $i"))
+    .toDF("doc_id", "lang", "text")
+
+  test("hashSample is deterministic and approximately sized") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "selection must not depend on partitioning")
+    assert(math.abs(a.size - 1000) < 120, s"got ${a.size} of 2000 at fraction 0.5")
+  }
+
+  test("sampling decisions are stable as the dataset grows (incremental property)") {
+    val first = Sampling.hashSample(docs.filter($"doc_id" <= 1000), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val grown = Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(grown.filter(_ <= 1000) == first, "growing the input must not flip old decisions")
+  }
+
+  test("hashSampleBy applies per-stratum fractions; unlisted strata drop") {
+    val s = Sampling.hashSampleBy(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(s.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(s.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("trainTestSplit partitions every row exactly once, stably") {
+    val split = Sampling.trainTestSplit(docs, "doc_id", 0.125)
+    assert(split.count() == 2000)
+    val test = split.filter($"split" === "test").count()
+    assert(math.abs(test - 250) < 60, s"test split size $test vs expected 250")
+    // a row's split never changes when the data is re-partitioned
+    val again = Sampling.trainTestSplit(docs.repartition(13), "doc_id", 0.125)
+    assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("mixtureRates: rate = min(1, weight*budget/tokens), zero for unlisted strata") {
+    val rows = Seq(
+      ("a", 100L), ("a", 100L), // a: 200 tokens
+      ("b", 50L),               // b: 50 tokens
+      ("c", 500L)               // c: unlisted
+    ).toDF("source", "n")
+    val m = Sampling.mixtureRates(rows, "source", "n", Map("a" -> 0.6, "b" -> 0.4), 100L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Double]("sample_rate"), r.getAs[Long]("expected_tokens"))).toMap
+    assert(m("a") == ((0.3, 60L)))  // 0.6*100/200
+    assert(m("b") == ((0.8, 40L)))  // 0.4*100/50
+    assert(m("c") == ((0.0, 0L)))
+  }
+}
