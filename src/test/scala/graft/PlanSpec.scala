@@ -56,6 +56,26 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.split("Scan parquet").length - 1 == 1, p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the runtime-filter lever for 100 TB fact joins: a selective filter
+    // on the dimension side injects a bloom_filter_agg whose result
+    // pre-filters the fact scan before the shuffle. Thresholds are
+    // sized for clusters; lower them to observe the plan shape locally.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      val ord = graft.sources.Tables.load(spark, dir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), s"runtime bloom filter not injected:\n${p.take(1500)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)
