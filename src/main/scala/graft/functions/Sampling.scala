@@ -40,6 +40,9 @@ object Sampling {
       strataCol: String,
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.nonEmpty, "need at least one stratum fraction")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0 && f <= 1, s"fraction for stratum '$s' must be in [0,1], got $f")
+    }
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === stratum, lit(f)).otherwise(acc)
     }
@@ -49,10 +52,13 @@ object Sampling {
   /** Reproducible train/test split: adds a `split` column ("test" for
     * the hash-lowest `testFraction` of ids, else "train"). A row never
     * migrates between splits as the dataset grows. */
-  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double): DataFrame =
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
     df.withColumn(
       "split",
       when(keep(col(idCol), lit(testFraction)), "test").otherwise("train"))
+  }
 
   /** Data-mixing rates: given per-row token counts, a stratum column
     * (e.g. source), target mixture weights, and a total token budget,
@@ -66,6 +72,11 @@ object Sampling {
       tokenCountCol: String,
       weights: Map[String, Double],
       tokenBudget: Long): DataFrame = {
+    require(weights.nonEmpty, "need at least one mixture weight")
+    weights.foreach { case (s, w) =>
+      require(w >= 0, s"weight for stratum '$s' must be >= 0, got $w")
+    }
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
     df.groupBy(col(strataCol).as("stratum"))
       .agg(sum(col(tokenCountCol)).cast("long").as("stratum_tokens"))
       .withColumn(

@@ -104,10 +104,12 @@ object Similarity {
               acc + when(
                 element_at(vec, b * nBits + i + 1) >= 0,
                 pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)).as("bucket")))
-    when(size(vec) >= needed, buckets)
+    // null-safe: a null vector must raise with a REAL message too (a null
+    // inside concat would make raise_error throw a meaningless "null")
+    when(coalesce(size(vec) >= needed, lit(false)), buckets)
       .otherwise(raise_error(concat(
         lit(s"signBandBuckets: nBits*nBands=$needed exceeds vector dimension "),
-        size(vec).cast("string"))))
+        coalesce(size(vec).cast("string"), lit("null")))))
   }
 
   /** Expand each (band, bucket) with its `nBits` Hamming-distance-1

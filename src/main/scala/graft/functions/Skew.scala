@@ -29,24 +29,25 @@ object Skew {
     * by (key, salt) limiting each salt bucket, phase 2 merges buckets per
     * key. `perSaltLimit` bounds memory per reducer deterministically.
     *
-    * `saltBy` MUST be a deterministic per-row expression (default:
-    * hash of the payload). A nondeterministic salt (rand,
-    * monotonically_increasing_id) before the shuffle is a correctness
-    * hazard — task retries recompute different salts than the partitions
-    * reducers already fetched. When the payload is constant or
-    * low-cardinality for a hot key (so its hash collapses into one salt
-    * bucket), pass a unique row attribute (primary key, offset) as
-    * `saltBy` instead. */
+    * `rowId` MUST be a deterministic, high-cardinality per-row
+    * expression (a primary key, an offset). It is required, not
+    * defaulted, because both cheap defaults are wrong: hash(payload)
+    * collapses a hot key's constant payload into ONE salt bucket
+    * (single-reducer blowup — the very thing salting prevents), and a
+    * nondeterministic salt (rand, monotonically_increasing_id) before
+    * the shuffle corrupts the sample on task retry (recomputed map
+    * tasks salt rows differently than the partitions reducers already
+    * fetched). */
   def saltedSample(
       df: DataFrame,
       key: String,
       payload: Column,
       saltBuckets: Int,
       perSaltLimit: Int,
-      saltBy: Option[Column] = None): DataFrame =
+      rowId: Column): DataFrame =
     df.select(
       col(key),
-      (abs(hash(saltBy.getOrElse(payload))) % saltBuckets).as("salt"),
+      (abs(hash(rowId)) % saltBuckets).as("salt"),
       payload.as("payload"))
       .groupBy(col(key), col("salt"))
       .agg(slice(collect_list(col("payload")), 1, perSaltLimit).as("bucket"))

@@ -183,14 +183,20 @@ object Pipeline {
     // identity + the SLA verdicts, not data, so it stays driver-safe.
     // Written through the Hadoop FileSystem resolved from the output
     // path, so hdfs:// and s3a:// destinations work the same as local.
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val checks = slaRows.map { r =>
-      s""""${r.getAs[String]("check")}": "${r.getAs[String]("status")}""""
+      s"""${js(r.getAs[String]("check"))}: ${js(r.getAs[String]("status"))}"""
     }.mkString(", ")
     val metaPath = new org.apache.hadoop.fs.Path(s"$outputPath/metadata_$runId.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(metaPath, true)
     try out.write(
-      s"""{"run_id": "$runId", "output_path": "$path", "table": "$tableName", $checks}"""
+      s"""{"run_id": ${js(runId)}, "output_path": ${js(path)}, "table": ${js(tableName)}, $checks}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     ProductionResult(persisted, qa, sla, path, slaMet)
@@ -212,9 +218,11 @@ object Pipeline {
     spark.sql(s"CREATE TABLE $tn USING PARQUET LOCATION '$p'")
     // partitioned layout: populate the catalog's partition list
     spark.sql(s"MSCK REPAIR TABLE $tn")
-    // the monitor view is temporary → always unqualified; derive its name
-    // from the table's last part
-    val viewName = tableName.split('.').last
+    // the monitor view is temporary → always unqualified; flatten the
+    // FULL qualified name into it (db1.mapping → db1_mapping_monitor) so
+    // same-named tables in different databases don't clobber each
+    // other's view
+    val viewName = tableName.split('.').mkString("_")
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW `${viewName.replace("`", "``")}_monitor` AS
          |SELECT method, time1, COUNT(*) AS n_mappings, COUNT(DISTINCT key) AS n_keys

@@ -458,11 +458,11 @@ object TextQueries {
          |GROUP BY s.source""".stripMargin
     },
     "d17_hash_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
-        |      CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
-        |                      WHEN 'fr' THEN 0.125 ELSE 0.0 END)
-        |           * 1152921504606846976 AS BIGINT)""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${phash("CAST(doc_id AS VARCHAR)")} <
+         |      CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+         |                      WHEN 'fr' THEN 0.125 ELSE 0.0 END)
+         |           * 1152921504606846976 AS BIGINT)""".stripMargin,
     "d18_mixture" ->
       s"""WITH t AS (
          |  SELECT source AS stratum,

@@ -88,7 +88,9 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     try {
       Pipeline.registerExternalTable(spark, s"$dir/m", "graft_testdb.mapping_q")
       assert(spark.sql("SELECT COUNT(*) FROM graft_testdb.mapping_q").as[Long].head() == out.count())
-      assert(spark.sql("SELECT COUNT(*) FROM mapping_q_monitor").as[Long].head() > 0)
+      // the monitor view carries the full qualified name flattened, so
+      // same-named tables in different databases keep distinct views
+      assert(spark.sql("SELECT COUNT(*) FROM graft_testdb_mapping_q_monitor").as[Long].head() > 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_testdb.mapping_q")
       spark.sql("DROP DATABASE IF EXISTS graft_testdb")

@@ -41,9 +41,21 @@ class SkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("saltedSample bounds per-key sample size and keeps only that key's rows") {
-    val df = (1 to 2000).map(i => ("hot", s"p$i")).toDF("key", "payload")
-    val out = Skew.saltedSample(df, "key", $"payload", saltBuckets = 8, perSaltLimit = 10)
+    val df = (1 to 2000).map(i => ("hot", i, s"p$i")).toDF("key", "id", "payload")
+    val out = Skew.saltedSample(df, "key", $"payload", saltBuckets = 8, perSaltLimit = 10,
+      rowId = $"id")
       .select($"key", size($"sample").as("n")).as[(String, Int)].head()
     assert(out._1 == "hot" && out._2 <= 80 && out._2 > 0)
+  }
+
+  test("saltedSample spreads a hot key with CONSTANT payload across salt buckets") {
+    // the case a payload-hash salt would collapse into one bucket: the
+    // row-id salt keeps every bucket bounded
+    val df = (1 to 2000).map(i => ("hot", i, "same-payload")).toDF("key", "id", "payload")
+    val out = Skew.saltedSample(df, "key", $"payload", saltBuckets = 8, perSaltLimit = 10,
+      rowId = $"id")
+      .select(size($"sample").as("n")).as[Int].head()
+    assert(out > 10, s"expected multiple salt buckets to contribute, got $out rows")
+    assert(out <= 80)
   }
 }
