@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming ingestion of the events table: a watermarked
@@ -55,6 +55,90 @@ object EventsStream {
         sum(when(col("event_type").isin("click", "view"), col("value"))).as("v1"),
         sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
       .select(col("key"), to_date(col("w.start")).as("period"), col("v1"), col("v2"))
+
+  /** One event inside a session group (typed for the state function; keeps
+    * the watermarked `ts` column itself — projecting it to millis before
+    * the stateful op would drop the watermark the event-time timeout needs). */
+  case class SessEvent(key: String, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** The open session carried across micro-batches for one key. */
+  case class OpenSession(
+      sessionId: Long, startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
+
+  /** A finalized session — same shape and semantics as batch q15_sessions. */
+  case class SessionOut(
+      key: String, session_id: Long, n_events: Long, duration_ms: Long, total_value: Double)
+
+  /** Streaming sessionization with custom state — the `flatMapGroupsWithState`
+    * form of batch q15_sessions (30-min inactivity gap). Each key's open
+    * session lives in the state store; a session is emitted either when a
+    * later event opens the next one, or when the event-time watermark passes
+    * `last event + gap` (timeout), so state is bounded by the number of
+    * concurrently-open sessions, never by history.
+    *
+    * Semantics note (inherent to append-mode streaming): events are folded
+    * in event-time order *within* each micro-batch; a session already closed
+    * by the watermark cannot be reopened by late data — identical guarantees
+    * to Spark's own `session_window`, but with the custom per-session state
+    * (running totals, duration) the reference's batch query computes.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapMs: Long = 1800000L,
+      watermark: String = "1 day"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def finalize(s: OpenSession, key: String): SessionOut =
+      SessionOut(
+        key, s.sessionId, s.nEvents, s.lastMs - s.startMs,
+        BigDecimal(s.totalValue).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    val fn = (key: String, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(finalize(_, key)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var open = state.getOption
+        sorted.foreach { e =>
+          val tsMs = e.ts.getTime
+          open = open match {
+            case Some(s) if tsMs - s.lastMs <= gapMs =>
+              Some(s.copy(lastMs = tsMs, nEvents = s.nEvents + 1,
+                totalValue = s.totalValue + e.value))
+            case Some(s) =>
+              closed += finalize(s, key)
+              Some(OpenSession(s.sessionId + 1, tsMs, tsMs, 1L, e.value))
+            case None =>
+              Some(OpenSession(1L, tsMs, tsMs, 1L, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // fire once the watermark passes the inactivity gap; clamp above
+          // the current watermark (if the gap already elapsed, the session
+          // closes on the next no-data batch — on time by construction,
+          // since on-time events that could extend it can no longer arrive)
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+        }
+        closed.iterator
+      }
+
+    events
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("event_id"),
+        col("ts"),
+        col("value"))
+      .withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Append-mode writer to a parquet sink (finalized windows only). */
   def writer(series: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

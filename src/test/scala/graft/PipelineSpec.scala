@@ -282,6 +282,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) agrees with batch q15") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sessions = EventsStream.sessionize(
+      EventsStream.readEvents(spark, s"$dir/in"), watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "session stream did not finish in time")
+    val got = spark.table("sess_mem")
+    val expected = SparkEntry.queries("q15_sessions")(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("n_events", "e_n")
+      .withColumnRenamed("duration_ms", "e_dur")
+      .withColumnRenamed("total_value", "e_tot")
+    // append mode: only watermark-finalized sessions appear, but every
+    // emitted session must match its batch counterpart bit-for-bit
+    assert(got.count() > 0 && got.count() <= expected.count())
+    assert(got.join(expected, Seq("key", "session_id"), "left_anti").count() == 0)
+    val mismatch = got.join(expected, Seq("key", "session_id"))
+      .filter(
+        col("n_events") =!= col("e_n") || col("duration_ms") =!= col("e_dur") ||
+          abs(col("total_value") - col("e_tot")) > 1e-9)
+    assert(mismatch.count() == 0)
+  }
+
   test("stream-driven incremental mapping remaps touched entities per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_map").toString
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
