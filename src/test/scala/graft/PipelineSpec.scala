@@ -282,6 +282,29 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("model store: versioned snapshots, time-travel reads, O(1) restore") {
+    import graft.sources.ModelStore
+    val root = java.nio.file.Files.createTempDirectory("graft_models").toString + "/m"
+    val v1df = Seq(("a", 1), ("b", 2)).toDF("key", "optimal_lag")
+    val v2df = Seq(("a", 3), ("b", 4), ("c", 5)).toDF("key", "optimal_lag")
+    assert(ModelStore.versions(spark, root).isEmpty)
+    assert(ModelStore.save(v1df, root) == 1L)
+    assert(ModelStore.save(v2df, root) == 2L)
+    // latest read follows the pointer
+    assert(ModelStore.load(spark, root).count() == 3)
+    // VERSION AS OF
+    assert(ModelStore.load(spark, root, Some(1L)).count() == 2)
+    // RESTORE: pointer-only rollback, history intact
+    ModelStore.restore(spark, root, 1L)
+    assert(ModelStore.currentVersion(spark, root).contains(1L))
+    assert(ModelStore.load(spark, root).count() == 2)
+    assert(ModelStore.versions(spark, root) == Seq(1L, 2L))
+    // a save after restore appends v3 — never clobbers rolled-over history
+    assert(ModelStore.save(v2df, root) == 3L)
+    assert(ModelStore.load(spark, root, Some(2L)).count() == 3)
+    intercept[IllegalArgumentException](ModelStore.restore(spark, root, 99L))
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) agrees with batch q15") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
