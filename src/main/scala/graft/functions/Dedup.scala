@@ -227,4 +227,41 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
+
+  /** Benchmark decontamination: per training document, the fraction of its
+    * distinct word n-grams that also appear anywhere in an evaluation set
+    * (the standard n-gram-overlap contamination check of public pipeline
+    * reports — GPT-3 appendix C, Dolma §4, both public papers). Returns
+    * `(id, n_grams, n_contaminated, contamination)` for docs at or above
+    * `minContamination`.
+    *
+    * Shape at scale: the eval side (benchmark suites — MBs against a
+    * 100 TB corpus) collapses to DISTINCT n-grams and BROADCASTS; the
+    * train side explodes once and aggregates by doc id — one shuffle of
+    * the gram table, no join of corpus against corpus. The threshold
+    * compares raw counts (`n_hit >= n_total * frac`), not a rounded
+    * ratio, so flagging is bit-stable across engines. */
+  def contaminationReport(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      minContamination: Double = 0.0): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    train
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_contaminated"))
+      .filter(col("n_contaminated").cast("double") >= col("n_grams") * lit(minContamination))
+      .withColumn(
+        "contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
 }

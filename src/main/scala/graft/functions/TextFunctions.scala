@@ -131,11 +131,56 @@ object TextFunctions {
   }
 
   /** Distinct word n-gram shingles as an array column. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(allShingles(text, n))
+
+  /** All word n-gram shingles in text order (NON-distinct) — repetition
+    * metrics need the multiplicities that [[shingles]] collapses. */
+  def allShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(t) - n, lit(0))),
-        i => array_join(slice(t, i + 1, lit(n)), " ")))
+    transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => array_join(slice(t, i + 1, lit(n)), " "))
+  }
+
+  /** Gopher-style per-document repetition metrics
+    * (Rae et al. 2021, "Scaling Language Models", table A1 repetition
+    * filters — public paper):
+    *
+    *   - `top_bigram_frac`: occurrences of the most frequent word bigram /
+    *     total bigrams (high → boilerplate/keyword stuffing)
+    *   - `dup_3gram_frac`: 1 − distinct 3-grams / total 3-grams
+    *     (high → copy-pasted spans)
+    *   - `repetition_flag`: 1 when either exceeds its threshold
+    *
+    * Shape at scale: the 3-gram metric is per-row array arithmetic (no
+    * shuffle); the bigram mode needs multiplicities across each doc →
+    * explode + two partial-aggregated hash aggregates keyed by doc id,
+    * then a per-doc join. Everything stays in whole-stage codegen. */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      maxTopBigramFrac: Double = 0.08,
+      maxDup3GramFrac: Double = 0.02): org.apache.spark.sql.DataFrame = {
+    val top = df
+      .select(col(idCol), explode(allShingles(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    val dup = df
+      .select(col(idCol), allShingles(col(textCol), 3).as("a3"))
+      .select(
+        col(idCol),
+        round(lit(1.0) - size(array_distinct(col("a3"))).cast("double") / size(col("a3")), 6)
+          .as("dup_3gram_frac"))
+    dup
+      .join(top, Seq(idCol))
+      .withColumn(
+        "repetition_flag",
+        when(col("top_bigram_frac") > maxTopBigramFrac ||
+          col("dup_3gram_frac") > maxDup3GramFrac, 1L).otherwise(0L))
   }
 }

@@ -147,6 +147,21 @@ object TextQueries {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3),
         tokenBudget = 10000L)
     }),
+    // benchmark decontamination: train docs whose 3-gram overlap with the
+    // eval slice (doc_id % 97 == 0) reaches 3% — eval grams broadcast,
+    // one exploded-gram shuffle on the train side
+    "d19_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", minContamination = 0.03)
+    }),
+    // Gopher-style repetition filters: top-bigram fraction + duplicate
+    // 3-gram fraction per doc, with the combined flag
+    "d20_repetition" -> ((s, dir) => {
+      TF.repetitionMetrics(docs(s, dir), "text", "doc_id")
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -480,6 +495,48 @@ object TextQueries {
          |SELECT stratum, stratum_tokens, weight, sample_rate,
          |       CAST(round(sample_rate * stratum_tokens) AS BIGINT) AS expected_tokens
          |FROM w""".stripMargin,
+    "d19_decontam" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, greatest(len($toks) - 3, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 3], ' '))) AS shingles
+         |  FROM documents
+         |), ev AS (
+         |  SELECT DISTINCT UNNEST(shingles) AS g FROM sh WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT doc_id, UNNEST(shingles) AS g FROM sh WHERE doc_id % 97 <> 0
+         |), agg AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(e.g) AS n_contaminated
+         |  FROM tr t LEFT JOIN ev e USING (g) GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, n_grams, n_contaminated,
+         |       round(n_contaminated::DOUBLE / n_grams, 6) AS contamination
+         |FROM agg WHERE n_contaminated::DOUBLE >= n_grams * 0.03""".stripMargin,
+    "d20_repetition" ->
+      s"""WITH g2 AS (
+         |  SELECT doc_id, UNNEST(list_transform(
+         |    generate_series(0, greatest(len($toks) - 2, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 2], ' '))) AS g
+         |  FROM documents
+         |), cnt AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+         |), top AS (
+         |  SELECT doc_id, round(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_bigram_frac
+         |  FROM cnt GROUP BY 1
+         |), s3 AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(0, greatest(len($toks) - 3, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 3], ' ')) AS a3
+         |  FROM documents
+         |), dup AS (
+         |  SELECT doc_id,
+         |         round(1.0 - len(list_distinct(a3))::DOUBLE / len(a3), 6) AS dup_3gram_frac
+         |  FROM s3
+         |)
+         |SELECT d.doc_id, d.dup_3gram_frac, t.top_bigram_frac,
+         |       CASE WHEN t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02
+         |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
+         |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
     "x1_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text))::BIGINT AS n_bytes,

@@ -162,6 +162,45 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(feats(1L).feature.sum - 1.0) < 1e-9) // histogram normalized
   }
 
+  test("repetition metrics: repeated spans flagged, diverse text passes") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val m = TF.repetitionMetrics(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: every bigram is "spam spam" -> top fraction 1.0, all 3-grams dup
+    assert(m(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(m(1L).getAs[Double]("dup_3gram_frac") > 0.8)
+    assert(m(1L).getAs[Long]("repetition_flag") == 1L)
+    // doc 2: all bigrams distinct -> 1/9 each, no dup 3-grams
+    assert(m(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(m(2L).getAs[Long]("repetition_flag") == 1L == (1.0 / 9 > 0.08))
+  }
+
+  test("contamination: overlap with the eval set, eval grams broadcast") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares grams with eval
+      (2L, "uno dos tres cuatro cinco seis")         // disjoint
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val all = Dedup.contaminationReport(train, eval_, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 4 of its 4-token prefix trigrams hit ("alpha beta gamma",
+    // "beta gamma delta" present; others not) — just assert directionally
+    assert(all(1L).getAs[Long]("n_contaminated") >= 2L)
+    assert(all(1L).getAs[Double]("contamination") > 0.0)
+    assert(all(2L).getAs[Long]("n_contaminated") == 0L)
+    // threshold keeps only contaminated docs, comparing raw counts
+    val flagged = Dedup.contaminationReport(train, eval_, "text", "doc_id",
+      minContamination = 0.1).collect()
+    assert(flagged.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // the plan must broadcast the eval-gram side, not shuffle-join it
+    val plan = Dedup.contaminationReport(train, eval_, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("quality score within [0,1] and favors diverse text") {
     val scores = docs.select($"doc_id", TF.qualityScore($"text").as("q")).as[(Long, Double)].collect().toMap
     scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
