@@ -66,6 +66,68 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Text-curation stress: the full d-family pipeline (quality + lang-ID
+    * + repetition metrics + decontamination + exact dedup) over `nDocs`
+    * synthetic 40-token documents — per-row scoring is one codegen'd
+    * projection; repetition explodes ~40 grams/doc into two partial
+    * aggregates; decontamination broadcasts the eval grams. Every stage
+    * is timed separately so the scale profile of each shape is visible.
+    * Usage: runMain graft.tools.ScaleBench curation [nDocs] */
+  def curationMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.{Dedup, TextFunctions => TF}
+    // token j of doc id: hash-drawn from a 1k vocab; every 7th token is a
+    // language stopword chosen by id%3 (en/de/fr) so lang-ID has signal;
+    // every 20th doc is a degenerate repeated-token doc; last 1% are
+    // exact copies of earlier docs
+    def tok(id: org.apache.spark.sql.Column, j: Int) =
+      if (j % 7 == 3)
+        when(pmod(id, lit(3)) === 0, lit("the"))
+          .when(pmod(id, lit(3)) === 1, lit("der"))
+          .otherwise(lit("les"))
+      else concat(lit("w"), pmod(hash(id, lit(j)), lit(1000)))
+    val dups = math.max(1L, nDocs / 100)
+    val srcId = when(col("id") >= nDocs, col("id") - nDocs + (nDocs - dups)).otherwise(col("id"))
+    val docs = spark.range(nDocs + dups).select(
+      col("id").as("doc_id"),
+      when(pmod(srcId, lit(20)) === 0,
+        concat_ws(" ", Seq.fill(40)(lit("spam")).map(c => c: org.apache.spark.sql.Column): _*))
+        .otherwise(concat_ws(" ", (0 until 40).map(j => tok(srcId, j)): _*))
+        .as("text")).cache()
+    val total = docs.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (scored, scoreSec) = time {
+      docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          TF.qualityScoreOf(col("toks")).as("quality"),
+          TF.predictLangOf(col("toks")).as("lang"))
+        .groupBy(col("lang")).agg(count(lit(1)), avg(col("quality"))).count()
+    }
+    val (nFlagged, repSec) = time {
+      TF.repetitionMetrics(docs, "text", "doc_id").filter(col("repetition_flag") === 1).count()
+    }
+    val (nContaminated, decontamSec) = time {
+      Dedup.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(1009)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(1009)) === 0),
+        "text", "doc_id", minContamination = 0.05).count()
+    }
+    val (nDupGroups, dedupSec) = time {
+      Dedup.exactDedup(docs, "text", "doc_id").filter(col("n_duplicates") > 0).count()
+    }
+    val totalSec = scoreSec + repSec + decontamSec + dedupSec
+    println(
+      s"""{"workload":{"docs":$total,"tokens_per_doc":40},
+         |"score_langid":{"sec":$scoreSec,"lang_groups":$scored},
+         |"repetition":{"sec":$repSec,"flagged":$nFlagged},
+         |"decontamination":{"sec":$decontamSec,"contaminated":$nContaminated},
+         |"exact_dedup":{"sec":$dedupSec,"dup_groups":$nDupGroups},
+         |"total":{"sec":$totalSec,"docs_per_sec":${(total / totalSec).toLong}}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   /** ANN stress on CLUSTERED embeddings (the realistic regime — the
     * sf0.01 recall gate runs on near-random vectors, the adversarial
     * one): `nVecs` synthetic dim-64 vectors in `nClusters` hash-derived
@@ -137,6 +199,20 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       annMain(spark, nVecs)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("curation")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      curationMain(spark, nDocs)
       spark.stop()
       return
     }
