@@ -162,6 +162,18 @@ object TextQueries {
     "d20_repetition" -> ((s, dir) => {
       TF.repetitionMetrics(docs(s, dir), "text", "doc_id")
     }),
+    // sequence packing: concat-and-split positions per doc within its
+    // source stratum (per-stratum windows — parallel across shards)
+    "d21_pack" -> ((s, dir) => {
+      graft.functions.Packing.packSequences(
+        docs(s, dir).select(
+          col("doc_id"), col("source"), TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", seqLen = 256)
+    }),
+    // sliding-window chunking: 32-token windows every 24 tokens
+    "d22_chunk" -> ((s, dir) => {
+      graft.functions.Packing.chunkTokens(docs(s, dir), "text", "doc_id", 32, 24)
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -537,6 +549,29 @@ object TextQueries {
          |       CASE WHEN t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
          |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
+    "d21_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS tok_end
+         |  FROM t
+         |)
+         |SELECT source, doc_id, n_tokens,
+         |       (tok_end - n_tokens)::BIGINT AS tok_start,
+         |       ((tok_end - n_tokens) // 256)::BIGINT AS start_seq,
+         |       (greatest(tok_end - 1, tok_end - n_tokens) // 256)::BIGINT AS end_seq,
+         |       ((tok_end - n_tokens) % 256)::BIGINT AS seq_offset
+         |FROM c""".stripMargin,
+    "d22_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toks AS tk FROM documents
+         |)
+         |SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |       ((s - 1) // 24)::BIGINT AS chunk_id,
+         |       (s - 1)::BIGINT AS tok_offset,
+         |       array_to_string(tk[s : s + 31], ' ') AS chunk_text
+         |FROM t, UNNEST(generate_series(1, greatest(len(tk) - 8, 1), 24)) AS u(s)""".stripMargin,
     "x1_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text))::BIGINT AS n_bytes,
