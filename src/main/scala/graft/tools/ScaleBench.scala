@@ -66,6 +66,50 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Skewed fact-to-dim join stress: 30% of the fact lands on ONE key
+    * (the hot-partition case a uniform hash shuffle cannot balance), the
+    * dim side is sized past the broadcast threshold so the join is a
+    * genuine shuffle join. Runs the identical plan with AQE skew-join
+    * splitting on and off and reports both — the measured basis for this
+    * engine's skew posture (AQE re-plan first, salting helpers in
+    * functions/Skew for non-join shapes).
+    * Usage: runMain graft.tools.ScaleBench skew [nFactRows] [hotTenths] */
+  def skewMain(spark: SparkSession, nFact: Long, hotTenths: Int = 3): Unit = {
+    val nDim = 2000000L
+    val fact = spark.range(nFact).select(
+      when(pmod(col("id"), lit(10)) < hotTenths, 0L).otherwise(pmod(col("id"), lit(nDim))).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    // ~128-byte payload keeps the dim well past autoBroadcast sizes
+    val dim = spark.range(nDim).select(
+      col("id").as("k"),
+      concat(md5(col("id").cast("string")), md5((col("id") + 1).cast("string")),
+        md5((col("id") + 2).cast("string")), md5((col("id") + 3).cast("string"))).as("payload"))
+    def run(skewOn: Boolean): Double = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val t0 = System.nanoTime()
+      fact.join(dim, Seq("k"))
+        .select(sum(col("v") + length(col("payload"))).as("s"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      val off = run(skewOn = false)
+      val on = run(skewOn = true)
+      println(
+        s"""{"workload":{"fact_rows":$nFact,"dim_rows":$nDim,"hot_key_share":${hotTenths / 10.0}},
+           |"skew_join_off":{"sec":$off},
+           |"skew_join_on":{"sec":$on},
+           |"speedup":${off / on}}"""
+          .stripMargin.replace("\n", ""))
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+  }
+
   /** Text-curation stress: the full d-family pipeline (quality + lang-ID
     * + repetition metrics + decontamination + exact dedup) over `nDocs`
     * synthetic 40-token documents — per-row scoring is one codegen'd
@@ -199,6 +243,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       annMain(spark, nVecs)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("skew")) {
+      val nFact = if (args.length > 1) args(1).toLong else 50000000L
+      val hotTenths = if (args.length > 2) args(2).toInt else 3
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      skewMain(spark, nFact, hotTenths)
       spark.stop()
       return
     }
