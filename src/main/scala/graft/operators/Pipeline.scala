@@ -202,6 +202,33 @@ object Pipeline {
     ProductionResult(persisted, qa, sla, path, slaMet)
   }
 
+  /** Runs persisted under `outputPath` (one `mappings_<runId>` snapshot
+    * per [[productionRun]]), ascending by run id. */
+  def listRuns(spark: SparkSession, outputPath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(outputPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("mappings_") => s.stripPrefix("mappings_") }
+      .sorted
+  }
+
+  /** The reference's RESTORE of the results table
+    * (05_prod_dev.py:1173-1188, `RESTORE TABLE ... VERSION AS OF`) over
+    * run-versioned parquet: every [[productionRun]] persists an immutable
+    * `mappings_<runId>` snapshot, so rollback is re-pointing the external
+    * table (and its monitor view) at an earlier run — O(1), snapshots
+    * untouched. See [[graft.sources.ModelStore]] for the same workflow on
+    * arbitrary model tables. */
+  def restoreRun(spark: SparkSession, outputPath: String, tableName: String, runId: String): Unit = {
+    val avail = listRuns(spark, outputPath)
+    require(avail.contains(runId),
+      s"cannot restore to run $runId: not under $outputPath (available: ${avail.mkString(", ")})")
+    registerExternalTable(spark, s"$outputPath/mappings_$runId", tableName)
+  }
+
   /** External-table DDL + monitoring view over a written mapping
     * (05_prod_dev.py:872-876, 1252-1266). */
   def registerExternalTable(spark: SparkSession, path: String, tableName: String): Unit = {

@@ -218,6 +218,18 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         spark, t1.drop("value"), t2, recs, cfg, "r43", dir, "prod_mappings_test2")
     }
     assert(e.getMessage.contains("value"))
+
+    // restoreRun: a second run supersedes the table; rolling back
+    // re-points it at the first run's immutable snapshot
+    val firstCount = res.mapping.count()
+    Pipeline.productionRun(
+      spark, t1.filter(col("key") =!= "K1"), t2, recs, cfg, "r44", dir, "prod_mappings_test")
+    assert(Pipeline.listRuns(spark, dir) == Seq("r42", "r44"))
+    assert(spark.sql("SELECT COUNT(*) FROM prod_mappings_test").as[Long].head() < firstCount)
+    Pipeline.restoreRun(spark, dir, "prod_mappings_test", "r42")
+    assert(spark.sql("SELECT COUNT(*) FROM prod_mappings_test").as[Long].head() == firstCount)
+    intercept[IllegalArgumentException](
+      Pipeline.restoreRun(spark, dir, "prod_mappings_test", "nope"))
     spark.sql("DROP TABLE IF EXISTS prod_mappings_test")
   }
 
