@@ -20,7 +20,11 @@ object Verify {
     val root = Paths.get(outDir)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      // Files.walk holds open directory handles until closed — drain it
+      // into a list and close before deleting.
+      val walk = Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(Files.deleteIfExists(_))
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

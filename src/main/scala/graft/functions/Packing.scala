@@ -33,17 +33,21 @@ object Packing {
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
-      .withColumn("tok_end", sum(col(tokensCol)).over(w))
+      .withColumn("tok_end", sum(col(tokensCol)).over(w).cast("long"))
+      .withColumn("tok_start", (col("tok_end") - col(tokensCol)).cast("long"))
       .select(
         col(stratumCol),
         col(orderCol),
         col(tokensCol),
-        (col("tok_end") - col(tokensCol)).cast("long").as("tok_start"),
-        floor((col("tok_end") - col(tokensCol)) / seqLen).cast("long").as("start_seq"),
+        col("tok_start"),
+        // `div` is Spark's integral divide on longs — the Column `/`
+        // operator divides in double, which drifts from DuckDB's exact
+        // BIGINT `//` once cumulative token counts pass 2^53. Counts are
+        // nonnegative, so div == floor-div.
+        expr(s"tok_start div $seqLen").as("start_seq"),
         // last token of the doc is tok_end - 1; empty docs stay in start_seq
-        floor(greatest(col("tok_end") - 1, col("tok_end") - col(tokensCol)) / seqLen)
-          .cast("long").as("end_seq"),
-        ((col("tok_end") - col(tokensCol)) % seqLen).cast("long").as("seq_offset"))
+        expr(s"greatest(tok_end - 1, tok_start) div $seqLen").as("end_seq"),
+        (col("tok_start") % seqLen).cast("long").as("seq_offset"))
   }
 
   /** Sliding-window chunking of each document's token stream: windows of

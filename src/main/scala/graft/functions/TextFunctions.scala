@@ -170,7 +170,8 @@ object TextFunctions {
       textCol: String,
       idCol: String,
       maxTopBigramFrac: Double = 0.08,
-      maxDup3GramFrac: Double = 0.02): org.apache.spark.sql.DataFrame = {
+      maxDup3GramFrac: Double = 0.02,
+      minTokens: Int = 20): org.apache.spark.sql.DataFrame = {
     val top = df
       .select(col(idCol), explode(allShingles(col(textCol), 2)).as("g"))
       .groupBy(col(idCol), col("g"))
@@ -179,16 +180,26 @@ object TextFunctions {
       .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
         .as("top_bigram_frac"))
     val dup = df
-      .select(col(idCol), allShingles(col(textCol), 3).as("a3"))
       .select(
         col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        allShingles(col(textCol), 3).as("a3"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
         round(lit(1.0) - size(array_distinct(col("a3"))).cast("double") / size(col("a3")), 6)
           .as("dup_3gram_frac"))
     dup
       .join(top, Seq(idCol))
       .withColumn(
         "repetition_flag",
-        when(col("top_bigram_frac") > maxTopBigramFrac ||
-          col("dup_3gram_frac") > maxDup3GramFrac, 1L).otherwise(0L))
+        // The fraction metrics have a floor of 1/n for an n-gram doc, so a
+        // fully diverse short doc (titles, captions) trips any fixed
+        // threshold — e.g. 10 tokens → 9 distinct bigrams → 1/9 > 0.08.
+        // Gopher applies repetition thresholds only above a minimum
+        // length; below it the metrics are reported but never flag.
+        when(col("n_tokens") >= minTokens &&
+          (col("top_bigram_frac") > maxTopBigramFrac ||
+            col("dup_3gram_frac") > maxDup3GramFrac), 1L).otherwise(0L))
   }
 }

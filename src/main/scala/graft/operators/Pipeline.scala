@@ -204,16 +204,8 @@ object Pipeline {
 
   /** Runs persisted under `outputPath` (one `mappings_<runId>` snapshot
     * per [[productionRun]]), ascending by run id. */
-  def listRuns(spark: SparkSession, outputPath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(outputPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("mappings_") => s.stripPrefix("mappings_") }
-      .sorted
-  }
+  def listRuns(spark: SparkSession, outputPath: String): Seq[String] =
+    graft.sources.ModelStore.listSnapshots(spark, outputPath, "mappings_").sorted
 
   /** The reference's RESTORE of the results table
     * (05_prod_dev.py:1173-1188, `RESTORE TABLE ... VERSION AS OF`) over

@@ -536,17 +536,18 @@ object TextQueries {
          |  SELECT doc_id, round(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_bigram_frac
          |  FROM cnt GROUP BY 1
          |), s3 AS (
-         |  SELECT doc_id, list_transform(
+         |  SELECT doc_id, len($toks)::BIGINT AS n_tokens, list_transform(
          |    generate_series(0, greatest(len($toks) - 3, 0)),
          |    i -> array_to_string(($toks)[i + 1 : i + 3], ' ')) AS a3
          |  FROM documents
          |), dup AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, n_tokens,
          |         round(1.0 - len(list_distinct(a3))::DOUBLE / len(a3), 6) AS dup_3gram_frac
          |  FROM s3
          |)
-         |SELECT d.doc_id, d.dup_3gram_frac, t.top_bigram_frac,
-         |       CASE WHEN t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02
+         |SELECT d.doc_id, d.n_tokens, d.dup_3gram_frac, t.top_bigram_frac,
+         |       CASE WHEN d.n_tokens >= 20
+         |             AND (t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02)
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
          |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
     "d21_pack" ->

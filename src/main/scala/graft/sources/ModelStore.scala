@@ -44,8 +44,13 @@ object ModelStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** All snapshot versions present under `root`, ascending. */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
+  /** Names of snapshot directories under `root` whose name starts with
+    * `prefix`, with the prefix stripped, unordered. Shared by the
+    * model-version listing here and [[graft.operators.Pipeline.listRuns]]
+    * (run-versioned results tables) so the directory-snapshot protocol —
+    * directories only, prefix-tagged, hidden files ignored — lives in one
+    * place. */
+  def listSnapshots(spark: SparkSession, root: String, prefix: String): Seq[String] = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
@@ -53,9 +58,12 @@ object ModelStore {
       f.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-        .sorted
+        .collect { case s if s.startsWith(prefix) => s.stripPrefix(prefix) }
   }
+
+  /** All snapshot versions present under `root`, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    listSnapshots(spark, root, "v=").map(_.toLong).sorted
 
   /** The version `load` without an explicit version would read. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -71,9 +79,19 @@ object ModelStore {
 
   private def writePointer(spark: SparkSession, root: String, version: Long): Unit = {
     val f = fs(spark, root)
-    val out = f.create(new Path(root, Pointer), true)
+    // Write-then-rename: an in-place create() truncates first, so a crash
+    // (or concurrent reader) mid-write would observe an empty pointer and
+    // every default load would throw until repaired. rename() swaps the
+    // pointer in one metadata op on HDFS/local (and is the standard
+    // best-effort pattern on object stores).
+    val tmp = new Path(root, Pointer + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(root, Pointer)
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to move $tmp over $dst")
   }
 
   /** Write `df` as the next immutable snapshot and make it current.

@@ -61,7 +61,11 @@ object EventsStream {
     * the stateful op would drop the watermark the event-time timeout needs). */
   case class SessEvent(key: String, event_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** The open session carried across micro-batches for one key. */
+  /** The per-key session state carried across micro-batches. `nEvents == 0`
+    * marks a CLOSED tombstone: no session is open, but `sessionId` keeps
+    * the numbering so the next session continues where batch q15 would
+    * (restarting at 1 after a timeout would duplicate (key, session_id)
+    * pairs). */
   case class OpenSession(
       sessionId: Long, startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
 
@@ -73,8 +77,11 @@ object EventsStream {
     * form of batch q15_sessions (30-min inactivity gap). Each key's open
     * session lives in the state store; a session is emitted either when a
     * later event opens the next one, or when the event-time watermark passes
-    * `last event + gap` (timeout), so state is bounded by the number of
-    * concurrently-open sessions, never by history.
+    * `last event + gap` (timeout). After a timeout the state shrinks to a
+    * session-counter tombstone (so later sessions continue the batch
+    * numbering instead of reusing id 1) — state is one small record per
+    * key ever seen, the same bound as any per-key aggregate, never
+    * proportional to history.
     *
     * Semantics note (inherent to append-mode streaming): events are folded
     * in event-time order *within* each micro-batch; a session already closed
@@ -96,8 +103,12 @@ object EventsStream {
 
     val fn = (key: String, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
       if (state.hasTimedOut) {
-        val out = state.getOption.map(finalize(_, key)).iterator
-        state.remove()
+        val out = state.getOption.filter(_.nEvents > 0).map(finalize(_, key)).iterator
+        // Shrink to a tombstone instead of removing: the next session for
+        // this key must continue the numbering, not restart at 1 (a restart
+        // would emit a duplicate (key, session_id) and diverge from batch
+        // q15). No timeout is re-armed, so the tombstone never fires again.
+        state.getOption.foreach(s => state.update(OpenSession(s.sessionId, 0L, 0L, 0L, 0.0)))
         out
       } else {
         val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
@@ -106,12 +117,20 @@ object EventsStream {
         sorted.foreach { e =>
           val tsMs = e.ts.getTime
           open = open match {
-            case Some(s) if tsMs - s.lastMs <= gapMs =>
-              Some(s.copy(lastMs = tsMs, nEvents = s.nEvents + 1,
+            case Some(s) if s.nEvents > 0 && tsMs - s.lastMs <= gapMs =>
+              // min/max fold: an on-time but out-of-order event from a later
+              // micro-batch must not move lastMs backward (negative duration,
+              // spurious gap split) or leave startMs after an earlier event.
+              Some(s.copy(
+                startMs = math.min(s.startMs, tsMs),
+                lastMs = math.max(s.lastMs, tsMs),
+                nEvents = s.nEvents + 1,
                 totalValue = s.totalValue + e.value))
-            case Some(s) =>
+            case Some(s) if s.nEvents > 0 =>
               closed += finalize(s, key)
               Some(OpenSession(s.sessionId + 1, tsMs, tsMs, 1L, e.value))
+            case Some(t) => // tombstone: resume numbering after a timeout
+              Some(OpenSession(t.sessionId + 1, tsMs, tsMs, 1L, e.value))
             case None =>
               Some(OpenSession(1L, tsMs, tsMs, 1L, e.value))
           }

@@ -95,6 +95,11 @@ object ScaleBench {
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
     try {
+      // Untimed warmup: the first execution of this plan pays whole-stage
+      // codegen + JIT; running it before the A/B pair keeps that cost out
+      // of whichever config happens to go first (it was inflating the
+      // reported skew-join speedup).
+      run(skewOn = true)
       val off = run(skewOn = false)
       val on = run(skewOn = true)
       println(

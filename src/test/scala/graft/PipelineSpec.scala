@@ -343,6 +343,46 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(mismatch.count() == 0)
   }
 
+  test("sessionize: numbering survives state timeout; out-of-order events fold by min/max") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = EventsStream.sessionize(events, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("sess_cont").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    var eid = 0L
+    def feed(rows: (Long, Int, Int, Double)*): Unit = {
+      rows.foreach { case (user, h, m, v) => eid += 1; in.addData((eid, user, ts(h, m), v)) }
+      q.processAllAvailable()
+    }
+    // user 100: session 1 at 10:00, then nothing until 14:30 — the state
+    // store's event-time timeout closes session 1 in between (watermark is
+    // pushed by user 200), so 14:30 must open session_id 2, NOT restart at 1.
+    // user 300: events arrive 12:00, then 11:00 (on-time but out-of-order,
+    // in a LATER micro-batch), then 12:20 — one session of 3 events,
+    // duration 11:00→12:20, not a negative-duration or split session.
+    feed((100L, 10, 0, 1.0))
+    feed((300L, 12, 0, 1.0), (200L, 12, 0, 0.0))
+    feed((300L, 11, 0, 1.0), (200L, 13, 0, 0.0))
+    feed((300L, 12, 20, 1.0), (200L, 14, 0, 0.0))
+    feed((100L, 14, 30, 1.0))
+    feed((200L, 18, 0, 0.0))
+    feed((200L, 19, 0, 0.0))
+    q.stop()
+    val got = spark.table("sess_cont")
+    assert(got.groupBy("key", "session_id").count().filter(col("count") > 1).count() == 0,
+      "no duplicate (key, session_id) pairs after a timeout")
+    val a = got.filter(col("key") === "100").select("session_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == Seq(1L, 2L), s"user 100 sessions should be numbered 1,2 — got $a")
+    val c = got.filter(col("key") === "300").collect()
+    assert(c.length == 1, s"user 300 should have ONE folded session, got ${c.length}")
+    assert(c.head.getAs[Long]("n_events") == 3L)
+    assert(c.head.getAs[Long]("duration_ms") == 80L * 60000L,
+      "duration spans min(start) to max(last), never negative")
+  }
+
   test("stream-driven incremental mapping remaps touched entities per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_map").toString
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")

@@ -163,9 +163,12 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("repetition metrics: repeated spans flagged, diverse text passes") {
+    val rep = ("spam " * 20).trim                       // 20 tokens, all repeated
+    val div = (1 to 20).map(i => s"w$i").mkString(" ")  // 20 tokens, all distinct
     val d = Seq(
-      (1L, "spam spam spam spam spam spam spam spam spam spam"),
-      (2L, "one two three four five six seven eight nine ten")
+      (1L, rep),
+      (2L, div),
+      (3L, "one two three four five six seven eight nine ten") // short: never flagged
     ).toDF("doc_id", "text")
     val m = TF.repetitionMetrics(d, "text", "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -173,9 +176,14 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(1L).getAs[Double]("top_bigram_frac") == 1.0)
     assert(m(1L).getAs[Double]("dup_3gram_frac") > 0.8)
     assert(m(1L).getAs[Long]("repetition_flag") == 1L)
-    // doc 2: all bigrams distinct -> 1/9 each, no dup 3-grams
+    // doc 2: long enough for the thresholds but fully diverse -> clean
     assert(m(2L).getAs[Double]("dup_3gram_frac") == 0.0)
-    assert(m(2L).getAs[Long]("repetition_flag") == 1L == (1.0 / 9 > 0.08))
+    assert(m(2L).getAs[Long]("repetition_flag") == 0L)
+    // doc 3: below minTokens — top_bigram_frac has a 1/9 floor (> 0.08),
+    // but the short-doc guard keeps the flag off (metrics still reported)
+    assert(m(3L).getAs[Double]("top_bigram_frac") > 0.08)
+    assert(m(3L).getAs[Long]("n_tokens") == 10L)
+    assert(m(3L).getAs[Long]("repetition_flag") == 0L)
   }
 
   test("contamination: overlap with the eval set, eval grams broadcast") {
