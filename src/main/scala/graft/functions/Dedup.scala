@@ -185,6 +185,107 @@ object Dedup {
           .otherwise(0L))
   }
 
+  /** Connected components over an undirected pair list, via the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014 —
+    * public paper). Returns `(id, component)` where `component` is the
+    * minimum id in the component; vertices that appear in no pair are
+    * absent (callers coalesce missing ids to themselves).
+    *
+    * Why not plain min-label propagation: its round count is the graph
+    * DIAMETER — a transitive near-dup chain (A~B~C~...) across a 100 TB
+    * corpus can be arbitrarily long. Star alternation converges in
+    * O(log²ⁿ) rounds regardless of diameter; each round is two
+    * groupBy-min + equi-join passes (4 shuffles), and `localCheckpoint`
+    * truncates the iterative plan so round N's lineage doesn't stack on
+    * N−1's. The per-round convergence check is a count + except — a
+    * driver-side scalar per round, like any iterative graph algorithm,
+    * never a collect of the data. */
+  def connectedComponents(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxIter: Int = 50): DataFrame = {
+    var b = pairs
+      .select(col(leftCol).cast("long").as("u"), col(rightCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every neighbor v > u re-points to the minimum of u's
+    // closed neighborhood — long chains contract toward the component min
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient edges high→low, re-point every low endpoint (and
+    // the center) to the minimum — flattens local trees into stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var done = b.isEmpty
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(b)).localCheckpoint()
+      done = next.count() == b.count() && next.except(b).isEmpty
+      b = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds grow O(log² n), so this indicates a pathological input)")
+    // fixpoint is a star forest: every edge is (member, root) with
+    // root = component minimum
+    b.select(col("u").as("id"), col("v").as("component"))
+      .union(b.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate GROUP resolution — the step after candidate pairs in
+    * a production dedup pipeline: LSH pairs at/above `minEstJaccard` →
+    * connected components → one canonical doc per transitive cluster.
+    * A~B and B~C land A, B, C in ONE group even when A and C share no
+    * LSH bucket ([[nearDupIdsToDrop]]'s per-pair keep-first cannot see
+    * that). Returns one row per input doc: `(idCol, group_id,
+    * group_size, is_canonical)`; docs with no near-dup form singleton
+    * groups. The components table is tiny next to the corpus (only docs
+    * that appear in a pair), so the join back is broadcast-able / AQE
+    * territory, never a corpus-vs-corpus shuffle. */
+  def nearDupGroups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minEstJaccard: Double = 0.5,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashLshPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).cast("long").as("group_id"))
+      .withColumn(
+        "group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))))
+      .withColumn("is_canonical", when(col(idCol) === col("group_id"), 1L).otherwise(0L))
+  }
+
   /** Keep-first near-dup removal: from the LSH candidate pairs at or
     * above `minEstJaccard`, drop the higher id of each pair (every
     * cluster keeps its lowest id). Returns the ids to DROP. */

@@ -162,6 +162,11 @@ object TextQueries {
     "d20_repetition" -> ((s, dir) => {
       TF.repetitionMetrics(docs(s, dir), "text", "doc_id")
     }),
+    // near-dup group resolution: LSH pairs (est Jaccard >= 0.5) →
+    // connected components (alternating star) → canonical doc per cluster
+    "d23_dedup_groups" -> ((s, dir) => {
+      Dedup.nearDupGroups(docs(s, dir), "text", "doc_id", minEstJaccard = 0.5)
+    }),
     // sequence packing: concat-and-split positions per doc within its
     // source stratum (per-stratum windows — parallel across shards)
     "d21_pack" -> ((s, dir) => {
@@ -550,6 +555,51 @@ object TextQueries {
          |             AND (t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02)
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
          |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
+    "d23_dedup_groups" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      // est_jaccard >= 0.5 over 16 hashes == at least 8 matching
+      // positions: compared as integers so the gate is bit-stable.
+      // Components via transitive closure (the graph that survives the
+      // 0.5 gate is tiny at oracle scale); component id = min reachable.
+      "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+        s""", hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |), pairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.id_a
+         |  JOIN sigs sb ON sb.doc_id = p.id_b
+         |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) * 2 >= 16
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+         |), comp AS (
+         |  SELECT u AS id, least(u, MIN(v)) AS group_id FROM reach GROUP BY u
+         |), g AS (
+         |  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |)
+         |SELECT doc_id, group_id,
+         |       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+         |       CASE WHEN doc_id = group_id THEN 1::BIGINT ELSE 0::BIGINT END AS is_canonical
+         |FROM g""".stripMargin
+    },
     "d21_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM documents

@@ -186,6 +186,60 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(3L).getAs[Long]("repetition_flag") == 0L)
   }
 
+  test("connected components match union-find on random graphs") {
+    // brute-force referee: path-compressed union-find
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      ids.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"trial $trial: components diverge from union-find")
+    }
+  }
+
+  test("connected components: 200-node chain converges in O(log n) star rounds") {
+    // worst case for label propagation (diameter = n); the alternating
+    // star algorithm must still resolve it within the default round cap
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("a", "b"), "a", "b").collect()
+    assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("near-dup groups are transitive: A~B, B~C puts A,B,C in one group") {
+    // B overlaps heavily with both A and C, but A and C share little —
+    // the per-pair keep-first view cannot merge them; components must
+    val a = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val b = (3 to 14).map(i => s"tok$i").mkString(" ")
+    val c = (5 to 16).map(i => s"tok$i").mkString(" ")
+    val d = Seq((10L, a), (20L, b), (30L, c), (40L, "totally unrelated other words entirely"))
+      .toDF("doc_id", "text")
+    val g = Dedup.nearDupGroups(d, "text", "doc_id", minEstJaccard = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g.size == 4, "one row per input doc")
+    val cluster = Seq(10L, 20L, 30L).map(id => g(id).getAs[Long]("group_id")).distinct
+    assert(cluster == Seq(10L), s"expected one group rooted at 10, got roots $cluster")
+    assert(Seq(10L, 20L, 30L).map(id => g(id).getAs[Long]("group_size")).forall(_ == 3L))
+    assert(g(10L).getAs[Long]("is_canonical") == 1L)
+    assert(g(20L).getAs[Long]("is_canonical") == 0L)
+    assert(g(40L).getAs[Long]("group_id") == 40L && g(40L).getAs[Long]("group_size") == 1L)
+  }
+
   test("contamination: overlap with the eval set, eval grams broadcast") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares grams with eval
