@@ -206,8 +206,16 @@ object Dedup {
       leftCol: String,
       rightCol: String,
       maxIter: Int = 50): DataFrame = {
-    var b = pairs
+    // Two-step init: checkpoint the bare projection FIRST, so the
+    // caller's plan is flattened to a leaf before distinct() runs.
+    // Computing an Aggregate's constraints directly over some caller
+    // plans (e.g. a union of projected ranges) trips Spark's
+    // Union.rewriteConstraints ("key not found" on the aliased
+    // attribute); a leaf input sidesteps the whole constraint rewrite.
+    val raw = pairs
       .select(col(leftCol).cast("long").as("u"), col(rightCol).cast("long").as("v"))
+      .localCheckpoint()
+    var b = raw
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()

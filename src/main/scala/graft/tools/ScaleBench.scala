@@ -66,6 +66,39 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Connected-components stress: one `chainLen`-node path (the diameter
+    * worst case — plain label propagation would need `chainLen` rounds)
+    * plus `nGroups` disjoint 5-node cliques (the realistic dedup-cluster
+    * volume case), all edges synthesized distributively. Validates the
+    * exact component count and reports wall time; the alternating-star
+    * round count grows with log(chain length) only, while clique count
+    * only widens the per-round shuffles.
+    * Usage: runMain graft.tools.ScaleBench cc [chainLen] [nGroups] */
+  def ccMain(spark: SparkSession, chainLen: Long, nGroups: Long): Unit = {
+    val chain = spark.range(chainLen - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    // the 10 unordered pairs of a 5-clique, indexed by id % 10
+    val pi = array(Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3).map(x => lit(x.toLong)): _*)
+    val pj = array(Seq(1, 2, 3, 4, 2, 3, 4, 3, 4, 4).map(x => lit(x.toLong)): _*)
+    val cliques = spark.range(nGroups * 10).select(
+      (lit(chainLen) + expr("id div 10") * 5 +
+        element_at(pi, (col("id") % 10).cast("int") + 1)).as("a"),
+      (lit(chainLen) + expr("id div 10") * 5 +
+        element_at(pj, (col("id") % 10).cast("int") + 1)).as("b"))
+    val edges = chain.union(cliques)
+    val t0 = System.nanoTime()
+    val cc = graft.functions.Dedup.connectedComponents(edges, "a", "b")
+    val comps = cc.select("component").distinct().count()
+    val nodes = cc.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expected = 1 + nGroups
+    println(
+      s"""{"workload":{"chain_nodes":$chainLen,"clique_groups":$nGroups,
+         |"edges":${chainLen - 1 + nGroups * 10}},
+         |"cc":{"sec":$sec,"nodes":$nodes,"components":$comps,"expected":$expected},
+         |"ok":${comps == expected && nodes == chainLen + nGroups * 5}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   /** Skewed fact-to-dim join stress: 30% of the fact lands on ONE key
     * (the hot-partition case a uniform hash shuffle cannot balance), the
     * dim side is sized past the broadcast threshold so the join is a
@@ -263,6 +296,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       skewMain(spark, nFact, hotTenths)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cc")) {
+      val chainLen = if (args.length > 1) args(1).toLong else 100000L
+      val nGroups = if (args.length > 2) args(2).toLong else 300000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ccMain(spark, chainLen, nGroups)
       spark.stop()
       return
     }
