@@ -165,6 +165,71 @@ object TextFunctions {
     * every (doc, gram) aggregation buffer — at 2M docs / 80M grams that
     * cost 112 s vs 76 s for this join formulation. Shuffle WIDTH on the
     * fan-out side beats join COUNT on the per-doc side at scale. */
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models", table A1 — public paper): per-document structural filters
+    * complementing [[repetitionMetrics]]. Emits the raw metrics plus one
+    * combined `gopher_pass` flag:
+    *
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters
+    *   - symbol-to-word ratio (# and ellipsis) below 0.1
+    *   - at most 90% of lines starting with a bullet, at most 30%
+    *     ending in an ellipsis
+    *   - at least 80% of words containing an alphabetic character
+    *   - at least 2 of the 8 required English stopwords present
+    *
+    * Every gate compares INTEGER counts (e.g. `sum_len >= 3 * n_words`
+    * instead of `mean >= 3.0`), so pass/fail is bit-stable across
+    * engines; the reported ratio columns are rounded for display only.
+    * Shape at scale: one projection pass per row, no shuffle, fully
+    * codegen'd — the tokenize-once discipline (tokens/lines projected
+    * before use) avoids the lambda re-evaluation trap. */
+  def gopherRules(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("toks"),
+        split(col(textCol), "\n").as("lines"),
+        ((length(col(textCol)) - length(replace(col(textCol), lit("#"), lit("")))) +
+          (length(col(textCol)) - length(replace(col(textCol), lit("..."), lit("")))) / 3)
+          .cast("long").as("n_symbols"))
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+        size(array_intersect(col("toks"), array(required.map(lit): _*)))
+          .cast("long").as("n_stopwords_hit"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("long").as("n_ellipsis_lines"),
+        col("n_symbols"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        round(col("sum_len").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6).as("symbol_ratio"),
+        round(col("n_bullet_lines").cast("double") / col("n_lines"), 6).as("bullet_line_frac"),
+        round(col("n_ellipsis_lines").cast("double") / col("n_lines"), 6).as("ellipsis_line_frac"),
+        round(col("n_alpha_words").cast("double") / col("n_words"), 6).as("alpha_word_frac"),
+        col("n_stopwords_hit"),
+        when(
+          col("n_words") >= minWords && col("n_words") <= maxWords &&
+            col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10 &&
+            col("n_symbols") * 10 < col("n_words") &&
+            col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+            col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+            col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+            col("n_stopwords_hit") >= 2, 1L).otherwise(0L).as("gopher_pass"))
+  }
+
   def repetitionMetrics(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,

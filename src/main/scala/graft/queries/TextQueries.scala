@@ -162,6 +162,10 @@ object TextQueries {
     "d20_repetition" -> ((s, dir) => {
       TF.repetitionMetrics(docs(s, dir), "text", "doc_id")
     }),
+    // Gopher structural quality rules: integer-gated pass flag + metrics
+    "d24_gopher_quality" -> ((s, dir) => {
+      TF.gopherRules(docs(s, dir), "text", "doc_id")
+    }),
     // near-dup group resolution: LSH pairs (est Jaccard >= 0.5) →
     // connected components (alternating star) → canonical doc per cluster
     "d23_dedup_groups" -> ((s, dir) => {
@@ -555,6 +559,42 @@ object TextQueries {
          |             AND (t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02)
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
          |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
+    "d24_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toks AS tk, string_split(text, chr(10)) AS lines,
+         |         (length(text) - length(replace(text, '#', '')))
+         |           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         len(tk)::BIGINT AS n_words,
+         |         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS sum_len,
+         |         len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha_words,
+         |         len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                         w -> list_contains(tk, w)))::BIGINT AS n_stopwords_hit,
+         |         len(lines)::BIGINT AS n_lines,
+         |         len(list_filter(lines,
+         |                         l -> list_contains(['-','*','•'], substr(ltrim(l), 1, 1))))::BIGINT AS n_bullet_lines,
+         |         len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS n_ellipsis_lines,
+         |         n_symbols::BIGINT AS n_symbols
+         |  FROM t
+         |)
+         |SELECT doc_id, n_words,
+         |       round(sum_len::DOUBLE / n_words, 6) AS mean_word_len,
+         |       round(n_symbols::DOUBLE / n_words, 6) AS symbol_ratio,
+         |       round(n_bullet_lines::DOUBLE / n_lines, 6) AS bullet_line_frac,
+         |       round(n_ellipsis_lines::DOUBLE / n_lines, 6) AS ellipsis_line_frac,
+         |       round(n_alpha_words::DOUBLE / n_words, 6) AS alpha_word_frac,
+         |       n_stopwords_hit,
+         |       CASE WHEN n_words >= 50 AND n_words <= 100000
+         |             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+         |             AND n_symbols * 10 < n_words
+         |             AND n_bullet_lines * 10 <= n_lines * 9
+         |             AND n_ellipsis_lines * 10 <= n_lines * 3
+         |             AND n_alpha_words * 5 >= n_words * 4
+         |             AND n_stopwords_hit >= 2
+         |            THEN 1::BIGINT ELSE 0::BIGINT END AS gopher_pass
+         |FROM m""".stripMargin,
     "d23_dedup_groups" -> {
       val p = graft.functions.Dedup.minhashPrime
       val minList = graft.functions.Dedup

@@ -186,6 +186,29 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(3L).getAs[Long]("repetition_flag") == 0L)
   }
 
+  test("gopher rules: clean prose passes, structural defects fail the right gates") {
+    // 60 words of plausible prose incl. >=2 required stopwords, no symbols
+    val clean = ("the quick brown fox jumps over that lazy dog with " * 6).trim
+    val bullets = (1 to 5).map(i => s"- item $i of the list").mkString("\n")
+    val symbols = ("the tag#one tag#two " * 20).trim // >10% hash-to-word
+    val short = "the cat sat with that hat"
+    val d = Seq((1L, clean), (2L, bullets), (3L, symbols), (4L, short))
+      .toDF("doc_id", "text")
+    val g = TF.gopherRules(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g(1L).getAs[Long]("gopher_pass") == 1L)
+    assert(g(1L).getAs[Long]("n_words") == 60L)
+    assert(g(1L).getAs[Long]("n_stopwords_hit") >= 2L)
+    // every line is a bullet -> bullet_line_frac = 1.0 > 0.9 cap
+    assert(g(2L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(g(2L).getAs[Long]("gopher_pass") == 0L)
+    // 40 of 60 words carry '#'-symbols -> ratio well above 0.1
+    assert(g(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(g(3L).getAs[Long]("gopher_pass") == 0L)
+    // under the 50-word floor
+    assert(g(4L).getAs[Long]("gopher_pass") == 0L)
+  }
+
   test("connected components match union-find on random graphs") {
     // brute-force referee: path-compressed union-find
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
