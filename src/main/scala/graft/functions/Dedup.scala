@@ -281,10 +281,25 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      rowsPerBand: Int = 2): DataFrame = {
-    val pairs = minhashLshPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
-      .filter(col("est_jaccard") >= minEstJaccard)
-    val cc = connectedComponents(pairs, "id_a", "id_b")
+      rowsPerBand: Int = 2): DataFrame =
+    groupsFromPairs(
+      df, idCol,
+      minhashLshPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+        .filter(col("est_jaccard") >= minEstJaccard))
+
+  /** Attach transitive group ids from an undirected pair list to EVERY
+    * row of `df`: connected components over the pairs, then a left join
+    * back (rows in no pair become singleton groups). Output per row:
+    * `(idCol, group_id, group_size, is_canonical)` with group_id = the
+    * component minimum. Shared tail of [[nearDupGroups]] and
+    * [[graft.functions.Similarity.embeddingNearDupGroups]]. */
+  def groupsFromPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      leftCol: String = "id_a",
+      rightCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, leftCol, rightCol)
     df.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).cast("long").as("group_id"))

@@ -386,6 +386,21 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding near-duplicate GROUPS — the semantic-dedup cluster step
+    * (the pruning strategy of SemDeDup, Abbas et al. 2023, public
+    * paper): banded sign-LSH pairs at/above `threshold` → connected
+    * components → one canonical vector per transitive cluster. One row
+    * per input vector; vectors with no near-dup form singleton groups. */
+  def embeddingNearDupGroups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 4,
+      nBands: Int = 16): DataFrame =
+    graft.functions.Dedup.groupsFromPairs(
+      df, idCol, embeddingNearDupPairsBanded(df, idCol, vecCol, threshold, nBits, nBands))
+
   /** Embedding near-duplicate pairs: cosine above `threshold`, bucketed by
     * sign-LSH so the pair generation is an equi-join. Single-bucket:
     * prefer [[embeddingNearDupPairsBanded]] when recall matters. */

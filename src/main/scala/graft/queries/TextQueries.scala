@@ -89,6 +89,11 @@ object TextQueries {
     "d16_embed_neardup_bands" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsBanded(embs(s, dir), "vec_id", "embedding", 0.3)
     }),
+    // semantic-dedup clusters: banded cosine pairs (>= 0.3) → connected
+    // components → canonical vector per cluster
+    "d25_embed_dedup_groups" -> ((s, dir) => {
+      Similarity.embeddingNearDupGroups(embs(s, dir), "vec_id", "embedding", 0.3)
+    }),
     // TF-IDF: top-3 distinguishing terms per document
     "d12_tfidf" -> ((s, dir) => {
       TF.tfIdfTopTerms(docs(s, dir), "text", "doc_id", 3)
@@ -406,6 +411,40 @@ object TextQueries {
         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> bv.vec[i] * bv.vec[i])))), 6) AS cos_sim
         |  FROM pairs p JOIN v av ON av.vec_id = p.id_a JOIN v bv ON bv.vec_id = p.id_b
         |) WHERE cos_sim >= 0.3""".stripMargin,
+    "d25_embed_dedup_groups" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 3),
+        |           i -> CASE WHEN vec[b.band * 4 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, (SELECT UNNEST(generate_series(0, 15)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cb a JOIN cb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), pairs AS (
+        |  SELECT * FROM (
+        |    SELECT p.id_a, p.id_b,
+        |           round(list_sum(list_transform(generate_series(1, 64), i -> av.vec[i] * bv.vec[i])) /
+        |                 (sqrt(list_sum(list_transform(generate_series(1, 64), i -> av.vec[i] * av.vec[i]))) *
+        |                  sqrt(list_sum(list_transform(generate_series(1, 64), i -> bv.vec[i] * bv.vec[i])))), 6) AS cos_sim
+        |    FROM cand p JOIN v av ON av.vec_id = p.id_a JOIN v bv ON bv.vec_id = p.id_b
+        |  ) WHERE cos_sim >= 0.3
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+        |), comp AS (
+        |  SELECT u AS id, least(u, MIN(v)) AS group_id FROM reach GROUP BY u
+        |), g AS (
+        |  SELECT e.vec_id, coalesce(c.group_id, e.vec_id) AS group_id
+        |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+        |)
+        |SELECT vec_id, group_id,
+        |       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+        |       CASE WHEN vec_id = group_id THEN 1::BIGINT ELSE 0::BIGINT END AS is_canonical
+        |FROM g""".stripMargin,
     "d12_tfidf" ->
       s"""WITH dt AS (
          |  SELECT doc_id AS id, UNNEST($toks) AS term FROM documents

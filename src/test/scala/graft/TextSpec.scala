@@ -123,6 +123,20 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(topk(2L) == 2L) // then the orthogonal one beats the antiparallel
   }
 
+  test("embedding near-dup groups: similar vectors cluster, anti-parallel stays out") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.01f)),
+      (2L, Array(0.97f, 0.15f, 0.02f)),
+      (3L, Array(-1.0f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.embeddingNearDupGroups(vecs, "vec_id", "embedding", 0.9, nBits = 1, nBands = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(Seq(0L, 1L, 2L).forall(id => g(id).getAs[Long]("group_id") == 0L))
+    assert(g(0L).getAs[Long]("group_size") == 3L && g(0L).getAs[Long]("is_canonical") == 1L)
+    assert(g(3L).getAs[Long]("group_id") == 3L && g(3L).getAs[Long]("group_size") == 1L)
+  }
+
   test("lsh topk is a subset of brute-force candidates with same scores") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
