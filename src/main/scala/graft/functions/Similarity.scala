@@ -349,6 +349,209 @@ object Similarity {
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centDf, nProbe)
   }
 
+  /** Unit-normalize a projected vector column (zero vectors pass through).
+    * On unit vectors L2 order == cosine order (‖a−b‖² = 2 − 2·cos), which
+    * lets the PQ path quantize in L2 — the standard formulation — while
+    * still ranking by cosine. */
+  private def unitize(vecCol: String): Column = {
+    val n = norm(col(vecCol))
+    when(n === 0.0, col(vecCol)).otherwise(transform(col(vecCol), x => x / n))
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI — public
+    * paper): split the (unit-normalized) vector into `nSub` subvectors
+    * and train `kSub` L2 centroids per subspace with relational k-means
+    * over a deterministic sample. ONE distributed pass per iteration
+    * covers ALL subspaces (subvectors exploded once, assignment is a
+    * broadcast join + window argmin, means one partial-aggregated
+    * groupBy) — not nSub separate jobs. Returns [nSub][kSub][subDim].
+    *
+    * Why PQ at 100 TB: raw float embeddings are 4·dim bytes/vector; PQ
+    * codes are nSub bytes (64-dim float32 → 8 bytes = 32×), small enough
+    * to keep the whole corpus index in executor memory. */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int = 8,
+      kSub: Int = 16,
+      iters: Int = 3,
+      sampleN: Int = 100000): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must be divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    val sampled = corpus.orderBy(col(idCol).asc).limit(sampleN)
+    // every (row, subspace) subvector, exploded once and reused each iter
+    val subs = subvectors(sampled, idCol, vecCol, nSub, subDim).cache()
+    try {
+      // deterministic init: subspace s seeds from the first kSub sampled rows
+      val seed = sampled
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
+        .select(col("id"), unitize("raw").as("vec"))
+        .orderBy(col("id").asc).limit(kSub).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val k = seed.length // corpora smaller than kSub clamp, like IVF
+      var cents: Array[Array[Array[Double]]] =
+        Array.tabulate(nSub)(s => Array.tabulate(k)(j => seed(j).slice(s * subDim, (s + 1) * subDim)))
+      for (_ <- 1 to iters) {
+        val centDf = codebookDf(spark, cents)
+        // per-(row, subspace) argmin: partial-aggregated min_by, not a
+        // window (kSub candidate rows collapse map-side); sv rides along
+        // via first() — constant within the group
+        val assigned = subs
+          .join(centDf, Seq("s"))
+          .select(col("id"), col("s"), col("sv"), col("cid"),
+            round(l2sq(col("sv"), col("centv")), 9).as("d2"))
+          .groupBy(col("id"), col("s"))
+          .agg(
+            min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+            first(col("sv")).as("sv"))
+        val means = assigned
+          .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("s"), col("cid"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("s"), col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("centv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+        cents = Array.tabulate(nSub)(s =>
+          Array.tabulate(k)(j => means.getOrElse((s, j), cents(s)(j))))
+      }
+      cents
+    } finally subs.unpersist(blocking = false)
+  }
+
+  /** Broadcast codebook table: one row per (subspace, code). A data
+    * table, NOT an expression literal — embedding nSub·kSub·subDim
+    * doubles as a `typedLit` made the analyzer/codegen grind for minutes
+    * on a 16×32 book (measured); a 512-row broadcast join is instant and
+    * is the shape that scales to bigger books anyway. */
+  private def codebookDf(
+      spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    broadcast(
+      spark.createDataFrame(
+        for { s <- codebooks.indices; j <- codebooks(s).indices }
+          yield (s, j, codebooks(s)(j).toSeq))
+        .toDF("s", "cid", "centv")
+        .select(col("s"), col("cid"), col("centv").cast("array<double>").as("centv")))
+
+  /** Every (row, subspace) subvector of the unit-normalized vector,
+    * exploded to rows: the common input of PQ training, encoding, and
+    * the query distance tables. */
+  private def subvectors(
+      df: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame =
+    df
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
+      .select(col("id"), unitize("raw").as("vec"))
+      .select(
+        col("id"),
+        explode(transform(
+          sequence(lit(0), lit(nSub - 1)),
+          s => struct(s.as("s"), slice(col("vec"), s * subDim + lit(1), lit(subDim)).as("sv")))).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** PQ-encode every row: `codes(s)` = index of the nearest subspace-s
+    * centroid (L2 on the unit-normalized vector). Subvectors broadcast-
+    * join the (s, cid) codebook table; the per-(row, subspace) argmin is
+    * a partial-aggregated `min_by` (map-side combine — the kSub
+    * candidate rows for a subvector collapse before any shuffle), then
+    * one more aggregate assembles the code array. At production scale
+    * this is the write-once index build. */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val nSub = codebooks.length
+    val subDim = codebooks.head.head.length
+    subvectors(df, idCol, vecCol, nSub, subDim)
+      .join(codebookDf(df.sparkSession, codebooks), Seq("s"))
+      .select(col("id"), col("s"), col("cid"),
+        round(l2sq(col("sv"), col("centv")), 9).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("cid")))),
+        p => p.getField("cid")).as("codes"))
+  }
+
+  /** PQ top-k: asymmetric-distance (ADC) shortlist over the compressed
+    * codes, then EXACT cosine re-rank of the shortlist — the standard
+    * production pattern (the 32×-smaller code table does the heavy
+    * pruning; full vectors are touched only for `shortlist` rows per
+    * query). Per query the distance table is kSub·nSub floats
+    * (broadcast); corpus-side scoring is nSub array lookups per row, no
+    * corpus shuffle. Output contract matches [[bruteForceTopK]]
+    * (query_id, rank, corpus_id, cos_sim; round-6, id tie-break). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int = 8,
+      kSub: Int = 16,
+      shortlist: Int = 100,
+      iters: Int = 3,
+      sampleN: Int = 100000): DataFrame = {
+    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN)
+    val subDim = cbArr.head.head.length
+    val codes = pqEncode(corpus, idCol, vecCol, cbArr)
+      .select(col("id").as("corpus_id"), col("codes"))
+    // per-query LUT: lut(s)(j) = L2²(query subvector s, codebook[s][j]) —
+    // same broadcast-join shape as encoding; cid/s are unique per group,
+    // so the struct sorts reassemble the arrays in index order
+    val luts = subvectors(queries, idCol, vecCol, nSub, subDim)
+      .join(codebookDf(queries.sparkSession, cbArr), Seq("s"))
+      .select(col("id").as("query_id"), col("s"), col("cid"),
+        l2sq(col("sv"), col("centv")).as("d2"))
+      .groupBy(col("query_id"), col("s"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cid"), col("d2")))),
+        p => p.getField("d2")).as("lutS"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("lutS")))),
+        p => p.getField("lutS")).as("lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
+    val short = codes
+      .crossJoin(broadcast(luts))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        aggregate(
+          sequence(lit(0), lit(nSub - 1)),
+          lit(0.0),
+          (acc, s) => acc +
+            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+          .as("adc"))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    // exact re-rank of the shortlist only
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val scored = short
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs with MULTI-BAND candidate generation:
     * a pair is a candidate if it collides in ANY of the `nBands` sign-LSH
     * bands, so near-dups straddling one hyperplane (missed by the

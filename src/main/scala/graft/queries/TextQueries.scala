@@ -80,6 +80,14 @@ object TextQueries {
       val e = embs(s, dir)
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // product-quantization top-5: ADC shortlist over 16-byte codes +
+    // exact re-rank (rows-only: trained codebooks aren't SQL-expressible;
+    // recall@5 >= 0.9 gated in AnnRecallSpec like d15)
+    "d26_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nSub = 16, kSub = 32)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
