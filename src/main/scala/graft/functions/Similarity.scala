@@ -492,7 +492,15 @@ object Similarity {
     * query). Per query the distance table is kSub·nSub floats
     * (broadcast); corpus-side scoring is nSub array lookups per row, no
     * corpus shuffle. Output contract matches [[bruteForceTopK]]
-    * (query_id, rank, corpus_id, cos_sim; round-6, id tie-break). */
+    * (query_id, rank, corpus_id, cos_sim; round-6, id tie-break).
+    *
+    * Sizing `shortlist`: tightly clustered corpora quantize to FEW
+    * distinct code words, so many rows tie on ADC and the tie-break is
+    * arbitrary — the shortlist must cover the expected tie-group size
+    * (ScaleBench ann: 1M vectors in 200 clusters needs ~5000, where the
+    * default 100 collapses recall). At that scale the production answer
+    * is IVF-PQ (coarse-prune to nProbe inverted lists, then ADC on
+    * residuals); flat PQ here is the memory story plus re-rank layer. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -505,14 +513,31 @@ object Similarity {
       iters: Int = 3,
       sampleN: Int = 100000): DataFrame = {
     val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN)
-    val subDim = cbArr.head.head.length
     val codes = pqEncode(corpus, idCol, vecCol, cbArr)
-      .select(col("id").as("corpus_id"), col("codes"))
+    pqTopKEncoded(corpus, codes, queries, idCol, vecCol, k, cbArr, shortlist)
+  }
+
+  /** PQ search against a PREBUILT index — `codes` from [[pqEncode]] and
+    * the codebooks that produced it (the train+encode cost is the
+    * write-once index build; this is the recurring query path — split
+    * out for the same reason [[ivfTopKWithCentroids]] is). */
+  def pqTopKEncoded(
+      corpus: DataFrame,
+      codesDf: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      shortlist: Int = 100): DataFrame = {
+    val nSub = codebooks.length
+    val subDim = codebooks.head.head.length
+    val codes = codesDf.select(col("id").as("corpus_id"), col("codes"))
     // per-query LUT: lut(s)(j) = L2²(query subvector s, codebook[s][j]) —
     // same broadcast-join shape as encoding; cid/s are unique per group,
     // so the struct sorts reassemble the arrays in index order
     val luts = subvectors(queries, idCol, vecCol, nSub, subDim)
-      .join(codebookDf(queries.sparkSession, cbArr), Seq("s"))
+      .join(codebookDf(queries.sparkSession, codebooks), Seq("s"))
       .select(col("id").as("query_id"), col("s"), col("cid"),
         l2sq(col("sv"), col("centv")).as("d2"))
       .groupBy(col("query_id"), col("s"))
@@ -524,18 +549,17 @@ object Similarity {
         array_sort(collect_list(struct(col("s"), col("lutS")))),
         p => p.getField("lutS")).as("lut"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
+    // ADC unrolled to a STATIC nSub-term sum, not an `aggregate` HOF fold:
+    // the fold's lambda is interpreted per element, and this expression
+    // runs once per (corpus row × query) — at 1M×100 the interpreted fold
+    // measured ~7 min where the codegen'd Add tree tracks brute force
+    val adc = (0 until nSub)
+      .map(s => element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
     val short = codes
       .crossJoin(broadcast(luts))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("corpus_id"),
-        aggregate(
-          sequence(lit(0), lit(nSub - 1)),
-          lit(0.0),
-          (acc, s) => acc +
-            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
-          .as("adc"))
+      .select(col("query_id"), col("corpus_id"), adc.as("adc"))
       .withColumn("srn", row_number().over(w))
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("corpus_id"))

@@ -259,13 +259,34 @@ object ScaleBench {
         nCentroids = 32, nProbe = 2, iters = 2, sampleN = 100000).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
     }
+    // PQ: train+encode is the one-time index build (codes are 16 bytes
+    // per vector = 16x under float32); search is ADC over codes + exact
+    // re-rank of the shortlist only
+    // PQ index build (one-time: train sub-codebooks + encode the corpus
+    // to 16-byte codes) timed apart from the recurring ADC search.
+    // shortlist ~cluster size: 200 clusters quantize to near-identical
+    // codes within a cluster, so ADC ties must all reach the re-rank
+    val (codes, pqBuildSec) = time {
+      val cb = Similarity.trainPqCodebooks(v, "vec_id", "embedding",
+        nSub = 16, kSub = 32, sampleN = 20000)
+      val c = Similarity.pqEncode(v, "vec_id", "embedding", cb).cache()
+      c.count()
+      (cb, c)
+    }
+    val (pqPairs, pqSearchSec) = time {
+      Similarity.pqTopKEncoded(v, codes._2, q, "vec_id", "embedding", 5,
+        codes._1, shortlist = 5000).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
     println(
       s"""{"workload":{"vecs":$nVecs,"dim":$dim,"clusters":$nClusters,"queries":100},
          |"brute":{"sec":$bruteSec},
          |"lsh_banded_adversarial_cfg":{"sec":$lshSec,"recall_at_5":${recall(lshPairs)}},
          |"ivf_trained_adversarial_cfg":{"sec":$ivfSec,"recall_at_5":${recall(ivfPairs)}},
          |"lsh_banded_clustered_cfg":{"sec":$lshCheapSec,"recall_at_5":${recall(lshCheapPairs)}},
-         |"ivf_trained_clustered_cfg":{"sec":$ivfCheapSec,"recall_at_5":${recall(ivfCheapPairs)}}}"""
+         |"ivf_trained_clustered_cfg":{"sec":$ivfCheapSec,"recall_at_5":${recall(ivfCheapPairs)}},
+         |"pq_index_build":{"sec":$pqBuildSec},
+         |"pq_adc_search_rerank":{"sec":$pqSearchSec,"recall_at_5":${recall(pqPairs)}}}"""
         .stripMargin.replace("\n", ""))
   }
 
