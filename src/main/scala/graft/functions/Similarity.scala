@@ -231,6 +231,23 @@ object Similarity {
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, cents, nProbe)
   }
 
+  /** The `keep` nearest coarse centroids per row (cosine, deterministic
+    * round-6 + cid tie-break) — the inverted-list router shared by IVF
+    * and IVF-PQ. */
+  private def nearestCentroids(
+      df: DataFrame, cents: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+    val scored = df
+      .crossJoin(broadcast(cents))
+      .select(
+        col(id),
+        col(vec),
+        col("cid"),
+        round(cosineNative(df, vec, "centv"), 6).as("ccos"))
+    val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+      .select(col(id), col(vec), col("cid").as("bucket"))
+  }
+
   /** IVF top-k against an explicit centroid table (cid, centv). */
   def ivfTopKWithCentroids(
       corpus: DataFrame,
@@ -240,24 +257,12 @@ object Similarity {
       k: Int,
       cents: DataFrame,
       nProbe: Int): DataFrame = {
-    def nearest(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df
-        .crossJoin(broadcast(cents))
-        .select(
-          col(id),
-          col(vec),
-          col("cid"),
-          round(cosineNative(df, vec, "centv"), 6).as("ccos"))
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-        .select(col(id), col(vec), col("cid").as("bucket"))
-    }
-    val assigned = nearest(
+    val assigned = nearestCentroids(
       corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec")),
-      "corpus_id", "cvec", 1)
-    val probes = nearest(
+      cents, "corpus_id", "cvec", 1)
+    val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")),
-      "query_id", "qvec", nProbe)
+      cents, "query_id", "qvec", nProbe)
     val scored = assigned
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
@@ -533,21 +538,7 @@ object Similarity {
     val nSub = codebooks.length
     val subDim = codebooks.head.head.length
     val codes = codesDf.select(col("id").as("corpus_id"), col("codes"))
-    // per-query LUT: lut(s)(j) = L2²(query subvector s, codebook[s][j]) —
-    // same broadcast-join shape as encoding; cid/s are unique per group,
-    // so the struct sorts reassemble the arrays in index order
-    val luts = subvectors(queries, idCol, vecCol, nSub, subDim)
-      .join(codebookDf(queries.sparkSession, codebooks), Seq("s"))
-      .select(col("id").as("query_id"), col("s"), col("cid"),
-        l2sq(col("sv"), col("centv")).as("d2"))
-      .groupBy(col("query_id"), col("s"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("cid"), col("d2")))),
-        p => p.getField("d2")).as("lutS"))
-      .groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("s"), col("lutS")))),
-        p => p.getField("lutS")).as("lut"))
+    val luts = queryLuts(queries, idCol, vecCol, codebooks)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
     // ADC unrolled to a STATIC nSub-term sum, not an `aggregate` HOF fold:
     // the fold's lambda is interpreted per element, and this expression
@@ -563,7 +554,44 @@ object Similarity {
       .withColumn("srn", row_number().over(w))
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("corpus_id"))
-    // exact re-rank of the shortlist only
+    rerankExact(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Per-query ADC lookup table: lut(s)(j) = L2²(query subvector s,
+    * codebook[s][j]) — the same broadcast-join shape as encoding; cid/s
+    * are unique per group, so the struct sorts reassemble the arrays in
+    * index order. */
+  private def queryLuts(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val nSub = codebooks.length
+    val subDim = codebooks.head.head.length
+    subvectors(queries, idCol, vecCol, nSub, subDim)
+      .join(codebookDf(queries.sparkSession, codebooks), Seq("s"))
+      .select(col("id").as("query_id"), col("s"), col("cid"),
+        l2sq(col("sv"), col("centv")).as("d2"))
+      .groupBy(col("query_id"), col("s"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cid"), col("d2")))),
+        p => p.getField("d2")).as("lutS"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("lutS")))),
+        p => p.getField("lutS")).as("lut"))
+  }
+
+  /** Exact cosine re-rank of a (query_id, corpus_id) shortlist — the
+    * shared tail of the PQ paths: full vectors are touched only for the
+    * shortlisted rows. */
+  private def rerankExact(
+      short: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
     val scored = short
@@ -574,6 +602,64 @@ object Similarity {
         col("corpus_id"),
         round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
     rankTopK(scored, k)
+  }
+
+  /** IVF-PQ top-k — the production ANN composition at corpus scale
+    * (Jégou et al. 2011 §IV): a TRAINED coarse quantizer routes every
+    * vector to one inverted list; a query probes only its `nProbe`
+    * nearest lists, scores THEIR 16-byte codes with the codegen'd ADC
+    * sum, and exact-re-ranks the shortlist. Candidate generation is an
+    * equi-join on the list id (corpus·nProbe/nLists rows reach ADC — not
+    * the flat-PQ full scan), and the scanned payload is codes, not
+    * floats: both the compute and the memory story for 100 TB. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 32,
+      nProbe: Int = 12,
+      nSub: Int = 16,
+      kSub: Int = 32,
+      shortlist: Int = 100,
+      iters: Int = 3,
+      sampleN: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN)
+    val coarseDf = spark
+      .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cid", "centv")
+      .select(col("cid"), col("centv").cast("array<double>").as("centv"))
+    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN)
+    val subDim = cbArr.head.head.length
+    // index: every corpus row's inverted list + PQ codes
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec")),
+      coarseDf, "corpus_id", "cvec", 1)
+      .select(col("corpus_id"), col("bucket"))
+    val index = assigned.join(
+      pqEncode(corpus, idCol, vecCol, cbArr).select(col("id").as("corpus_id"), col("codes")),
+      Seq("corpus_id"))
+    // query side: probed lists × ADC lookup table, one small broadcast
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")),
+      coarseDf, "query_id", "qvec", nProbe)
+      .select(col("query_id"), col("bucket"))
+    val luts = queryLuts(queries, idCol, vecCol, cbArr)
+    val qSide = probes.join(luts, Seq("query_id"))
+    val adc = (0 until nSub)
+      .map(s => element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
+    val short = index
+      .join(broadcast(qSide), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), adc.as("adc"))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    rerankExact(short, corpus, queries, idCol, vecCol, k)
   }
 
   /** Embedding near-duplicate pairs with MULTI-BAND candidate generation:

@@ -88,6 +88,13 @@ object TextQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32)
     }),
+    // IVF-PQ: trained coarse lists + ADC over codes + exact re-rank
+    // (rows-only like d15/d26; recall gated in AnnRecallSpec)
+    "d27_ivf_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nSub = 16, kSub = 32)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)

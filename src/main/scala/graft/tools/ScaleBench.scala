@@ -278,6 +278,15 @@ object ScaleBench {
         codes._1, shortlist = 5000).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
     }
+    // IVF-PQ: the composition — coarse lists prune the scan to
+    // nProbe/nLists of the corpus, ADC scores only those codes (timed
+    // whole: coarse+PQ training, 1-per-row routing, encode, search)
+    val (ivfPqPairs, ivfPqSec) = time {
+      Similarity.ivfPqTopK(v, q, "vec_id", "embedding", 5,
+        nLists = 64, nProbe = 4, nSub = 16, kSub = 32,
+        shortlist = 5000, sampleN = 20000).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
     println(
       s"""{"workload":{"vecs":$nVecs,"dim":$dim,"clusters":$nClusters,"queries":100},
          |"brute":{"sec":$bruteSec},
@@ -286,7 +295,8 @@ object ScaleBench {
          |"lsh_banded_clustered_cfg":{"sec":$lshCheapSec,"recall_at_5":${recall(lshCheapPairs)}},
          |"ivf_trained_clustered_cfg":{"sec":$ivfCheapSec,"recall_at_5":${recall(ivfCheapPairs)}},
          |"pq_index_build":{"sec":$pqBuildSec},
-         |"pq_adc_search_rerank":{"sec":$pqSearchSec,"recall_at_5":${recall(pqPairs)}}}"""
+         |"pq_adc_search_rerank":{"sec":$pqSearchSec,"recall_at_5":${recall(pqPairs)}},
+         |"ivf_pq_total_incl_build":{"sec":$ivfPqSec,"recall_at_5":${recall(ivfPqPairs)}}}"""
         .stripMargin.replace("\n", ""))
   }
 
