@@ -165,6 +165,34 @@ object TextFunctions {
     * every (doc, gram) aggregation buffer — at 2M docs / 80M grams that
     * cost 112 s vs 76 s for this join formulation. Shuffle WIDTH on the
     * fan-out side beats join COUNT on the per-doc side at scale. */
+  /** Corpus vocabulary statistics (the Zipf table): per token, total
+    * occurrences, document frequency, frequency rank (count desc, token
+    * asc tie-break), and corpus share. One explode + one partial-
+    * aggregated groupBy; the rank/share windows run over the VOCABULARY
+    * (log-scale of the corpus — fine on one reducer even when the corpus
+    * is not), never over the token stream. */
+  def vocabStats(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("n_occurrences").desc, col("token").asc)
+    df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .withColumn("freq_rank", row_number().over(rankW).cast("long"))
+      .withColumn(
+        "corpus_share",
+        round(col("n_occurrences").cast("double") / sum(col("n_occurrences")).over(all), 6))
+  }
+
   /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1 — public paper): per-document structural filters
     * complementing [[repetitionMetrics]]. Emits the raw metrics plus one

@@ -182,6 +182,10 @@ object TextQueries {
     "d20_repetition" -> ((s, dir) => {
       TF.repetitionMetrics(docs(s, dir), "text", "doc_id")
     }),
+    // corpus vocabulary (Zipf) table: counts, doc freq, rank, share
+    "d28_vocab_stats" -> ((s, dir) => {
+      TF.vocabStats(docs(s, dir), "text", "doc_id")
+    }),
     // Gopher structural quality rules: integer-gated pass flag + metrics
     "d24_gopher_quality" -> ((s, dir) => {
       TF.gopherRules(docs(s, dir), "text", "doc_id")
@@ -613,6 +617,17 @@ object TextQueries {
          |             AND (t.top_bigram_frac > 0.08 OR d.dup_3gram_frac > 0.02)
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS repetition_flag
          |FROM dup d JOIN top t USING (doc_id)""".stripMargin,
+    "d28_vocab_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($toks) AS token FROM documents
+         |), v AS (
+         |  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM t GROUP BY 1
+         |)
+         |SELECT token, n_occurrences, n_docs,
+         |       (ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC))::BIGINT AS freq_rank,
+         |       round(n_occurrences::DOUBLE / SUM(n_occurrences) OVER (), 6) AS corpus_share
+         |FROM v""".stripMargin,
     "d24_gopher_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toks AS tk, string_split(text, chr(10)) AS lines,

@@ -200,6 +200,23 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(3L).getAs[Long]("repetition_flag") == 0L)
   }
 
+  test("vocab stats: counts, doc frequency, Zipf rank, shares sum to 1") {
+    val d = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val v = TF.vocabStats(d, "text", "doc_id")
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(v("alpha").getAs[Long]("n_occurrences") == 3L)
+    assert(v("alpha").getAs[Long]("n_docs") == 2L)
+    assert(v("alpha").getAs[Long]("freq_rank") == 1L)
+    assert(v("beta").getAs[Long]("n_docs") == 1L)
+    // ties on count rank by token: beta before gamma
+    assert(v("beta").getAs[Long]("freq_rank") == 2L)
+    assert(v("gamma").getAs[Long]("freq_rank") == 3L)
+    assert(math.abs(v.values.map(_.getAs[Double]("corpus_share")).sum - 1.0) < 1e-9)
+  }
+
   test("gopher rules: clean prose passes, structural defects fail the right gates") {
     // 60 words of plausible prose incl. >=2 required stopwords, no symbols
     val clean = ("the quick brown fox jumps over that lazy dog with " * 6).trim
