@@ -53,6 +53,19 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r >= 0.9, s"PQ recall@5 = $r < 0.9")
   }
 
+  test("PQ index survives a parquet round trip: persisted codes give identical top-k") {
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", nSub = 16, kSub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    Similarity.pqEncode(emb, "vec_id", "embedding", cb).write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val live = pairs(Similarity.pqTopKEncoded(
+      emb, Similarity.pqEncode(emb, "vec_id", "embedding", cb),
+      queries, "vec_id", "embedding", k, cb))
+    val persisted = pairs(Similarity.pqTopKEncoded(
+      emb, fromDisk, queries, "vec_id", "embedding", k, cb))
+    assert(persisted == live, "top-k from the persisted index must match the live encode")
+  }
+
   test("IVF-PQ: coarse prune + ADC + exact re-rank, recall@5 >= 0.9 vs brute force") {
     val got = pairs(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
       nSub = 16, kSub = 32))
