@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.split("Scan parquet").length - 1 == 1, p)
   }
 
+  test("d24: gopher rules are one pruned scan, no shuffle") {
+    val p = plan("d24_gopher_quality")
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to (doc_id, text): " + p)
+    assert(!p.contains("Exchange"), "per-row metrics must not shuffle: " + p)
+  }
+
+  test("d28: vocab stats aggregate partially before the shuffle, one pruned scan") {
+    val p = plan("d28_vocab_stats")
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // token counts combine map-side: HashAggregate below the Exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the runtime-filter lever for 100 TB fact joins: a selective filter
     // on the dimension side injects a bloom_filter_agg whose result
