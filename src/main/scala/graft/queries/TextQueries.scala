@@ -195,6 +195,21 @@ object TextQueries {
     "d23_dedup_groups" -> ((s, dir) => {
       Dedup.nearDupGroups(docs(s, dir), "text", "doc_id", minEstJaccard = 0.5)
     }),
+    // dedup APPLY: groups → keep the canonical doc per cluster → per-source
+    // kept/dropped counts and token savings (the end of the pairs → groups
+    // → filtered-corpus chain)
+    "d29_dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), col("source"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(Dedup.nearDupGroups(d, "text", "doc_id", minEstJaccard = 0.5), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("is_canonical")).as("n_kept"),
+          (count(lit(1)) - sum(col("is_canonical"))).as("n_dropped"),
+          sum(when(col("is_canonical") === 1L, col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+          sum(when(col("is_canonical") === 0L, col("n_tokens")).otherwise(0L)).as("dropped_tokens"))
+    }),
     // sequence packing: concat-and-split positions per doc within its
     // source stratum (per-stratum windows — parallel across shards)
     "d21_pack" -> ((s, dir) => {
@@ -232,6 +247,49 @@ object TextQueries {
        |    i -> array_to_string(($toks)[i + 1 : i + 3], ' '))) AS shingles
        |  FROM documents
        |)""".stripMargin
+
+  /** Shared oracle prefix for the dedup-group family (d23/d29):
+    * MinHash sigs → banded candidates → integer-gated est-Jaccard pairs
+    * (>= 8/16 matching positions == est >= 0.5) → RECURSIVE transitive
+    * closure → per-doc group id (component minimum; singletons map to
+    * themselves). */
+  private lazy val dedupClosureCtes: String = {
+    val p = graft.functions.Dedup.minhashPrime
+    val minList = graft.functions.Dedup
+      .minhashCoeffs(16)
+      .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+      .mkString("[", ", ", "]")
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+      s""", hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, b.band,
+       |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+       |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+       |), pairs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM cand p
+       |  JOIN sigs sa ON sa.doc_id = p.id_a
+       |  JOIN sigs sb ON sb.doc_id = p.id_b
+       |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) * 2 >= 16
+       |), edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+       |), comp AS (
+       |  SELECT u AS id, least(u, MIN(v)) AS group_id FROM reach GROUP BY u
+       |), g AS (
+       |  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d1_text_stats" ->
@@ -664,51 +722,23 @@ object TextQueries {
          |             AND n_stopwords_hit >= 2
          |            THEN 1::BIGINT ELSE 0::BIGINT END AS gopher_pass
          |FROM m""".stripMargin,
-    "d23_dedup_groups" -> {
-      val p = graft.functions.Dedup.minhashPrime
-      val minList = graft.functions.Dedup
-        .minhashCoeffs(16)
-        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
-        .mkString("[", ", ", "]")
-      // est_jaccard >= 0.5 over 16 hashes == at least 8 matching
-      // positions: compared as integers so the gate is bit-stable.
-      // Components via transitive closure (the graph that survives the
-      // 0.5 gate is tiny at oracle scale); component id = min reachable.
-      "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-        s""", hashed AS (
-         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
-         |), sigs AS (
-         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
-         |), banded AS (
-         |  SELECT doc_id, b.band,
-         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
-         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
-         |), pairs AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM cand p
-         |  JOIN sigs sa ON sa.doc_id = p.id_a
-         |  JOIN sigs sb ON sb.doc_id = p.id_b
-         |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) * 2 >= 16
-         |), edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
-         |), reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
-         |), comp AS (
-         |  SELECT u AS id, least(u, MIN(v)) AS group_id FROM reach GROUP BY u
-         |), g AS (
-         |  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-         |)
+    "d23_dedup_groups" ->
+      s"""$dedupClosureCtes
          |SELECT doc_id, group_id,
          |       COUNT(*) OVER (PARTITION BY group_id) AS group_size,
          |       CASE WHEN doc_id = group_id THEN 1::BIGINT ELSE 0::BIGINT END AS is_canonical
-         |FROM g""".stripMargin
-    },
+         |FROM g""".stripMargin,
+    "d29_dedup_apply" ->
+      s"""$dedupClosureCtes, gg AS (
+         |  SELECT g.doc_id, g.group_id, d.source, len($toks)::BIGINT AS n_tokens
+         |  FROM g JOIN documents d ON d.doc_id = g.doc_id
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(COUNT(*) - SUM(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(SUM(CASE WHEN doc_id = group_id THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |       CAST(SUM(CASE WHEN doc_id <> group_id THEN n_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
+         |FROM gg GROUP BY source""".stripMargin,
     "d21_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM documents
