@@ -295,4 +295,54 @@ object TextFunctions {
           (col("top_bigram_frac") > maxTopBigramFrac ||
             col("dup_3gram_frac") > maxDup3GramFrac), 1L).otherwise(0L))
   }
+
+  /** Cross-document duplicated-span statistics — exact substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", public paper) re-expressed at word-n-gram granularity: a
+    * gram POSITION is duplicated when its n-token gram also occurs in at
+    * least `minDocs` distinct documents (itself included). Reports, per
+    * doc, total gram positions, duplicated positions, their fraction,
+    * and a flag when duplicated/total ≥ flagNum/flagDen (compared as
+    * integers — bit-stable across engines, like [[gopherRules]]).
+    *
+    * Shape at scale: explode once → (1) distinct (doc, gram) + one
+    * partial-aggregated count to find shared grams, (2) shared grams
+    * equi-join back to the exploded stream, (3) per-doc count. Never
+    * all-pairs, never a suffix structure held on one node: the shuffles
+    * are keyed by gram (high cardinality, well spread) and doc id. The
+    * suffix-array formulation finds arbitrary-length spans; fixed-n
+    * grams are the bounded-memory distributed approximation (a length-L
+    * duplicated span ⇒ L−n+1 duplicated grams, so long copies dominate
+    * the fraction just the same). */
+  def crossDocGramStats(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minDocs: Int = 2,
+      flagNum: Int = 1,
+      flagDen: Int = 5): org.apache.spark.sql.DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(allShingles(col(textCol), n)).as("gram"))
+    val shared = exploded
+      .distinct() // (doc, gram) pairs — then count DOCS per gram
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val dupPerDoc = exploded
+      .join(shared, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    df.select(col(idCol), size(allShingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("n_dup_grams"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("dup_fraction"),
+        when(coalesce(col("n_dup_grams"), lit(0L)) * flagDen >= col("n_grams") * flagNum, 1L)
+          .otherwise(0L).as("dup_flag"))
+  }
 }

@@ -275,6 +275,51 @@ object RelationalQueries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           col("n"))
     }),
+    // as-of join (backward, inclusive): each purchase picks the user's
+    // most recent click at-or-before it — union-marker scan, ONE shuffle,
+    // no inequality join (operators/AsofJoin)
+    "q24_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("value"), 6).as("purchase_value"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"),
+          col("event_id").as("click_id"),
+          unix_millis(col("ts")).as("click_ms"))
+      graft.operators.AsofJoin
+        .asof(purchases, clicks, Seq("user_id"), leftTs = "ts_ms", rightTs = "click_ms")
+        .withColumn("gap_ms", col("ts_ms") - col("click_ms"))
+    }),
+    // point-in-interval range join, bucketized to a day equi-join
+    // (operators/IntervalJoin): 7-day sliding windows over the event month
+    "q25_interval" -> ((s, dir) => {
+      val windows = s.range(1)
+        .select(explode(sequence(
+          lit("2024-01-01").cast("date"),
+          lit("2024-01-24").cast("date"),
+          expr("interval 1 day"))).as("window_start"))
+        .withColumn("window_end", date_add(col("window_start"), 6))
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("event_day"), col("user_id"), col("value"))
+      graft.operators.IntervalJoin
+        .pointInInterval(ev, "event_day", windows, "window_start", "window_end")
+        .groupBy(col("window_start"), col("window_end"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 6).as("total_value"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+          col("n_events"), col("n_users"), col("total_value"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -464,6 +509,35 @@ object RelationalQueries {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q24_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, round(value, 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.user_id, p.event_id, p.ts_ms, p.purchase_value, c.click_id, c.click_ms,
+        |         row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |                            ORDER BY c.click_ms DESC NULLS LAST, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ms <= p.ts_ms
+        |)
+        |SELECT user_id, event_id, ts_ms, purchase_value, click_id, click_ms,
+        |       ts_ms - click_ms AS gap_ms
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q25_interval" ->
+      """WITH w AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-24',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS wstart
+        |)
+        |SELECT strftime(wstart, '%Y-%m-%d') AS window_start,
+        |       strftime(wstart + INTERVAL 6 DAY, '%Y-%m-%d') AS window_end,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT e.user_id) AS n_users,
+        |       round(SUM(e.value), 6) AS total_value
+        |FROM w JOIN events e
+        |  ON CAST(e.ts AS DATE) BETWEEN wstart AND CAST(wstart + INTERVAL 6 DAY AS DATE)
+        |GROUP BY wstart""".stripMargin,
     "q13_ratio" ->
       """SELECT l_returnflag,
         |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,

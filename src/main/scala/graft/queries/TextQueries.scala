@@ -210,6 +210,12 @@ object TextQueries {
           sum(when(col("is_canonical") === 1L, col("n_tokens")).otherwise(0L)).as("kept_tokens"),
           sum(when(col("is_canonical") === 0L, col("n_tokens")).otherwise(0L)).as("dropped_tokens"))
     }),
+    // cross-document duplicated-span stats (exact substring dedup at
+    // word-8-gram granularity): shared grams via one distinct + count,
+    // equi-joined back — never all-pairs, never a single-node suffix array
+    "d30_substring_dup" -> ((s, dir) => {
+      TF.crossDocGramStats(docs(s, dir), "text", "doc_id", n = 8)
+    }),
     // sequence packing: concat-and-split positions per doc within its
     // source stratum (per-stratum windows — parallel across shards)
     "d21_pack" -> ((s, dir) => {
@@ -739,6 +745,28 @@ object TextQueries {
          |       CAST(SUM(CASE WHEN doc_id = group_id THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
          |       CAST(SUM(CASE WHEN doc_id <> group_id THEN n_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
          |FROM gg GROUP BY source""".stripMargin,
+    "d30_substring_dup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toks AS ws FROM documents
+         |), g0 AS (
+         |  SELECT doc_id, list_transform(generate_series(0, greatest(len(ws) - 8, 0)),
+         |                                i -> array_to_string(ws[i + 1 : i + 8], ' ')) AS grams
+         |  FROM w
+         |), g AS (
+         |  SELECT doc_id, UNNEST(grams) AS gram FROM g0
+         |), shared AS (
+         |  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2
+         |), dup AS (
+         |  SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN shared USING (gram) GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, len(grams)::BIGINT AS n_grams FROM g0
+         |)
+         |SELECT b.doc_id, b.n_grams,
+         |       COALESCE(d.n_dup, 0)::BIGINT AS n_dup_grams,
+         |       round(COALESCE(d.n_dup, 0)::DOUBLE / b.n_grams, 6) AS dup_fraction,
+         |       (CASE WHEN COALESCE(d.n_dup, 0) * 5 >= b.n_grams THEN 1 ELSE 0 END)::BIGINT AS dup_flag
+         |FROM base b LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "d21_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM documents

@@ -322,4 +322,22 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
     assert(scores(3L) > 0.0)
   }
+
+  test("cross-doc gram stats count shared spans, not within-doc repeats") {
+    // 3-grams: docs 1 and 2 share the span "a b c d" (two 3-gram
+    // positions); doc 3 repeats its own gram but shares nothing
+    val d = Seq(
+      (1L, "a b c d x y"),
+      (2L, "q a b c d z"),
+      (3L, "r r r r r r")).toDF("doc_id", "text")
+    val m = TF.crossDocGramStats(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_grams") == 4L)
+    assert(m(1L).getAs[Long]("n_dup_grams") == 2L) // "a b c", "b c d"
+    assert(m(2L).getAs[Long]("n_dup_grams") == 2L)
+    assert(m(3L).getAs[Long]("n_dup_grams") == 0L) // self-repeat is not cross-doc
+    assert(m(1L).getAs[Double]("dup_fraction") == 0.5)
+    assert(m(1L).getAs[Long]("dup_flag") == 1L) // 2/4 >= 1/5
+    assert(m(3L).getAs[Long]("dup_flag") == 0L)
+  }
 }
