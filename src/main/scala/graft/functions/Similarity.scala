@@ -382,19 +382,21 @@ object Similarity {
       nSub: Int = 8,
       kSub: Int = 16,
       iters: Int = 3,
-      sampleN: Int = 100000): Array[Array[Array[Double]]] = {
+      sampleN: Int = 100000,
+      normalize: Boolean = true): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim must be divisible by nSub=$nSub")
     val subDim = dim / nSub
     val sampled = corpus.orderBy(col(idCol).asc).limit(sampleN)
     // every (row, subspace) subvector, exploded once and reused each iter
-    val subs = subvectors(sampled, idCol, vecCol, nSub, subDim).cache()
+    val subs = subvectors(sampled, idCol, vecCol, nSub, subDim, normalize).cache()
     try {
       // deterministic init: subspace s seeds from the first kSub sampled rows
+      val rawCol = asDouble(col(vecCol))
       val seed = sampled
-        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
-        .select(col("id"), unitize("raw").as("vec"))
+        .select(col(idCol).as("id"), rawCol.as("raw"))
+        .select(col("id"), (if (normalize) unitize("raw") else col("raw")).as("vec"))
         .orderBy(col("id").asc).limit(kSub).collect()
         .map(_.getSeq[Double](1).toArray)
       val k = seed.length // corpora smaller than kSub clamp, like IVF
@@ -450,10 +452,15 @@ object Similarity {
     * exploded to rows: the common input of PQ training, encoding, and
     * the query distance tables. */
   private def subvectors(
-      df: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame =
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      normalize: Boolean = true): DataFrame =
     df
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
-      .select(col("id"), unitize("raw").as("vec"))
+      .select(col("id"), (if (normalize) unitize("raw") else col("raw")).as("vec"))
       .select(
         col("id"),
         explode(transform(
@@ -475,10 +482,11 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): DataFrame = {
     val nSub = codebooks.length
     val subDim = codebooks.head.head.length
-    subvectors(df, idCol, vecCol, nSub, subDim)
+    subvectors(df, idCol, vecCol, nSub, subDim, normalize)
       .join(codebookDf(df.sparkSession, codebooks), Seq("s"))
       .select(col("id"), col("s"), col("cid"),
         round(l2sq(col("sv"), col("centv")), 9).as("d2"))
@@ -565,10 +573,11 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): DataFrame = {
     val nSub = codebooks.length
     val subDim = codebooks.head.head.length
-    subvectors(queries, idCol, vecCol, nSub, subDim)
+    subvectors(queries, idCol, vecCol, nSub, subDim, normalize)
       .join(codebookDf(queries.sparkSession, codebooks), Seq("s"))
       .select(col("id").as("query_id"), col("s"), col("cid"),
         l2sq(col("sv"), col("centv")).as("d2"))
@@ -654,6 +663,91 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
     val short = index
       .join(broadcast(qSide), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), adc.as("adc"))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    rerankExact(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — IVFADC proper (Jégou et al. 2011
+    * §IV.A): PQ codes quantize (vector − its list's coarse centroid)
+    * instead of the raw vector. Residuals concentrate near zero with far
+    * less variance than raw vectors, so the same nSub·kSub code budget
+    * spends its resolution on exactly the part the coarse quantizer
+    * didn't explain — tighter cells, sharper ADC distances, better
+    * recall at equal code size. The cost: the query-side ADC lookup
+    * table becomes per-(query, probed list) — q − centv(list) differs
+    * per list — still a small broadcast (nProbe LUTs per query instead
+    * of one). Index build (assign + residual-encode) stays one corpus
+    * pass; at production scale persist `(corpus_id, bucket, codes)` as
+    * the write-once parquet index exactly like [[pqEncode]]'s. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 32,
+      nProbe: Int = 12,
+      nSub: Int = 16,
+      kSub: Int = 32,
+      shortlist: Int = 100,
+      iters: Int = 3,
+      sampleN: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN)
+    val coarseDf = spark
+      .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cid", "centv")
+      .select(col("cid"), col("centv").cast("array<double>").as("centv"))
+    val byBucket = broadcast(coarseDf.select(col("cid").as("bucket"), col("centv")))
+
+    // corpus residuals: unit(vec) − coarse centroid of the assigned list.
+    // Cached: the residual table feeds codebook training (iterated), the
+    // encode pass, and the bucket index — without the cache the window
+    // assignment would recompute per consumer.
+    val cvecs = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("raw"))
+      .select(col("corpus_id"), unitize("raw").as("cvec"))
+    val resid = nearestCentroids(cvecs, coarseDf, "corpus_id", "cvec", 1)
+      .join(byBucket, Seq("bucket"))
+      .select(
+        col("corpus_id"),
+        col("bucket"),
+        zip_with(col("cvec"), col("centv"), (x, c) => x - c).as("resid"))
+      .cache()
+    val cbArr =
+      trainPqCodebooks(resid, "corpus_id", "resid", nSub, kSub, iters, sampleN, normalize = false)
+    val index = resid
+      .select(col("corpus_id"), col("bucket"))
+      .join(
+        pqEncode(resid, "corpus_id", "resid", cbArr, normalize = false)
+          .select(col("id").as("corpus_id"), col("codes")),
+        Seq("corpus_id"))
+
+    // query side: per-(query, probed list) residual → per-pair ADC LUT
+    val qvecs = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("raw"))
+      .select(col("query_id"), unitize("raw").as("qvec"))
+    val qresid = nearestCentroids(qvecs, coarseDf, "query_id", "qvec", nProbe)
+      .join(byBucket, Seq("bucket"))
+      .select(
+        struct(col("query_id"), col("bucket")).as("qb"),
+        zip_with(col("qvec"), col("centv"), (x, c) => x - c).as("qres"))
+    val luts = queryLuts(qresid, "qb", "qres", cbArr, normalize = false)
+      .select(
+        col("query_id").getField("query_id").as("query_id"),
+        col("query_id").getField("bucket").as("bucket"),
+        col("lut"))
+
+    val adc = (0 until nSub)
+      .map(s => element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("corpus_id").asc)
+    val short = index
+      .join(broadcast(luts), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), adc.as("adc"))
       .withColumn("srn", row_number().over(w))

@@ -95,6 +95,13 @@ object TextQueries {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32)
     }),
+    // IVFADC proper: PQ over residuals (vec − coarse centroid), per-list
+    // query LUTs (rows-only like d27; recall gated in AnnRecallSpec)
+    "d31_ivf_pq_residual" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nSub = 16, kSub = 32)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)

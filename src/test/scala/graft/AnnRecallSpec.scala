@@ -73,6 +73,13 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r >= 0.9, s"IVF-PQ recall@5 = $r < 0.9")
   }
 
+  test("residual IVF-PQ (IVFADC): recall@5 >= 0.9 vs brute force") {
+    val got = pairs(Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding", k,
+      nSub = 16, kSub = 32))
+    val r = recall(got)
+    assert(r >= 0.9, s"residual IVF-PQ recall@5 = $r < 0.9")
+  }
+
   test("banded LSH prunes: candidate set is a strict subset of all pairs") {
     // the approximate result must differ from brute force somewhere —
     // i.e. it really did skip candidates — while keeping recall above the
