@@ -49,6 +49,28 @@ object Sampling {
     df.filter(keep(col(idCol), frac))
   }
 
+  /** EXACT-count stratified sample: the `n` hash-lowest rows per stratum
+    * — deterministic and reproducible like [[hashSampleBy]], but
+    * row-exact where fractions are only exact in expectation (an eval
+    * set of "exactly 1000 docs per source" is this, not a rate). A row
+    * leaves the sample only when new rows hash below it, so samples are
+    * near-stable as the corpus grows. One shuffle keyed by stratum; the
+    * per-stratum sort is window-ranked (spill-capable). For extreme
+    * strata (billions of rows, tiny n) the two-pass variant — approx
+    * hash threshold, then filter + exact rank under it — avoids ranking
+    * the whole stratum; at that point the filter prunes ~all rows. */
+  def exactSampleBy(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      n: Int): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(TextFunctions.portableHash(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Reproducible train/test split: adds a `split` column ("test" for
     * the hash-lowest `testFraction` of ids, else "train"). A row never
     * migrates between splits as the dataset grows. */

@@ -165,6 +165,13 @@ object TextQueries {
           Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125))
         .select(col("doc_id"), col("lang"))
     }),
+    // exact-count stratified sample: the 25 hash-lowest docs per source
+    // (row-exact eval-set carving, vs d17's in-expectation fractions)
+    "d32_exact_sample" -> ((s, dir) => {
+      graft.functions.Sampling
+        .exactSampleBy(docs(s, dir), "doc_id", "source", n = 25)
+        .select(col("source"), col("doc_id"))
+    }),
     // data-mixture planning: per-source token totals -> deterministic
     // sampling rate min(1, weight*budget/tokens) + expected token yield
     "d18_mixture" -> ((s, dir) => {
@@ -628,6 +635,15 @@ object TextQueries {
          |      CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
          |                      WHEN 'fr' THEN 0.125 ELSE 0.0 END)
          |           * 1152921504606846976 AS BIGINT)""".stripMargin,
+    "d32_exact_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, ${phash("CAST(doc_id AS VARCHAR)")} AS ph FROM documents
+         |), r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY ph, doc_id) AS rn
+         |  FROM h
+         |)
+         |SELECT source, doc_id FROM r WHERE rn <= 25""".stripMargin,
     "d18_mixture" ->
       s"""WITH t AS (
          |  SELECT source AS stratum,

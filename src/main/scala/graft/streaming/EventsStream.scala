@@ -56,6 +56,50 @@ object EventsStream {
         sum(when(col("event_type") === "purchase", col("value"))).as("v2"))
       .select(col("key"), to_date(col("w.start")).as("period"), col("v1"), col("v2"))
 
+  /** Watermarked STREAM-STREAM interval join: every purchase matches the
+    * same user's clicks from the preceding `lookback` — the streaming
+    * counterpart of the batch [[graft.operators.AsofJoin]] /
+    * [[graft.operators.IntervalJoin]] (all eligible clicks, not just the
+    * nearest: streaming joins emit matches as they arrive, so "latest
+    * only" would need a downstream aggregation). Both sides carry
+    * watermarks and the join condition BOUNDS click time to
+    * [p_ts − lookback, p_ts]; together those let Spark expire buffered
+    * rows once the watermark passes them — bounded state, where an
+    * unconstrained stream-stream join would buffer both streams forever.
+    * Inner join: a purchase with no click in the window emits nothing
+    * (the batch q24 keeps it with NULLs; streaming outer joins emit the
+    * NULL row only after watermark expiry). */
+  def attributedPurchases(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      lookback: String = "30 minutes"): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases
+      .join(clicks, expr(
+        s"p_user = c_user AND c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"))
+      .select(
+        col("purchase_id"),
+        col("p_user").as("user_id"),
+        col("p_ts"),
+        col("purchase_value"),
+        col("click_id"),
+        col("c_ts"))
+  }
+
   /** One event inside a session group (typed for the state function; keeps
     * the watermarked `ts` column itself — projecting it to millis before
     * the stateful op would drop the watermark the event-time timeout needs). */

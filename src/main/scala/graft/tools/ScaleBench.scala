@@ -300,7 +300,55 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** As-of join stress: `nLeft` driving rows and `nRight` lookup rows
+    * across `nKeys` keys with interleaved pseudo-random timestamps. The
+    * union-window scan sorts each key's rows once (ONE shuffle,
+    * O((L+R)·log) per key); the naive inequality-join formulation
+    * compares (L/K)·(R/K) pairs per key — the report prints the pair
+    * count the scan avoided. Usage:
+    * runMain graft.tools.ScaleBench asof [nLeft] [nRight] [nKeys] */
+  def asofMain(spark: SparkSession, nLeft: Long, nRight: Long, nKeys: Long): Unit = {
+    def ts(seed: org.apache.spark.sql.Column) =
+      abs(hash(seed)).cast("long") % 1000000000L
+    val left = spark.range(nLeft).select(
+      (col("id") % nKeys).as("k"),
+      ts(col("id")).as("lts"),
+      col("id").as("lid"))
+    val right = spark.range(nRight).select(
+      (col("id") % nKeys).as("k"),
+      ts(col("id") + nLeft).as("rts"),
+      (col("id") % 100000).cast("double").as("rvalue"))
+    val t0 = System.nanoTime()
+    val joined = graft.operators.AsofJoin.asof(left, right, Seq("k"), "lts", "rts")
+    val n = joined.count()
+    val matched = joined.filter(col("rts").isNotNull).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val naivePairs = nKeys * (nLeft / nKeys) * (nRight / nKeys)
+    println(
+      s"""{"workload":{"left":$nLeft,"right":$nRight,"keys":$nKeys},
+         |"asof":{"sec":$sec,"out_rows":$n,"matched":$matched,
+         |"input_rec_per_sec":${((nLeft + nRight) / sec).toLong}},
+         |"naive_inequality_pairs_avoided":$naivePairs}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("asof")) {
+      val nLeft = if (args.length > 1) args(1).toLong else 20000000L
+      val nRight = if (args.length > 2) args(2).toLong else 20000000L
+      val nKeys = if (args.length > 3) args(3).toLong else 100000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      asofMain(spark, nLeft, nRight, nKeys)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ann")) {
       val nVecs = if (args.length > 1) args(1).toLong else 200000L
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

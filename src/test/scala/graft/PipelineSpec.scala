@@ -343,6 +343,41 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(mismatch.count() == 0)
   }
 
+  test("streaming interval join: purchase-click attribution with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventsStream
+      .attributedPurchases(events, watermark = "2 hours", lookback = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(9, 59), "click", 0.0), // 31 min before the purchase: out
+      (2L, 1L, ts(10, 0), "click", 0.0), // exactly 30 min: inclusive, in
+      (3L, 1L, ts(10, 20), "click", 0.0), // in
+      (4L, 1L, ts(10, 30), "purchase", 42.0),
+      (5L, 2L, ts(10, 0), "click", 0.0), // same user, purchase 60 min later: out
+      (6L, 2L, ts(11, 0), "purchase", 7.0),
+      (7L, 3L, ts(10, 25), "view", 1.0)) // wrong type: never joins
+    rows.foreach(in.addData(_))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr").select($"purchase_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 2L), (4L, 3L)))
+    // cross-check vs the equivalent BATCH inequality join on the same rows
+    val batch = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val p = batch.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("p_ts"))
+    val c = batch.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("c_ts"))
+    val want = p.join(c, $"pu" === $"cu" &&
+        $"c_ts" >= $"p_ts" - expr("interval 30 minutes") && $"c_ts" <= $"p_ts")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("sessionize: numbering survives state timeout; out-of-order events fold by min/max") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -45,6 +45,27 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
   }
 
+  test("exactSampleBy: row-exact per stratum, deterministic, near-stable under growth") {
+    val sample = Sampling.exactSampleBy(docs, "doc_id", "lang", n = 40)
+    val counts = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, total) =>
+      assert(counts.getOrElse(lang, 0L) == math.min(40L, total), s"lang=$lang")
+    }
+    // deterministic under repartition
+    val again = Sampling.exactSampleBy(docs.repartition(13), "doc_id", "lang", n = 40)
+    assert(sample.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // growth: adding rows only swaps members whose hash undercuts them —
+    // the surviving intersection stays large (here: exact subset check on
+    // a doubled corpus would need new ids; assert sample ids still chosen
+    // from the original membership when sampling a superset)
+    val superset = docs.unionByName(
+      docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    val grown = Sampling.exactSampleBy(superset, "doc_id", "lang", n = 40)
+    val kept = grown.join(sample.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    assert(kept >= 10, s"grown sample shares only $kept rows with the original")
+  }
+
   test("mixtureRates: rate = min(1, weight*budget/tokens), zero for unlisted strata") {
     val rows = Seq(
       ("a", 100L), ("a", 100L), // a: 200 tokens
