@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.sources.{ModelCache, StagingCache}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -290,7 +291,25 @@ object Similarity {
       vecCol: String,
       nCentroids: Int,
       iters: Int = 3,
-      sampleN: Int = 100000): Array[Array[Double]] = {
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): Array[Array[Double]] = cacheKey match {
+    // the ANN family (d15/d27/d31) trains the SAME coarse quantizer from
+    // the same corpus — memoize the kilobyte model, not the training job
+    case Some(key) =>
+      ModelCache.getOrElseUpdate(corpus.sparkSession,
+        s"ivf_cents:$key:k=$nCentroids:it=$iters:n=$sampleN") {
+        trainIvfCentroids(corpus, idCol, vecCol, nCentroids, iters, sampleN)
+      }
+    case None => trainIvfCentroidsNow(corpus, idCol, vecCol, nCentroids, iters, sampleN)
+  }
+
+  private def trainIvfCentroidsNow(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int,
+      sampleN: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     val sample = corpus
       .orderBy(col(idCol).asc)
@@ -344,9 +363,10 @@ object Similarity {
       nCentroids: Int = 32,
       nProbe: Int = 12,
       iters: Int = 3,
-      sampleN: Int = 100000): DataFrame = {
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids, iters, sampleN)
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids, iters, sampleN, cacheKey)
     val centDf = spark
       .createDataFrame(cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cid", "centv")
@@ -383,7 +403,28 @@ object Similarity {
       kSub: Int = 16,
       iters: Int = 3,
       sampleN: Int = 100000,
-      normalize: Boolean = true): Array[Array[Array[Double]]] = {
+      normalize: Boolean = true,
+      cacheKey: Option[String] = None): Array[Array[Array[Double]]] = cacheKey match {
+    // d26 (flat PQ) and d27 (IVF-PQ) quantize the same raw unit vectors
+    // with the same book shape — one training serves both
+    case Some(key) =>
+      ModelCache.getOrElseUpdate(corpus.sparkSession,
+        s"pq_books:$key:s=$nSub:k=$kSub:it=$iters:n=$sampleN:u=$normalize") {
+        trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN, normalize)
+      }
+    case None =>
+      trainPqCodebooksNow(corpus, idCol, vecCol, nSub, kSub, iters, sampleN, normalize)
+  }
+
+  private def trainPqCodebooksNow(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      kSub: Int,
+      iters: Int,
+      sampleN: Int,
+      normalize: Boolean): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim must be divisible by nSub=$nSub")
@@ -524,10 +565,30 @@ object Similarity {
       kSub: Int = 16,
       shortlist: Int = 100,
       iters: Int = 3,
-      sampleN: Int = 100000): DataFrame = {
-    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN)
-    val codes = pqEncode(corpus, idCol, vecCol, cbArr)
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
+    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN,
+      normalize = true, cacheKey = cacheKey)
+    val codes = cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, cacheKey)
     pqTopKEncoded(corpus, codes, queries, idCol, vecCol, k, cbArr, shortlist)
+  }
+
+  /** The encoded (id, codes) table — the write-once index build. With a
+    * `cacheKey` it is memoized in [[StagingCache]] so the flat-PQ and
+    * IVF-PQ queries over the same corpus share one encode pass. */
+  private def cachedCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cbArr: Array[Array[Array[Double]]],
+      nSub: Int,
+      kSub: Int,
+      cacheKey: Option[String]): DataFrame = cacheKey match {
+    case Some(key) =>
+      StagingCache.getOrElseUpdate(corpus.sparkSession, s"pq_codes:$key:s=$nSub:k=$kSub") {
+        pqEncode(corpus, idCol, vecCol, cbArr)
+      }
+    case None => pqEncode(corpus, idCol, vecCol, cbArr)
   }
 
   /** PQ search against a PREBUILT index — `codes` from [[pqEncode]] and
@@ -633,14 +694,16 @@ object Similarity {
       kSub: Int = 32,
       shortlist: Int = 100,
       iters: Int = 3,
-      sampleN: Int = 100000): DataFrame = {
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN)
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN, cacheKey)
     val coarseDf = spark
       .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cid", "centv")
       .select(col("cid"), col("centv").cast("array<double>").as("centv"))
-    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN)
+    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN,
+      normalize = true, cacheKey = cacheKey)
     val subDim = cbArr.head.head.length
     // index: every corpus row's inverted list + PQ codes
     val assigned = nearestCentroids(
@@ -648,7 +711,8 @@ object Similarity {
       coarseDf, "corpus_id", "cvec", 1)
       .select(col("corpus_id"), col("bucket"))
     val index = assigned.join(
-      pqEncode(corpus, idCol, vecCol, cbArr).select(col("id").as("corpus_id"), col("codes")),
+      cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, cacheKey)
+        .select(col("id").as("corpus_id"), col("codes")),
       Seq("corpus_id"))
     // query side: probed lists × ADC lookup table, one small broadcast
     val probes = nearestCentroids(
@@ -695,9 +759,10 @@ object Similarity {
       kSub: Int = 32,
       shortlist: Int = 100,
       iters: Int = 3,
-      sampleN: Int = 100000): DataFrame = {
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN)
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN, cacheKey)
     val coarseDf = spark
       .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cid", "centv")
@@ -718,8 +783,8 @@ object Similarity {
         col("bucket"),
         zip_with(col("cvec"), col("centv"), (x, c) => x - c).as("resid"))
       .cache()
-    val cbArr =
-      trainPqCodebooks(resid, "corpus_id", "resid", nSub, kSub, iters, sampleN, normalize = false)
+    val cbArr = trainPqCodebooks(resid, "corpus_id", "resid", nSub, kSub, iters, sampleN,
+      normalize = false, cacheKey = cacheKey.map(_ + ":resid"))
     val index = resid
       .select(col("corpus_id"), col("bucket"))
       .join(

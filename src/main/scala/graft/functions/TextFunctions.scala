@@ -345,4 +345,29 @@ object TextFunctions {
         when(coalesce(col("n_dup_grams"), lit(0L)) * flagDen >= col("n_grams") * flagNum, 1L)
           .otherwise(0L).as("dup_flag"))
   }
+
+  /** PII patterns for training-data scrubbing. Kept to syntax that means
+    * the same thing in Java regex (Spark) and RE2 (DuckDB, Go tooling):
+    * character classes, bounded repetition, alternation — no lookaround,
+    * no backreferences (RE2 has neither, and a scrubber that can't run
+    * in the validation engine can't be cross-checked). */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val piiIpv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-document PII entity counts (pre-redaction). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(piiEmail), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(piiPhone), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(piiIpv4), lit(0))).cast("long").as("n_ips"))
+
+  /** Redact PII in place with typed placeholders. Order matters: emails
+    * first (their domains contain dotted tokens an IP pattern could
+    * partially match), then phones, then bare IPs. Pure per-row codegen'd
+    * projection — at 100 TB this runs in the scan stage, no shuffle. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, piiEmail, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, piiPhone, "<PHONE>")
+    regexp_replace(noPhone, piiIpv4, "<IP>")
+  }
 }

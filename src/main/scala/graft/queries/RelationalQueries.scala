@@ -320,6 +320,67 @@ object RelationalQueries {
           date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
           col("n_events"), col("n_users"), col("total_value"))
     }),
+    // PIVOT: wide conditional-aggregate expansion (explicit value list so
+    // the plan is ONE hash aggregate over when()-projected columns — no
+    // extra pass to discover pivot values, and the schema is static, the
+    // form that scales: a values-discovery pivot needs a distinct scan
+    // first and yields a driver-dependent schema)
+    "q26_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderpriority"),
+          col("o_totalprice"))
+        .groupBy(col("order_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low"))
+    }),
+    // UNPIVOT/melt: wide metrics back to long (metric, value) rows —
+    // per-row array expansion, zero shuffle beyond the feeding aggregate
+    "q27_unpivot" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).cast("double").as("n_customers"),
+          (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("avg_acctbal"),
+          round(max(col("c_acctbal")), 6).as("max_acctbal"))
+        .unpivot(
+          Array(col("n_name")),
+          Array(col("n_customers"), col("avg_acctbal"), col("max_acctbal")),
+          "metric", "value")
+    }),
+    // Sketch aggregates: HLL distinct + KLL-style quantile, each checked
+    // against its exact twin IN THE SAME QUERY (the oracle asserts the
+    // tolerance flags; the sketch values themselves are engine-specific).
+    // The 100 TB story: sketches are partial-aggregable constant-memory
+    // state that merges map-side — countDistinct over a high-cardinality
+    // key shuffles every distinct value, approx_count_distinct shuffles a
+    // fixed-size HLL register set per group.
+    "q28_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median_raw"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"))
+        .select(
+          col("l_returnflag"),
+          col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")) / col("exact_distinct") <= 0.05)
+            .as("hll_within_5pct"),
+          round(col("exact_median_raw"), 6).as("exact_median"),
+          (abs(col("approx_median") - col("exact_median_raw")) / col("exact_median_raw") <= 0.01)
+            .as("median_within_1pct"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -396,6 +457,32 @@ object RelationalQueries {
         |SELECT l_returnflag AS grp, CAST(NULL AS BIGINT) AS n_orders,
         |       CAST(NULL AS DOUBLE) AS total_value, COUNT(*) AS n_lines
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q26_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS high,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS not_specified,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q27_unpivot" ->
+      """WITH s AS (
+        |  SELECT n_name,
+        |         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+        |         round(MAX(c_acctbal), 6) AS max_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM s
+        |UNION ALL SELECT n_name, 'avg_acctbal', avg_acctbal FROM s
+        |UNION ALL SELECT n_name, 'max_acctbal', max_acctbal FROM s""".stripMargin,
+    "q28_sketch" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS exact_distinct,
+        |       TRUE AS hll_within_5pct,
+        |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS exact_median,
+        |       TRUE AS median_within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -78,7 +78,8 @@ object TextQueries {
     // rows-only here, recall@5 >= 0.9 gated by AnnRecallSpec
     "d15_embed_ivf_trained" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        cacheKey = Some(dir))
     }),
     // product-quantization top-5: ADC shortlist over 16-byte codes +
     // exact re-rank (rows-only: trained codebooks aren't SQL-expressible;
@@ -86,21 +87,21 @@ object TextQueries {
     "d26_pq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nSub = 16, kSub = 32)
+        nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
     // IVF-PQ: trained coarse lists + ADC over codes + exact re-rank
     // (rows-only like d15/d26; recall gated in AnnRecallSpec)
     "d27_ivf_pq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nSub = 16, kSub = 32)
+        nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
     // IVFADC proper: PQ over residuals (vec − coarse centroid), per-list
     // query LUTs (rows-only like d27; recall gated in AnnRecallSpec)
     "d31_ivf_pq_residual" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nSub = 16, kSub = 32)
+        nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
@@ -241,6 +242,28 @@ object TextQueries {
     // sliding-window chunking: 32-token windows every 24 tokens
     "d22_chunk" -> ((s, dir) => {
       graft.functions.Packing.chunkTokens(docs(s, dir), "text", "doc_id", 32, 24)
+    }),
+    // PII scrubbing: the harness docs carry no PII, so each doc gets a
+    // deterministic doc_id-derived PII suffix IN-QUERY (both engines build
+    // the identical string), and the oracle then checks detection counts,
+    // the redacted text (by md5), and that redaction leaves nothing behind
+    "d33_pii" -> ((s, dir) => {
+      val txt = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" call 555-123-4567 from host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"))
+      val redacted = TF.redactPii(col("txt"))
+      docs(s, dir)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(
+          Seq(col("doc_id")) ++ TF.piiCounts(col("txt")) ++ Seq(
+            md5(redacted).as("redacted_md5"),
+            (size(regexp_extract_all(redacted, lit(TF.piiEmail), lit(0))) === 0 &&
+              size(regexp_extract_all(redacted, lit(TF.piiPhone), lit(0))) === 0 &&
+              size(regexp_extract_all(redacted, lit(TF.piiIpv4), lit(0))) === 0)
+              .as("clean_after")): _*)
     }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
@@ -820,6 +843,31 @@ object TextQueries {
         |       (octet_length(encode(text)) % 640)::BIGINT AS width,
         |       (octet_length(encode(text)) * 7 % 480)::BIGINT AS height,
         |       (octet_length(encode(text)) % 24)::BIGINT AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "d33_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              || ' call 555-123-4567 from host 10.0.'
+        |              || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS txt
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, txt,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(txt, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))::BIGINT AS n_phones,
+        |       len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+        |       md5(redacted) AS redacted_md5,
+        |       (len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |        AND len(regexp_extract_all(redacted, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) = 0
+        |        AND len(regexp_extract_all(redacted, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0) AS clean_after
+        |FROM r""".stripMargin
   )
 }

@@ -29,5 +29,31 @@ object StagingCache {
       doomed.foreach { k =>
         cache.remove(k).foreach(df => df.unpersist(blocking = false))
       }
+      ModelCache.clear(spark)
+    }
+}
+
+/** Driver-side memo for TRAINED MODELS (k-means centroids, PQ codebooks —
+  * small arrays, kilobytes): the ANN query family trains identical models
+  * from the same corpus (d26/d27 share raw-vector PQ codebooks, d15/d27/d31
+  * share coarse centroids), and retraining is iterative distributed work.
+  * Keyed like [[StagingCache]]; training params must be part of the key. */
+object ModelCache {
+
+  private val cache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Any]
+
+  def getOrElseUpdate[T](spark: SparkSession, name: String)(build: => T): T =
+    cache.synchronized {
+      cache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach(cache.remove)
+      cache.getOrElseUpdate((spark, name), build).asInstanceOf[T]
+    }
+
+  def contains(spark: SparkSession, name: String): Boolean =
+    cache.synchronized(cache.contains((spark, name)))
+
+  def clear(spark: Option[SparkSession] = None): Unit =
+    cache.synchronized {
+      cache.keys.filter(k => spark.forall(_ == k._1)).toSeq.foreach(cache.remove)
     }
 }

@@ -340,4 +340,22 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(1L).getAs[Long]("dup_flag") == 1L) // 2/4 >= 1/5
     assert(m(3L).getAs[Long]("dup_flag") == 0L)
   }
+
+  test("pii: realistic entities detected and redacted, clean text untouched") {
+    val d = Seq(
+      (1L, "Mail jane.doe+spam@sub.example.co.uk or call 212-555-0187."),
+      (2L, "Server at 192.168.1.254 timed out; retry 8.8.8.8"),
+      (3L, "No pii here, just words and the number 42.")).toDF("doc_id", "text")
+    val r = d.select(
+      (Seq(col("doc_id")) ++ TF.piiCounts(col("text")) :+
+        TF.redactPii(col("text")).as("red")): _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 1L && r(1L).getAs[Long]("n_phones") == 1L)
+    assert(r(1L).getAs[String]("red") == "Mail <EMAIL> or call <PHONE>.")
+    assert(r(2L).getAs[Long]("n_ips") == 2L)
+    assert(r(2L).getAs[String]("red") == "Server at <IP> timed out; retry <IP>")
+    assert(r(3L).getAs[Long]("n_emails") + r(3L).getAs[Long]("n_phones") +
+      r(3L).getAs[Long]("n_ips") == 0L)
+    assert(r(3L).getAs[String]("red") == "No pii here, just words and the number 42.")
+  }
 }
