@@ -40,6 +40,13 @@ object Pipeline {
     * the join strategy from runtime sizes (same gate as
     * [[LagCorrelation.maybeBroadcast]]).
     *
+    * `recommendations` should be a MATERIALIZED table (cached, or read
+    * from the model store — production always serves from storage): the
+    * three segment branches each reference it with a different pushed-down
+    * method filter, so a live training plan passed here would be
+    * re-evaluated per branch (measured 3x the per-lag corr scan; see
+    * NOTES.md round-3).
+    *
     * `dtwSummaries`: optionally pass ALREADY-COMPUTED DTW summaries
     * (key, total_cost, path) over the merged series — e.g. the ones the
     * recommendation training just produced — and the DTW segment's mapping
