@@ -381,6 +381,22 @@ object RelationalQueries {
           (abs(col("approx_median") - col("exact_median_raw")) / col("exact_median_raw") <= 0.01)
             .as("median_within_1pct"))
     }),
+    // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
+    // hash left-anti / left-semi aggregates — no sort, one shuffle each)
+    "q29_setops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def buyers(year: Int) = orders
+        .filter(col("o_orderdate").between(
+          lit(s"$year-01-01").cast("timestamp"), lit(s"$year-12-31").cast("timestamp")))
+        .select(col("o_custkey"))
+      val b96 = buyers(1996)
+      val b97 = buyers(1997)
+      b96.except(b97).withColumn("segment", lit("only_1996"))
+        .unionByName(b97.except(b96).withColumn("segment", lit("only_1997")))
+        .unionByName(b96.intersect(b97).withColumn("segment", lit("both")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -457,6 +473,21 @@ object RelationalQueries {
         |SELECT l_returnflag AS grp, CAST(NULL AS BIGINT) AS n_orders,
         |       CAST(NULL AS DOUBLE) AS total_value, COUNT(*) AS n_lines
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q29_setops" ->
+      """WITH b96 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |), b97 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |), seg AS (
+        |  SELECT o_custkey, 'only_1996' AS segment FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1997' AS segment FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)
+        |  UNION ALL
+        |  SELECT o_custkey, 'both' AS segment FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+        |)
+        |SELECT segment, COUNT(*) AS n_customers FROM seg GROUP BY segment""".stripMargin,
     "q26_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,

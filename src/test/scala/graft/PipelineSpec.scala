@@ -438,4 +438,19 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(mapped.nonEmpty && mapped.last > 0)
     assert(spark.read.parquet(s"$dir/mapping").count() == mapped.last)
   }
+
+  test("m11 segments on the STAGED recommendation model, not a live training plan") {
+    // Pipeline.run's three segment branches each reference the model with
+    // a different pushed-down filter; an unmaterialized model plan would
+    // re-run the per-lag corr scan per branch (NOTES.md round-3). Lock
+    // that building m11 populates the shared staging entry.
+    val sfDir = "/root/testdata/sf0.001"
+    SparkEntry.queries("m11_pipeline")(spark, sfDir).count()
+    var built = false
+    graft.sources.StagingCache.getOrElseUpdate(spark, s"recommendations:$sfDir") {
+      built = true // only evaluated on a cache MISS
+      spark.range(1).toDF()
+    }
+    assert(!built, "m11 did not leave the recommendation model staged")
+  }
 }
