@@ -42,6 +42,44 @@ object ScaleBench {
     * Attribute-bucketed all-pairs would score nDocs²/2 pairs; the
     * LSH-band path's candidate count scales with the duplicate tail.
     * Usage: runMain graft.tools.ScaleBench dedup [nDocs] */
+  def piiMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    // 40-token docs; every 3rd doc carries an email, every 5th a phone,
+    // every 7th an IP — so ~54% of docs have at least one PII entity
+    val body = concat_ws(" ",
+      (0 until 40).map(j => concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(1000)))): _*)
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat(
+        body,
+        when(pmod(col("id"), lit(3)) === 0,
+          concat(lit(" user"), col("id"), lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("id"), lit(5)) === 0, lit(" 555-123-4567")).otherwise(lit("")),
+        when(pmod(col("id"), lit(7)) === 0,
+          concat(lit(" 10.0."), pmod(col("id"), lit(256)), lit("."), pmod(col("id"), lit(100))))
+          .otherwise(lit(""))).as("text")).cache()
+    val total = docs.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // detection: per-doc counts folded into one global aggregate
+    val (found, detectSec) = time {
+      docs.select(Seq(col("doc_id")) ++ TF.piiCounts(col("text")): _*)
+        .agg(sum("n_emails"), sum("n_phones"), sum("n_ips"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    }
+    // redaction: rewrite every doc, fold lengths so the projection runs
+    val (redactedChars, redactSec) = time {
+      docs.select(length(TF.redactPii(col("text"))).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
+    println(
+      s"""{"workload":{"docs":$total},
+         |"detect":{"wall_s":$detectSec,"docs_per_s":${(total / detectSec).toLong},"emails":${found(0)},"phones":${found(1)},"ips":${found(2)}},
+         |"redact":{"wall_s":$redactSec,"docs_per_s":${(total / redactSec).toLong},"chars_out":$redactedChars}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def dedupMain(spark: SparkSession, nDocs: Long): Unit = {
     val dups = math.max(1L, nDocs / 100)
     // doc i gets 12 tokens unique to i; the last `dups` docs copy doc
@@ -418,6 +456,20 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       dedupMain(spark, nDocs)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pii")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      piiMain(spark, nDocs)
       spark.stop()
       return
     }
