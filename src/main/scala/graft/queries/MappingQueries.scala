@@ -216,6 +216,24 @@ object MappingQueries {
       val (t1, _) = series(s, dir)
       Sla.report(corrMapping(s, dir), t1, durationSec = 10.0)
     }),
+    // rolling 14-day correlation per entity: the time-varying version of
+    // m3's global per-lag corr (one window shuffle by key; NaN from
+    // zero-variance windows nulled SYMMETRICALLY on both engines)
+    "m18_rolling_corr" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("period")).rowsBetween(-13, 0)
+      merged(s, dir)
+        .select(
+          col("key"), col("period"),
+          corr(col("v1"), col("v2")).over(w).as("c"),
+          count(lit(1)).over(w).as("n_window"))
+        .select(
+          col("key"),
+          date_format(col("period"), "yyyy-MM-dd").as("period"),
+          when(col("n_window") < 2 || isnan(col("c")), lit(null).cast("double"))
+            .otherwise(round(col("c"), 6)).as("roll_corr"),
+          col("n_window"))
+    }),
     // dense resampling: zero-fill every gap in each key's period range
     "m13_resample" -> ((s, dir) => {
       SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero").select(
@@ -274,6 +292,14 @@ object MappingQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "m18_rolling_corr" ->
+      s"""$seriesCte
+         |SELECT key, CAST(period AS VARCHAR) AS period,
+         |       CASE WHEN COUNT(*) OVER w < 2 OR isnan(corr(v1, v2) OVER w) THEN NULL
+         |            ELSE round(corr(v1, v2) OVER w, 6) END AS roll_corr,
+         |       COUNT(*) OVER w AS n_window
+         |FROM merged
+         |WINDOW w AS (PARTITION BY key ORDER BY period ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
     "m1_series_agg" ->
       s"$seriesCte SELECT key, CAST(period AS VARCHAR) AS period, round(v1, 6) AS value1 FROM t1",
     "m2_merged" ->

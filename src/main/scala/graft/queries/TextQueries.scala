@@ -243,6 +243,27 @@ object TextQueries {
     "d22_chunk" -> ((s, dir) => {
       graft.functions.Packing.chunkTokens(docs(s, dir), "text", "doc_id", 32, 24)
     }),
+    // fuzzy string join (entity resolution): vocabulary terms within edit
+    // distance 2, candidates blocked on LENGTH (|len(a)-len(b)| <= 2 is a
+    // NECESSARY condition for lev <= 2, so blocking loses nothing) — the
+    // equi-join candidate discipline that replaces an O(V²) cross join
+    // with O(V·5) length-bucket probes; levenshtein verifies only pairs
+    "d34_fuzzy_join" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val left = vocab.select(
+        col("tok").as("tok_a"), col("n").as("n_a"),
+        explode(sequence(length(col("tok")) - 2, length(col("tok")) + 2)).as("len_b"))
+      val right = vocab.select(
+        col("tok").as("tok_b"), col("n").as("n_b"), length(col("tok")).as("len_b"))
+      left.join(right, Seq("len_b"))
+        .filter(col("tok_a") < col("tok_b") && levenshtein(col("tok_a"), col("tok_b")) <= 2)
+        .select(
+          col("tok_a"), col("tok_b"),
+          levenshtein(col("tok_a"), col("tok_b")).cast("long").as("edit_distance"),
+          col("n_a"), col("n_b"))
+    }),
     // PII scrubbing: the harness docs carry no PII, so each doc gets a
     // deterministic doc_id-derived PII suffix IN-QUERY (both engines build
     // the identical string), and the oracle then checks detection counts,
@@ -844,6 +865,18 @@ object TextQueries {
         |       (octet_length(encode(text)) * 7 % 480)::BIGINT AS height,
         |       (octet_length(encode(text)) % 24)::BIGINT AS n_frames
         |FROM documents""".stripMargin,
+    "d34_fuzzy_join" ->
+      s"""WITH v AS (
+         |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)
+         |  GROUP BY tok
+         |)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS edit_distance,
+         |       a.n AS n_a, b.n AS n_b
+         |FROM v a JOIN v b
+         |  ON a.tok < b.tok
+         | AND abs(len(a.tok) - len(b.tok)) <= 2
+         | AND levenshtein(a.tok, b.tok) <= 2""".stripMargin,
     "d33_pii" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -341,6 +341,29 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(3L).getAs[Long]("dup_flag") == 0L)
   }
 
+  test("fuzzy join: length blocking is lossless vs the unblocked cross join") {
+    // |len(a)-len(b)| <= 2 is necessary for lev(a,b) <= 2, so the
+    // length-bucket candidate join must return EXACTLY the cross-join set
+    val words = Seq("kitten", "sitten", "sitting", "cat", "cart", "chart",
+      "spark", "shark", "sharp", "a", "ab", "abcd").toDF("tok")
+    val full = words.as("a").crossJoin(words.as("b"))
+      .filter(col("a.tok") < col("b.tok") &&
+        levenshtein(col("a.tok"), col("b.tok")) <= 2)
+      .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val left = words.select(col("tok").as("tok_a"),
+      explode(sequence(length(col("tok")) - 2, length(col("tok")) + 2)).as("len_b"))
+    val right = words.select(col("tok").as("tok_b"), length(col("tok")).as("len_b"))
+    val blocked = left.join(right, Seq("len_b"))
+      .filter(col("tok_a") < col("tok_b") &&
+        levenshtein(col("tok_a"), col("tok_b")) <= 2)
+      .select(col("tok_a"), col("tok_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked == full)
+    assert(full.contains(("cart", "cat")) && full.contains(("shark", "spark")))
+    assert(!full.contains(("a", "abcd"))) // lev 3, len diff 3: blocked AND filtered
+  }
+
   test("pii: realistic entities detected and redacted, clean text untouched") {
     val d = Seq(
       (1L, "Mail jane.doe+spam@sub.example.co.uk or call 212-555-0187."),
