@@ -20,8 +20,14 @@ object Bench {
     // can be attributed deliberately). The driver sets no env -> full
     // suite in sorted order.
     val ordered = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(names) => names.split(",").toSeq.map(n => n -> SparkEntry.queries(n))
-      case None        => SparkEntry.queries.toSeq.sortBy(_._1)
+      case Some(names) =>
+        val toks = names.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val unknown = toks.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty) sys.error(
+          s"SPARK_GRAFT_ONLY: unknown queries ${unknown.mkString(", ")}; " +
+            s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+        toks.map(n => n -> SparkEntry.queries(n))
+      case None => SparkEntry.queries.toSeq.sortBy(_._1)
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()

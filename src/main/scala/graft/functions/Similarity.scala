@@ -569,7 +569,8 @@ object Similarity {
       cacheKey: Option[String] = None): DataFrame = {
     val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN,
       normalize = true, cacheKey = cacheKey)
-    val codes = cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, cacheKey)
+    val codes = cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, iters, sampleN,
+      normalize = true, cacheKey)
     pqTopKEncoded(corpus, codes, queries, idCol, vecCol, k, cbArr, shortlist)
   }
 
@@ -583,12 +584,19 @@ object Similarity {
       cbArr: Array[Array[Array[Double]]],
       nSub: Int,
       kSub: Int,
+      iters: Int,
+      sampleN: Int,
+      normalize: Boolean,
       cacheKey: Option[String]): DataFrame = cacheKey match {
     case Some(key) =>
-      StagingCache.getOrElseUpdate(corpus.sparkSession, s"pq_codes:$key:s=$nSub:k=$kSub") {
-        pqEncode(corpus, idCol, vecCol, cbArr)
+      // key mirrors the FULL pq_books suffix: codes encoded under one
+      // codebook must never be reused by a caller whose training params
+      // (iters/sampleN/normalize) would have produced a different book
+      StagingCache.getOrElseUpdate(corpus.sparkSession,
+        s"pq_codes:$key:s=$nSub:k=$kSub:it=$iters:n=$sampleN:u=$normalize") {
+        pqEncode(corpus, idCol, vecCol, cbArr, normalize)
       }
-    case None => pqEncode(corpus, idCol, vecCol, cbArr)
+    case None => pqEncode(corpus, idCol, vecCol, cbArr, normalize)
   }
 
   /** PQ search against a PREBUILT index — `codes` from [[pqEncode]] and
@@ -711,7 +719,8 @@ object Similarity {
       coarseDf, "corpus_id", "cvec", 1)
       .select(col("corpus_id"), col("bucket"))
     val index = assigned.join(
-      cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, cacheKey)
+      cachedCodes(corpus, idCol, vecCol, cbArr, nSub, kSub, iters, sampleN,
+        normalize = true, cacheKey)
         .select(col("id").as("corpus_id"), col("codes")),
       Seq("corpus_id"))
     // query side: probed lists × ADC lookup table, one small broadcast

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,13 @@ object RelationalQueries {
   private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
   private def davg(c: String) =
     (sum(col(c).cast("decimal(18,2)")).cast("double") / count(lit(1))).as(s"avg_$c")
+
+  /** Sketch-tolerance verdict: 'ok' within `tol`, else the measured
+    * relative error — a breach reads as a value diff, not a bare hash
+    * mismatch, in the verify output. */
+  private def tolVerdict(relErr: Column, tol: Double): Column =
+    when(relErr <= tol, lit("ok"))
+      .otherwise(concat(lit("rel_err="), round(relErr, 4).cast("string")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: multi-metric hash aggregate (pricing summary)
@@ -375,10 +382,15 @@ object RelationalQueries {
         .select(
           col("l_returnflag"),
           col("exact_distinct"),
-          (abs(col("hll") - col("exact_distinct")) / col("exact_distinct") <= 0.05)
+          // 'ok' when within tolerance (oracle-stable); on a breach the
+          // actual relative error lands in the verify diff instead of an
+          // opaque hash mismatch (sketch values are engine-specific, so
+          // the raw error can't be a column of its own)
+          tolVerdict(abs(col("hll") - col("exact_distinct")) / col("exact_distinct"), 0.05)
             .as("hll_within_5pct"),
           round(col("exact_median_raw"), 6).as("exact_median"),
-          (abs(col("approx_median") - col("exact_median_raw")) / col("exact_median_raw") <= 0.01)
+          tolVerdict(
+            abs(col("approx_median") - col("exact_median_raw")) / col("exact_median_raw"), 0.01)
             .as("median_within_1pct"))
     }),
     // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
@@ -510,9 +522,9 @@ object RelationalQueries {
     "q28_sketch" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_partkey) AS exact_distinct,
-        |       TRUE AS hll_within_5pct,
+        |       'ok' AS hll_within_5pct,
         |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS exact_median,
-        |       TRUE AS median_within_1pct
+        |       'ok' AS median_within_1pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,

@@ -21,6 +21,15 @@ object StagingCache {
       cache.getOrElseUpdate((spark, name), build.cache())
     }
 
+  def contains(spark: SparkSession, name: String): Boolean =
+    cache.synchronized(cache.contains((spark, name)))
+
+  /** Unpersist and forget the single entry (spark, name), if present. */
+  def remove(spark: SparkSession, name: String): Unit =
+    cache.synchronized {
+      cache.remove((spark, name)).foreach(_.unpersist(blocking = false))
+    }
+
   /** Unpersist and forget every staging table for `spark` (all sessions
     * when None). Call between datasets in a long-lived driver. */
   def clear(spark: Option[SparkSession] = None): Unit =
@@ -40,20 +49,34 @@ object StagingCache {
   * Keyed like [[StagingCache]]; training params must be part of the key. */
 object ModelCache {
 
-  private val cache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Any]
+  import scala.concurrent.{Await, Future, Promise}
+  import scala.concurrent.duration.Duration
 
-  def getOrElseUpdate[T](spark: SparkSession, name: String)(build: => T): T =
-    cache.synchronized {
-      cache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach(cache.remove)
-      cache.getOrElseUpdate((spark, name), build).asInstanceOf[T]
+  // per-key futures, NOT a value map guarded by one lock: a build is an
+  // iterative distributed training job, and holding a global lock for
+  // its duration would serialize unrelated model builds. putIfAbsent
+  // makes exactly one caller run `build`; concurrent callers for the
+  // SAME key await its future, callers for other keys proceed.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Future[Any]]
+
+  def getOrElseUpdate[T](spark: SparkSession, name: String)(build: => T): T = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    val p = Promise[Any]()
+    cache.putIfAbsent((spark, name), p.future) match {
+      case Some(f) => Await.result(f, Duration.Inf).asInstanceOf[T]
+      case None =>
+        try { val v = build; p.success(v); v }
+        catch {
+          case e: Throwable =>
+            cache.remove((spark, name)); p.failure(e); throw e
+        }
     }
+  }
 
   def contains(spark: SparkSession, name: String): Boolean =
-    cache.synchronized(cache.contains((spark, name)))
+    cache.contains((spark, name))
 
   def clear(spark: Option[SparkSession] = None): Unit =
-    cache.synchronized {
-      cache.keys.filter(k => spark.forall(_ == k._1)).toSeq.foreach(cache.remove)
-    }
+    cache.keys.filter(k => spark.forall(_ == k._1)).foreach(cache.remove)
 }

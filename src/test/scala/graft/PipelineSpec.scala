@@ -445,12 +445,13 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // re-run the per-lag corr scan per branch (NOTES.md round-3). Lock
     // that building m11 populates the shared staging entry.
     val sfDir = "/root/testdata/sf0.001"
+    // start from a clean slate so the assertion can't pass vacuously off
+    // an earlier test's staging, and probe with contains (no side effect
+    // that could poison the shared cache on the failure path)
+    graft.sources.StagingCache.remove(spark, s"recommendations:$sfDir")
     SparkEntry.queries("m11_pipeline")(spark, sfDir).count()
-    var built = false
-    graft.sources.StagingCache.getOrElseUpdate(spark, s"recommendations:$sfDir") {
-      built = true // only evaluated on a cache MISS
-      spark.range(1).toDF()
-    }
-    assert(!built, "m11 did not leave the recommendation model staged")
+    assert(
+      graft.sources.StagingCache.contains(spark, s"recommendations:$sfDir"),
+      "m11 did not leave the recommendation model staged")
   }
 }
