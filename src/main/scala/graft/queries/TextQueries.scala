@@ -286,6 +286,22 @@ object TextQueries {
               size(regexp_extract_all(redacted, lit(TF.piiIpv4), lit(0))) === 0)
               .as("clean_after")): _*)
     }),
+    // incremental passage dedup: the recurring production op — dedupe a
+    // new batch (doc_id % 5 = 4) against the corpus-so-far's shingle
+    // index (doc_id % 5 < 4). Bloom prefilter settles proven-new
+    // shingles scan-side; only bloom positives reach the exact semi-join
+    "d35_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpusIdx = graft.functions.IncrementalDedup.shingleFps(
+        d.filter(col("doc_id") % 5 < 4), "text", "doc_id", 8)
+      graft.functions.IncrementalDedup
+        .passageDedupStats(
+          d.filter(col("doc_id") % 5 === 4), corpusIdx, "text", "doc_id",
+          shingleSize = 8)
+        .select(
+          col("id").as("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+          col("dup_fraction"), col("keep"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -901,6 +917,24 @@ object TextQueries {
         |       (len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
         |        AND len(regexp_extract_all(redacted, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) = 0
         |        AND len(regexp_extract_all(redacted, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0) AS clean_after
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "d35_incr_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(0, greatest(len($toks) - 8, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 8], ' ')) AS grams
+         |  FROM documents),
+         |fps AS (
+         |  SELECT doc_id, ${phash("UNNEST(grams)")} AS fp FROM sh),
+         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 < 4),
+         |newb AS (
+         |  SELECT doc_id, fp, (fp IN (SELECT fp FROM idx)) AS is_dup
+         |  FROM fps WHERE doc_id % 5 = 4)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_shingles,
+         |       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles,
+         |       round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_fraction,
+         |       round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) < 0.5 AS keep
+         |FROM newb GROUP BY doc_id""".stripMargin
   )
 }
