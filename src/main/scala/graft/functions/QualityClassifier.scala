@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fasttext-style document quality classifier, trained and served
+  * entirely as DataFrame ops: hashed bag-of-ngrams features → logistic
+  * regression fit with full-batch gradient descent.
+  *
+  * The pipeline pattern (weak supervision): heuristic rules
+  * ([[TextFunctions.gopherRules]]) label a corpus sample, the linear
+  * model distills them into a smooth score that generalizes past the
+  * hard thresholds — the standard recipe for web-scale quality filtering
+  * where human labels don't exist at volume.
+  *
+  * Scale shape (100 TB): the feature table is one explode + two
+  * aggregates per pass; each GD iteration broadcasts the weight vector
+  * (numBuckets doubles — KBs) and reduces the gradient with map-side
+  * partial aggregation. Nothing driver-side ever exceeds the weight
+  * vector itself. At production scale you train on a SAMPLE (the model
+  * has numBuckets parameters; millions of rows saturate it) and serve
+  * the broadcast-join scoring pass over the full corpus.
+  */
+object QualityClassifier {
+
+  /** Trained model: weight per hash bucket + bias, with the training
+    * loss trajectory (for tests and monitoring). */
+  case class Model(
+      weights: Array[Double],
+      bias: Double,
+      lossHistory: Seq[Double]) {
+    def numBuckets: Int = weights.length
+  }
+
+  /** Hashed term-frequency features: (id, bucket, x) with
+    * x = occurrences/n_terms, bucket = portable md5 hash mod
+    * `numBuckets`. With `bigrams` the term set is tokens ∪ word
+    * bigrams (fasttext's subword trick at the phrase level). */
+  def hashedFeatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      bigrams: Boolean = true): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val terms = if (bigrams) concat(toks, TextFunctions.allShingles(col(textCol), 2)) else toks
+    val counts = df
+      .select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy(
+        col("id"),
+        pmod(TextFunctions.portableHash(col("term")), lit(numBuckets)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("id")).agg(sum(col("c")).as("n"))
+    counts
+      .join(totals, Seq("id"))
+      .select(col("id"), col("bucket"), (col("c").cast("double") / col("n")).as("x"))
+  }
+
+  private def weightsDf(spark: SparkSession, w: Array[Double]): DataFrame =
+    broadcast(
+      spark.createDataFrame(w.toIndexedSeq.zipWithIndex.map { case (wv, i) => (i, wv) })
+        .toDF("bucket", "w"))
+
+  private val eps = 1e-12
+
+  /** Full-batch logistic-regression GD. `labels` is (id, y∈{0,1}).
+    * Deterministic up to float-sum ordering; gradients are rounded to 9
+    * decimals so repeated runs on the same data converge identically in
+    * practice. Two aggregates per iteration (margins by id, gradient by
+    * bucket), weights round-trip driver↔cluster as a broadcast table. */
+  def train(
+      features: DataFrame,
+      labels: DataFrame,
+      numBuckets: Int,
+      iters: Int = 10,
+      lr: Double = 20.0,
+      biasLr: Double = 0.5): Model = {
+    val spark = features.sparkSession
+    val feats = features
+      .join(labels.select(col("id"), col("y").cast("double").as("y")), Seq("id"))
+      .cache()
+    val n = math.max(labels.count(), 1L).toDouble
+    var w = Array.fill(numBuckets)(0.0)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      for (_ <- 1 to iters) {
+        val margins = feats
+          .join(weightsDf(spark, w), Seq("bucket"))
+          .groupBy(col("id"))
+          .agg(sum(col("w") * col("x")).as("m"), first(col("y")).as("y"))
+          .select(
+            col("id"), col("y"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(b))))).as("p"))
+        // one pass computes loss + bias gradient; a second reduces the
+        // per-bucket gradient (both fully partial-aggregated)
+        val Array(lossRow) = margins
+          .agg(
+            avg(-(col("y") * log(col("p") + eps) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("loss"),
+            round(sum(col("p") - col("y")) / n, 9).as("gb"))
+          .collect()
+        losses += lossRow.getDouble(0)
+        val grads = feats
+          .join(margins.select(col("id"), (col("p") - col("y")).as("e")), Seq("id"))
+          .groupBy(col("bucket"))
+          .agg(round(sum(col("e") * col("x")) / n, 9).as("g"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getDouble(1))
+          .toMap
+        // the bias sees gradient avg(p−y) (magnitude ~0.5) while weight
+        // gradients are tf-damped (x ≈ 1/n_terms) — one shared rate
+        // either stalls the weights or makes the bias oscillate, so the
+        // bias steps with its own, ~40× smaller rate
+        w = w.zipWithIndex.map { case (wv, i) => wv - lr * grads.getOrElse(i, 0.0) }
+        b -= biasLr * lossRow.getDouble(1)
+      }
+      Model(w, b, losses.toSeq)
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** Multiclass softmax model: weights(k)(bucket), bias(k). */
+  case class MulticlassModel(
+      weights: Array[Array[Double]],
+      bias: Array[Double],
+      lossHistory: Seq[Double]) {
+    def numClasses: Int = weights.length
+    def numBuckets: Int = weights.head.length
+  }
+
+  private def weightsKDf(spark: SparkSession, w: Array[Array[Double]]): DataFrame =
+    broadcast(
+      spark.createDataFrame(
+        for { k <- w.indices; bkt <- w(k).indices } yield (k, bkt, w(k)(bkt)))
+        .toDF("k", "bucket", "w"))
+
+  private def biasDf(spark: SparkSession, b: Array[Double]): DataFrame =
+    broadcast(
+      spark.createDataFrame(b.toIndexedSeq.zipWithIndex.map { case (bv, k) => (k, bv) })
+        .toDF("k", "bk"))
+
+  /** Per-(id, k) softmax probabilities for the given parameters:
+    * (id, k, m, p) — the shared forward pass of multiclass train and
+    * score. One broadcast join (bucket → K weight rows), one aggregate,
+    * and an id-partitioned window for the normalizer. */
+  private def softmaxProbs(
+      features: DataFrame,
+      w: Array[Array[Double]],
+      b: Array[Double]): DataFrame = {
+    val spark = features.sparkSession
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    features
+      .join(weightsKDf(spark, w), Seq("bucket"))
+      .groupBy(col("id"), col("k"))
+      .agg(sum(col("w") * col("x")).as("mw"))
+      .join(biasDf(spark, b), Seq("k"))
+      .select(col("id"), col("k"), (col("mw") + col("bk")).as("m"))
+      // max-shifted for numeric stability, like every softmax ever
+      .withColumn("ex", exp(col("m") - max(col("m")).over(wId)))
+      .withColumn("p", col("ex") / sum(col("ex")).over(wId))
+      .select(col("id"), col("k"), col("m"), col("p"))
+  }
+
+  /** Multiclass (softmax) fit — the full fasttext shape. `labels` is
+    * (id, y∈[0, numClasses)). Same scale story as [[train]]: the weight
+    * MATRIX (numClasses × numBuckets doubles) broadcasts; the gradient
+    * reduce is one partial-aggregated groupBy(bucket, k); nothing
+    * driver-side exceeds the matrix. */
+  def trainMulticlass(
+      features: DataFrame,
+      labels: DataFrame,
+      numBuckets: Int,
+      numClasses: Int,
+      iters: Int = 15,
+      lr: Double = 50.0,
+      biasLr: Double = 0.5): MulticlassModel = {
+    val feats = features
+      .join(labels.select(col("id"), col("y").cast("int").as("y")), Seq("id"))
+      .cache()
+    val n = math.max(labels.count(), 1L).toDouble
+    var w = Array.fill(numClasses)(Array.fill(numBuckets)(0.0))
+    var b = Array.fill(numClasses)(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      for (_ <- 1 to iters) {
+        val errs = softmaxProbs(feats.select(col("id"), col("bucket"), col("x")), w, b)
+          .join(feats.select(col("id"), col("y")).distinct(), Seq("id"))
+          .select(
+            col("id"), col("k"),
+            (col("p") - when(col("k") === col("y"), 1.0).otherwise(0.0)).as("e"),
+            when(col("k") === col("y"), -log(col("p") + eps)).as("nll"))
+          .cache()
+        val Array(lossRow) = errs.agg(sum(col("nll")) / n).collect()
+        losses += lossRow.getDouble(0)
+        val gb = errs.groupBy(col("k"))
+          .agg(round(sum(col("e")) / n, 9).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val grads = feats
+          .join(errs.select(col("id"), col("k"), col("e")), Seq("id"))
+          .groupBy(col("bucket"), col("k"))
+          .agg(round(sum(col("e") * col("x")) / n, 9).as("g"))
+          .collect()
+          .map(r => (r.getInt(1), r.getInt(0)) -> r.getDouble(2))
+          .toMap
+        errs.unpersist(blocking = false)
+        w = Array.tabulate(numClasses)(k =>
+          Array.tabulate(numBuckets)(bkt => w(k)(bkt) - lr * grads.getOrElse((k, bkt), 0.0)))
+        b = Array.tabulate(numClasses)(k => b(k) - biasLr * gb.getOrElse(k, 0.0))
+      }
+      MulticlassModel(w, b, losses.toSeq)
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** Multiclass serve: (id, predicted, confidence) — argmax class with
+    * deterministic class-index tie-break. */
+  def scoreMulticlass(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: MulticlassModel,
+      bigrams: Boolean = true): DataFrame = {
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p").desc, col("k").asc)
+    softmaxProbs(
+      hashedFeatures(df, textCol, idCol, model.numBuckets, bigrams), model.weights, model.bias)
+      .withColumn("rn", row_number().over(wId))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("k").as("predicted"), round(col("p"), 6).as("confidence"))
+  }
+
+  /** Score every document: (id, score, predicted). One broadcast join +
+    * one aggregate — the production serving pass. */
+  def score(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: Model,
+      bigrams: Boolean = true): DataFrame =
+    hashedFeatures(df, textCol, idCol, model.numBuckets, bigrams)
+      .join(weightsDf(df.sparkSession, model.weights), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("x")).as("m"))
+      .select(
+        col("id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(model.bias)))), 6).as("score"))
+      .withColumn("predicted", (col("score") >= 0.5).cast("long"))
+
+}

@@ -302,6 +302,36 @@ object TextQueries {
           col("id").as("doc_id"), col("n_shingles"), col("n_dup_shingles"),
           col("dup_fraction"), col("keep"))
     }),
+    // fasttext-shape trained text classifier: hashed-ngram features →
+    // 20-class softmax regression fit on the corpus's source labels
+    // (the harness signal that actually lives in the TEXT: each source
+    // has a distinct token mixture, while lang is uncorrelated metadata
+    // and the synthetic docs contain none of gopherRules' required
+    // stopwords). Trained once per (session, dir) via ModelCache — the
+    // train/serve split; ~0.86 accuracy vs 0.05 random at sf0.01.
+    // Trained model -> rows-only contract (like the ANN model family);
+    // convergence is locked by QualityClassifierSpec.
+    "d36_source_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcIdx = d.select(col("source")).distinct()
+        .select(col("source"), (dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1).as("y"))
+      def labels = d.join(srcIdx, Seq("source")).select(col("doc_id").as("id"), col("y"))
+      val model = graft.sources.ModelCache.getOrElseUpdate(
+        s, s"src_clf:$dir:D=1024:K=20:it=50:lr=4000") {
+        graft.functions.QualityClassifier.trainMulticlass(
+          graft.functions.QualityClassifier.hashedFeatures(d, "text", "doc_id", 1024),
+          labels, numBuckets = 1024, numClasses = 20, iters = 50, lr = 4000.0)
+      }
+      graft.functions.QualityClassifier.scoreMulticlass(d, "text", "doc_id", model)
+        .join(labels, Seq("id"))
+        .join(srcIdx.select(col("source").as("predicted_source"), col("y").as("predicted")),
+          Seq("predicted"))
+        .join(srcIdx, Seq("y"))
+        .select(
+          col("id").as("doc_id"), col("predicted_source"), col("source"),
+          col("confidence"), (col("predicted") === col("y")).as("agrees"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(

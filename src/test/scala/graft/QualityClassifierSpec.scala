@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.QualityClassifier
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // Linearly separable corpus: "good" docs are wordy English prose,
+  // "bad" docs are symbol-heavy repetitive junk — disjoint vocabulary,
+  // so a hashed linear model must separate them.
+  private lazy val labeled = {
+    val good = (0 until 30).map { i =>
+      (i.toLong,
+        s"the quick brown fox number $i jumps over the lazy dog and " +
+          "that was a fine day to be reading some well formed prose with care",
+        1L)
+    }
+    val bad = (30 until 60).map { i =>
+      (i.toLong, s"zzz$i qqq ### @@@ ||| zzz qqq ### @@@ ||| zzz qqq ### buy buy buy", 0L)
+    }
+    (good ++ bad).toDF("doc_id", "text", "label")
+  }
+
+  private lazy val feats =
+    QualityClassifier.hashedFeatures(labeled, "text", "doc_id", numBuckets = 64)
+  private lazy val labels = labeled.select($"doc_id".as("id"), $"label".as("y"))
+  private lazy val model =
+    QualityClassifier.train(feats, labels, numBuckets = 64, iters = 12, lr = 20.0)
+
+  test("hashed features are tf-normalized per doc") {
+    val sums = feats.groupBy($"id").agg(round(sum($"x"), 9).as("s"))
+      .select($"s").distinct().as[Double].collect()
+    assert(sums.toSeq == Seq(1.0), s"tf fractions must sum to 1 per doc, got ${sums.toSeq}")
+  }
+
+  test("training loss decreases and the model separates the classes") {
+    val l = model.lossHistory
+    assert(l.head > l.last, s"loss should fall: $l")
+    assert(l.last < 0.3, s"separable data should reach low loss, got ${l.last}")
+    val scored = QualityClassifier.score(labeled, "text", "doc_id", model)
+      .join(labels, Seq("id"))
+    val acc = scored.filter($"predicted" === $"y").count().toDouble / 60
+    assert(acc >= 0.95, s"train accuracy $acc")
+  }
+
+  test("training is deterministic across runs (rounded gradients)") {
+    val again = QualityClassifier.train(feats, labels, numBuckets = 64, iters = 12, lr = 20.0)
+    assert(again.weights.toSeq == model.weights.toSeq && again.bias == model.bias)
+  }
+
+  test("multiclass softmax separates three disjoint-vocabulary classes") {
+    val docs3 = (0 until 45).map { i =>
+      val y = i % 3
+      val text = y match {
+        case 0 => s"apple banana cherry date elderberry fig grape $i fruit salad bowl"
+        case 1 => s"hammer wrench pliers saw drill chisel level $i toolbox garage bench"
+        case _ => s"violin cello flute oboe trumpet timpani harp $i orchestra concert hall"
+      }
+      (i.toLong, text, y.toLong)
+    }.toDF("doc_id", "text", "y")
+    val feats = QualityClassifier.hashedFeatures(docs3, "text", "doc_id", numBuckets = 64)
+    val m = QualityClassifier.trainMulticlass(
+      feats, docs3.select($"doc_id".as("id"), $"y"), numBuckets = 64, numClasses = 3,
+      iters = 15, lr = 50.0)
+    assert(m.lossHistory.head > m.lossHistory.last, s"loss should fall: ${m.lossHistory}")
+    val acc = QualityClassifier.scoreMulticlass(docs3, "text", "doc_id", m)
+      .join(docs3.select($"doc_id".as("id"), $"y"), Seq("id"))
+      .filter($"predicted" === $"y").count() / 45.0
+    assert(acc >= 0.95, s"3-class accuracy $acc, losses ${m.lossHistory}")
+  }
+
+  test("scoring an unseen doc uses only the broadcast weight table") {
+    val unseen = Seq(
+      (100L, "a fine day reading prose with the quick brown fox and the lazy dog"),
+      (101L, "zzz qqq ### @@@ ||| zzz buy buy")).toDF("doc_id", "text")
+    val s = QualityClassifier.score(unseen, "text", "doc_id", model)
+      .orderBy($"id").as[(Long, Double, Long)].collect()
+    assert(s(0)._3 == 1L, s"wordy unseen doc should score good: ${s.toSeq}")
+    assert(s(1)._3 == 0L, s"junk unseen doc should score bad: ${s.toSeq}")
+    // plan shape: broadcast join of the weight table, no shuffle of it
+    val plan = QualityClassifier.score(unseen, "text", "doc_id", model)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
