@@ -37,23 +37,63 @@ object IncrementalDedup {
 
   /** One row per shingle OCCURRENCE: (id, fp). Multiplicities are kept —
     * the dup fraction should weigh a passage by how often the doc repeats
-    * it. fp is the portable 60-bit md5-derived long, so a DuckDB oracle
-    * computes bit-identical keys. */
-  def shingleFps(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    * it. `portable = true` fingerprints with the 60-bit md5-derived long
+    * (bit-identical in a DuckDB oracle); `portable = false` uses
+    * codegen'd xxhash64 — the production choice, ~10× cheaper than the
+    * md5→hex→conv chain (measured in ScaleBench `incr`). Index and batch
+    * must agree on the flag. */
+  def shingleFps(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      portable: Boolean = true): DataFrame =
     df.select(
         col(idCol).as("id"),
         explode(TextFunctions.allShingles(col(textCol), n)).as("s"))
-      .select(col("id"), TextFunctions.portableHash(col("s")).as("fp"))
+      .select(
+        col("id"),
+        (if (portable) TextFunctions.portableHash(col("s")) else xxhash64(col("s"))).as("fp"))
 
   /** Serialize a driver-side bloom over the distinct `fp` column of
-    * `index`. Two actions (count to size the sketch, then the aggregate
-    * build) — this is the write-once index build, not the per-batch
-    * query path. */
+    * `index`. Two actions (count to size the sketch, then a
+    * treeAggregate build) — this is the write-once index build, not the
+    * per-batch query path.
+    *
+    * Built directly with `BloomFilter.create` + treeAggregate rather
+    * than `stat.bloomFilter`: Spark 4's stat path caps the sketch at
+    * 2^26 bits (the runtime-filter default), which saturates anything
+    * past ~7M keys into a filter that passes everything (measured in
+    * ScaleBench `incr`: a 33M-key index got 8 MB instead of 40 MB and
+    * the prune stopped pruning). Raw `putLong` semantics, matching the
+    * [[BloomMightContain]] probe. */
   def buildBloom(index: DataFrame, fpp: Double): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
     val expected = math.max(index.count(), 1L)
-    val bloom = index.stat.bloomFilter("fp", expected, fpp)
+    val spark = index.sparkSession
+    import spark.implicits._
+    // per-partition local blooms merged on the driver — NOT treeAggregate,
+    // which ships the multi-MB zero sketch to every task and shuffles one
+    // full-size sketch per partition through the aggregate machinery
+    // (measured 100 s for a 40 MB sketch over 32 partitions; this path is
+    // ~8 s). coalesce(8) bounds the number of full-size partials in
+    // flight; inserts are cheap, so the lost parallelism is irrelevant.
+    val partials = index
+      .select(col("fp")).as[Long].rdd
+      .coalesce(8)
+      .mapPartitions { it =>
+        val b = BloomFilter.create(expected, fpp)
+        it.foreach(b.putLong)
+        val bos = new ByteArrayOutputStream()
+        b.writeTo(bos)
+        Iterator(bos.toByteArray)
+      }
+      .collect()
+    val merged = partials
+      .map(bytes => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
     val bos = new ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    merged.writeTo(bos)
     bos.toByteArray
   }
 
@@ -71,23 +111,43 @@ object IncrementalDedup {
       idCol: String,
       shingleSize: Int = 8,
       fpp: Double = 0.01,
-      dropAt: Double = 0.5): DataFrame = {
+      dropAt: Double = 0.5,
+      useBloom: Boolean = true,
+      portable: Boolean = true,
+      prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
     val spark = newDocs.sparkSession
     BloomMightContain.register(spark)
     // the index is read three times (count, bloom build, semi-join) —
     // cached like the LSH signature tables; in production it is a stored
     // parquet table and this cache is the read of that table
     val idx = corpusIndex.select(col("fp")).distinct().cache()
-    val bloomBytes = buildBloom(idx, fpp)
 
-    val batch = shingleFps(newDocs, textCol, idCol, shingleSize)
-    val probed = batch.withColumn(
-      "maybe_dup",
-      call_function("bloom_might_contain", lit(bloomBytes), col("fp")))
-    // exact verification ONLY for bloom positives; negatives are proven new
-    val confirmed = probed
-      .filter(col("maybe_dup"))
-      .join(idx, Seq("fp"), "left_semi")
+    // cached: the (id, fp) table is read twice (per-doc totals + the
+    // probe/verify branch) and the narrow post-projection rows are ~16
+    // bytes — regenerating the shingle strings per branch dominated the
+    // per-batch cost in ScaleBench `incr` before this
+    val batch = shingleFps(newDocs, textCol, idCol, shingleSize, portable).cache()
+    // bloom path: only positives (true dups + fpp) reach the semi-join;
+    // `useBloom = false` is the A/B control that shuffles every batch
+    // shingle into the join (ScaleBench `incr` measures the difference).
+    // Production passes `prebuiltBloom` — the sketch is part of the
+    // write-once index, not a per-batch cost.
+    // Bloom path: the candidate set is SMALL by construction (true dups
+    // + fpp), so broadcast it against the index SCAN — the index, the
+    // big side, is never shuffled or sorted, and AQE can't collapse the
+    // post-shuffle side into one giant partition (it did: a 33M-row
+    // index ended up sorted by a single task when the left-semi shuffle
+    // saw a ~100k-row probe side). Inner join ≡ semi here because idx
+    // is distinct. The no-bloom control keeps the semi-join shape —
+    // broadcasting the whole un-pruned batch would be the wrong plan.
+    val confirmed = (
+      if (useBloom) {
+        val bloomBytes = prebuiltBloom.getOrElse(buildBloom(idx, fpp))
+        broadcast(
+          batch.filter(
+            call_function("bloom_might_contain", lit(bloomBytes), col("fp"))))
+          .join(idx, Seq("fp"))
+      } else batch.join(idx, Seq("fp"), "left_semi"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup_shingles"))
     batch

@@ -370,6 +370,85 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Incremental dedup at scale: a corpus of `nCorpus` 40-token docs is
+    * indexed (distinct 8-gram fps + bloom); a batch of `nBatch` docs with
+    * a 2% planted re-crawl tail is deduped against it, bloom-pruned vs
+    * the plain semi-join control. The headline numbers: the prune
+    * fraction (how much of the batch never touches the join) and the
+    * A/B wall-clock. Usage: runMain graft.tools.ScaleBench incr
+    * [nCorpus] [nBatch] */
+  def incrMain(spark: SparkSession, nCorpus: Long, nBatch: Long): Unit = {
+    import graft.functions.IncrementalDedup
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val secs = (for {
+            t0 <- si.submissionTime; t1 <- si.completionTime
+          } yield (t1 - t0) / 1000.0).getOrElse(-1.0)
+          println(f"STAGE ${si.stageId}%4d $secs%8.2fs tasks=${si.numTasks}%3d ${si.name.take(80)}")
+        }
+      })
+    def body(saltedId: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 40).map(j => concat(lit("w"), pmod(hash(saltedId, lit(j)), lit(100000)))): _*)
+    val corpus = spark.range(nCorpus)
+      .select(col("id").as("doc_id"), body(col("id")).as("text"))
+    // every 50th batch doc re-crawls corpus doc id div 50 (INTEGRAL
+    // division — `/` on longs is double division and would change the
+    // hashes); the rest draw from a disjoint id space -> genuinely new
+    val batch = spark.range(nBatch).select(
+      col("id").as("doc_id"),
+      body(
+        when(pmod(col("id"), lit(50)) === 0, expr("id div 50"))
+          .otherwise(col("id") + nCorpus + 1000000L)).as("text")).cache()
+    batch.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // xxhash64 fingerprints: the production path (the portable md5 form
+    // exists for oracle parity, not for 33M-row index builds)
+    val (idx, idxSec) = time {
+      val i = IncrementalDedup
+        .shingleFps(corpus, "text", "doc_id", 8, portable = false)
+        .select(col("fp")).distinct().cache()
+      i.count()
+      i
+    }
+    val (bloomBytes, bloomBuildSec) = time(IncrementalDedup.buildBloom(idx, 0.01))
+    // probe-only pass: how much of the batch the bloom settles scan-side
+    val ((positives, totalShingles), probeSec) = time {
+      graft.functions.expressions.BloomMightContain.register(spark)
+      val b = IncrementalDedup.shingleFps(batch, "text", "doc_id", 8, portable = false)
+      val p = b.filter(
+        call_function("bloom_might_contain", lit(bloomBytes), col("fp"))).count()
+      (p, b.count())
+    }
+    val ((dropped, kept), bloomSec) = time {
+      val r = IncrementalDedup
+        .passageDedupStats(batch, idx, "text", "doc_id", useBloom = true, portable = false,
+          prebuiltBloom = Some(bloomBytes))
+        .cache()
+      val d = r.filter(!col("keep")).count()
+      (d, r.count() - d)
+    }
+    val (_, plainSec) = time {
+      IncrementalDedup
+        .passageDedupStats(batch, idx, "text", "doc_id", useBloom = false, portable = false)
+        .filter(!col("keep")).count()
+    }
+    val idxRows = idx.count()
+    println(
+      s"""{"workload":{"corpus_docs":$nCorpus,"batch_docs":$nBatch,"index_fps":$idxRows,"bloom_bytes":${bloomBytes.length}},
+         |"index_build_sec":$idxSec,"bloom_build_sec":$bloomBuildSec,
+         |"probe":{"sec":$probeSec,"positives":$positives,"shingles":$totalShingles,"prune_frac":${1.0 - positives.toDouble / totalShingles}},
+         |"bloom_dedup":{"sec":$bloomSec,"docs_per_sec":${(nBatch / bloomSec).toLong},"dropped":$dropped,"kept":$kept},
+         |"plain_semijoin":{"sec":$plainSec,"docs_per_sec":${(nBatch / plainSec).toLong}},
+         |"planted_dup_rate":0.02}""".stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("asof")) {
       val nLeft = if (args.length > 1) args(1).toLong else 20000000L
@@ -456,6 +535,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       dedupMain(spark, nDocs)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("incr")) {
+      val nCorpus = if (args.length > 1) args(1).toLong else 1000000L
+      val nBatch = if (args.length > 2) args(2).toLong else 100000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      incrMain(spark, nCorpus, nBatch)
       spark.stop()
       return
     }
