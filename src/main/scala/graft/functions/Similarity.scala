@@ -794,12 +794,23 @@ object Similarity {
       .cache()
     val cbArr = trainPqCodebooks(resid, "corpus_id", "resid", nSub, kSub, iters, sampleN,
       normalize = false, cacheKey = cacheKey.map(_ + ":resid"))
-    val index = resid
+    // the encoded residual index is the write-once build product — memoized
+    // like pqEncodeCached's code table (full training-parameter key, so
+    // codes can never decouple from the codebooks that produced them);
+    // without this every query re-ran the assign+encode corpus pass
+    // (~10 s/query at sf0.1, measured in the round-4 bench)
+    def buildIndex() = resid
       .select(col("corpus_id"), col("bucket"))
       .join(
         pqEncode(resid, "corpus_id", "resid", cbArr, normalize = false)
           .select(col("id").as("corpus_id"), col("codes")),
         Seq("corpus_id"))
+    val index = cacheKey match {
+      case Some(key) =>
+        StagingCache.getOrElseUpdate(spark,
+          s"ivfpq_resid_index:$key:L=$nLists:s=$nSub:k=$kSub:it=$iters:n=$sampleN")(buildIndex())
+      case None => buildIndex()
+    }
 
     // query side: per-(query, probed list) residual → per-pair ADC LUT
     val qvecs = queries

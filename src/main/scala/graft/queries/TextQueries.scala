@@ -316,15 +316,24 @@ object TextQueries {
       val srcIdx = d.select(col("source")).distinct()
         .select(col("source"), (dense_rank().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1).as("y"))
-      def labels = d.join(srcIdx, Seq("source")).select(col("doc_id").as("id"), col("y"))
+      def labels(of: org.apache.spark.sql.DataFrame) =
+        of.join(srcIdx, Seq("source")).select(col("doc_id").as("id"), col("y"))
+      // train on a deterministic hash sample capped at ~1.5k docs — the
+      // 1024-parameter model saturates well below that, and training cost
+      // must not scale with the corpus (the production shape documented in
+      // QualityClassifier: sample-train, serve everything). sf0.01 keeps
+      // every doc (mod=1); sf0.1 trains on ~a third.
+      val mod = math.max(1L, d.count() / 1500L)
+      val trainDocs = if (mod == 1L) d
+        else d.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
       val model = graft.sources.ModelCache.getOrElseUpdate(
-        s, s"src_clf:$dir:D=1024:K=20:it=50:lr=4000") {
+        s, s"src_clf:$dir:D=1024:K=20:it=50:lr=4000:m=$mod") {
         graft.functions.QualityClassifier.trainMulticlass(
-          graft.functions.QualityClassifier.hashedFeatures(d, "text", "doc_id", 1024),
-          labels, numBuckets = 1024, numClasses = 20, iters = 50, lr = 4000.0)
+          graft.functions.QualityClassifier.hashedFeatures(trainDocs, "text", "doc_id", 1024),
+          labels(trainDocs), numBuckets = 1024, numClasses = 20, iters = 50, lr = 4000.0)
       }
       graft.functions.QualityClassifier.scoreMulticlass(d, "text", "doc_id", model)
-        .join(labels, Seq("id"))
+        .join(labels(d), Seq("id"))
         .join(srcIdx.select(col("source").as("predicted_source"), col("y").as("predicted")),
           Seq("predicted"))
         .join(srcIdx, Seq("y"))
