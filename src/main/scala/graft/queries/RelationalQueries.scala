@@ -418,6 +418,49 @@ object RelationalQueries {
             .as("avg_unit_price"),
           round(avg(col("l_discount")), 6).as("avg_discount"),
           count(lit(1)).as("n"))
+    }),
+    // Incremental rollup via mergeable partial states (IncrementalAgg):
+    // per-(day, event_type) states merged into the serving rollup, checked
+    // against the direct one-pass aggregate IN-QUERY. The exact fields
+    // (count / decimal sum / min / max) must match bit-for-bit; the HLL
+    // distinct union gets the q28-style tolerance verdict (sketch innards
+    // are engine-specific, mergeability is the point). The 100 TB story:
+    // a new day appends ONE state partition, the rollup reads O(slices ×
+    // groups) state rows — never the raw history (IncrementalAggSpec
+    // asserts the partition pruning).
+    "q30_incr_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        col("value"),
+        col("user_id"),
+        to_date(col("ts")).cast("string").as("day"))
+      val merged = graft.functions.IncrementalAgg.mergeStates(
+        graft.functions.IncrementalAgg.partialStates(
+          ev, col("day"), Seq(col("event_type")), col("value"), col("user_id")),
+        Seq("event_type"))
+      val direct = ev
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("d_n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("d_total"),
+          min(col("value")).as("d_min"),
+          max(col("value")).as("d_max"),
+          countDistinct(col("user_id")).as("d_users"))
+      merged
+        .join(direct, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("n_rows").as("n_events"),
+          round(col("total_value"), 6).as("total_value"),
+          round(col("min_value"), 6).as("min_value"),
+          round(col("max_value"), 6).as("max_value"),
+          col("d_users").as("n_users_exact"),
+          when(
+            col("n_rows") === col("d_n") && col("total_value") === col("d_total") &&
+              col("min_value") === col("d_min") && col("max_value") === col("d_max"),
+            lit("ok")).otherwise(lit("MERGE_MISMATCH")).as("merge_matches_direct"),
+          tolVerdict(abs(col("distinct_est") - col("d_users")) / col("d_users"), 0.05)
+            .as("hll_within_5pct"))
     })
   )
 
@@ -673,6 +716,16 @@ object RelationalQueries {
         |       round(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price,
         |       round(AVG(l_discount), 6) AS avg_discount,
         |       COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q30_incr_rollup" ->
+      """SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       round(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE, 6) AS total_value,
+        |       round(MIN(value), 6) AS min_value,
+        |       round(MAX(value), 6) AS max_value,
+        |       COUNT(DISTINCT user_id) AS n_users_exact,
+        |       'ok' AS merge_matches_direct,
+        |       'ok' AS hll_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
