@@ -66,10 +66,17 @@ object IncrementalDedup {
     * past ~7M keys into a filter that passes everything (measured in
     * ScaleBench `incr`: a 33M-key index got 8 MB instead of 40 MB and
     * the prune stopped pruning). Raw `putLong` semantics, matching the
-    * [[BloomMightContain]] probe. */
-  def buildBloom(index: DataFrame, fpp: Double): Array[Byte] = {
+    * [[BloomMightContain]] probe.
+    *
+    * `sizeFor` fixes the sketch geometry independently of this build's
+    * key count: two blooms merge only when their bit size and hash count
+    * match, so an INCREMENTALLY GROWN bloom ([[graft.streaming.StreamingDedup]]
+    * extends the corpus sketch with each batch's kept fps) must size every
+    * partial for the expected EVENTUAL total. Overshooting the estimate
+    * degrades fpp gracefully (more join work, still exact results). */
+  def buildBloom(index: DataFrame, fpp: Double, sizeFor: Option[Long] = None): Array[Byte] = {
     import org.apache.spark.util.sketch.BloomFilter
-    val expected = math.max(index.count(), 1L)
+    val expected = sizeFor.getOrElse(math.max(index.count(), 1L))
     val spark = index.sparkSession
     import spark.implicits._
     // per-partition local blooms merged on the driver — NOT treeAggregate,
@@ -89,9 +96,11 @@ object IncrementalDedup {
         Iterator(bos.toByteArray)
       }
       .collect()
-    val merged = partials
-      .map(bytes => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val merged =
+      if (partials.isEmpty) BloomFilter.create(expected, fpp) // 0-partition input
+      else partials
+        .map(bytes => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+        .reduceLeft { (a, b) => a.mergeInPlace(b); a }
     val bos = new ByteArrayOutputStream()
     merged.writeTo(bos)
     bos.toByteArray

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.IncrementalDedup
+
+/** Continuous-crawl deduplication: a STREAM of new documents deduped
+  * against a static corpus index AND against everything the stream has
+  * already kept — the always-on form of [[IncrementalDedup]] (whose
+  * batch shape is the reference's incremental slice,
+  * /root/reference/05_prod_dev.py:1054-1101, upgraded from "re-filter a
+  * date slice" to genuinely stateful streaming dedup).
+  *
+  * Semantics per micro-batch N: a doc is kept when < `dropAt` of its
+  * shingle mass exists in (corpus ∪ kept docs of batches 1..N−1) —
+  * bit-identical to running [[IncrementalDedup.passageDedupStats]] by
+  * hand with that union as the index (locked by StreamingDedupSpec).
+  * Docs WITHIN one micro-batch don't dedup against each other, matching
+  * the batch operator; run [[graft.functions.Dedup]] inside the batch
+  * first if that matters.
+  *
+  * Scale design (100 TB corpus, continuous batches):
+  *   - The growing stream index is an APPEND-ONLY parquet table of
+  *     distinct new fps — each batch appends only fingerprints it is the
+  *     first to contribute (so the table stays near-minimal and the
+  *     append is proportional to NOVEL content).
+  *   - The bloom sketch is maintained INCREMENTALLY on the driver:
+  *     batch partials are built distributed with the SAME geometry
+  *     (`sizeFor = expectedTotalKeys`) and merged into the running
+  *     sketch — never rebuilt from the full index. Size the estimate for
+  *     the eventual corpus; overshoot degrades fpp, not correctness.
+  *   - Exactly-once output: foreachBatch + checkpoint gives batch-id
+  *     replay; the fp append is idempotent-by-dedup (a replayed batch
+  *     re-appends fps that are already present — distinct() on read
+  *     absorbs them).
+  */
+object StreamingDedup {
+
+  /** Start the dedup stream. `docs` is a streaming DataFrame with
+    * (`idCol`, `textCol`); decisions land in `outPath` (one row per doc:
+    * id, n_shingles, n_dup_shingles, dup_fraction, keep, batch_id); new
+    * fps append to `streamIdxPath`. */
+  def start(
+      docs: DataFrame,
+      staticIndex: DataFrame,
+      outPath: String,
+      streamIdxPath: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 8,
+      fpp: Double = 0.01,
+      dropAt: Double = 0.5,
+      expectedTotalKeys: Long = 10000000L,
+      portable: Boolean = true,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = docs.sparkSession
+    val static = staticIndex.select(col("fp")).distinct().cache()
+    // driver state: the running sketch over corpus ∪ kept stream fps.
+    // foreachBatch runs batches sequentially, so plain mutation is safe.
+    var bloom = BloomFilter.readFrom(new ByteArrayInputStream(
+      IncrementalDedup.buildBloom(static, fpp, sizeFor = Some(expectedTotalKeys))))
+
+    val writer = docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sc = spark.sparkContext
+        val persistedBefore = sc.getPersistentRDDs.keySet
+        val streamIdx =
+          if (new java.io.File(streamIdxPath).exists())
+            spark.read.parquet(streamIdxPath)
+          else spark.emptyDataFrame.select(lit(0L).as("fp")).limit(0)
+        val idx = static.unionByName(streamIdx.select(col("fp")))
+        val bloomBytes = { // serialize the CURRENT sketch for this batch
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos); bos.toByteArray
+        }
+        val stats = IncrementalDedup
+          .passageDedupStats(batch, idx, textCol, idCol,
+            shingleSize = shingleSize, fpp = fpp, dropAt = dropAt,
+            portable = portable, prebuiltBloom = Some(bloomBytes))
+          .withColumn("batch_id", lit(batchId))
+          .cache()
+        stats.write.mode("append").parquet(outPath)
+        // append the kept docs' NOVEL fps (anti-join: first-contributor
+        // only) and extend the sketch with a geometry-compatible partial
+        val keptFps = IncrementalDedup
+          .shingleFps(
+            batch.join(
+              stats.filter(col("keep")).select(col("id").as(idCol)), Seq(idCol)),
+            textCol, idCol, shingleSize, portable)
+          .select(col("fp")).distinct()
+          .join(idx, Seq("fp"), "left_anti")
+          .cache()
+        keptFps.write.mode("append").parquet(streamIdxPath)
+        val newSketch = IncrementalDedup
+          .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
+        bloom.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))
+        // drop this batch's transient caches (ours + passageDedupStats'
+        // internal ones) — the stream would otherwise accumulate one
+        // cached shingle table per batch for its whole lifetime
+        (sc.getPersistentRDDs.keySet -- persistedBefore)
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+}

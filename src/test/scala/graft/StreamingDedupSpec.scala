@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.IncrementalDedup
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // docs are 12 distinct tokens; a dup doc shares >50% of its 4-shingles
+  private def doc(seed: Int): String =
+    (0 until 12).map(j => s"w${seed}_$j").mkString(" ")
+  // shares 9 of 12 tokens with doc(seed): dup_fraction above 0.5
+  private def mostlyDup(seed: Int, tag: Int): String =
+    ((0 until 9).map(j => s"w${seed}_$j") ++ (0 until 3).map(j => s"x${tag}_$j"))
+      .mkString(" ")
+
+  test("stream dedups each batch against corpus plus previously-kept docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    val corpus = Seq((0L, doc(0)), (1L, doc(1))).toDF("doc_id", "text")
+    val staticIdx = IncrementalDedup.shingleFps(corpus, "text", "doc_id", 4)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      in.toDF().toDF("doc_id", "text"),
+      staticIdx,
+      outPath = s"$dir/out", streamIdxPath = s"$dir/idx",
+      checkpoint = s"$dir/ckpt", shingleSize = 4,
+      expectedTotalKeys = 10000L)
+    // batch 1: 10 dups corpus doc 0 (drop); 11 is novel (keep)
+    in.addData((10L, mostlyDup(0, 10)), (11L, doc(11)))
+    q.processAllAvailable()
+    // batch 2: 12 dups corpus (drop); 13 dups KEPT stream doc 11 (drop —
+    // only catchable via the stream index); 14 is novel (keep)
+    in.addData((12L, mostlyDup(1, 12)), (13L, mostlyDup(11, 13)), (14L, doc(14)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"id", $"keep", $"batch_id").as[(Long, Boolean, Long)].collect()
+    val keepById = out.map(r => r._1 -> r._2).toMap
+    assert(out.length == 5)
+    assert(keepById == Map(10L -> false, 11L -> true, 12L -> false, 13L -> false, 14L -> true))
+    // batch attribution: 10/11 in an earlier batch than 12/13/14
+    val batchOf = out.map(r => r._1 -> r._3).toMap
+    assert(batchOf(10L) == batchOf(11L) && batchOf(12L) == batchOf(14L))
+    assert(batchOf(10L) < batchOf(12L))
+
+    // bit-parity with the batch operator run by hand with the same unions
+    val b1 = Seq((10L, mostlyDup(0, 10)), (11L, doc(11))).toDF("doc_id", "text")
+    val want1 = IncrementalDedup
+      .passageDedupStats(b1, staticIdx, "text", "doc_id", shingleSize = 4)
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(want1 == Map(10L -> false, 11L -> true))
+    val idx2 = staticIdx.unionByName(IncrementalDedup.shingleFps(
+      b1.filter($"doc_id" === 11L), "text", "doc_id", 4))
+    val b2 = Seq((12L, mostlyDup(1, 12)), (13L, mostlyDup(11, 13)), (14L, doc(14)))
+      .toDF("doc_id", "text")
+    val want2 = IncrementalDedup
+      .passageDedupStats(b2, idx2, "text", "doc_id", shingleSize = 4)
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(want2 == Map(12L -> false, 13L -> false, 14L -> true))
+
+    // the stream index holds only novel fps: distinct == total appended rows
+    val idxRows = spark.read.parquet(s"$dir/idx")
+    assert(idxRows.count() == idxRows.distinct().count())
+  }
+
+  test("batch caches do not accumulate across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_gc").toString
+    val corpus = Seq((0L, doc(0))).toDF("doc_id", "text")
+    val staticIdx = IncrementalDedup.shingleFps(corpus, "text", "doc_id", 4)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      in.toDF().toDF("doc_id", "text"), staticIdx,
+      s"$dir/out", s"$dir/idx", s"$dir/ckpt", shingleSize = 4,
+      expectedTotalKeys = 10000L)
+    in.addData((20L, doc(20)))
+    q.processAllAvailable()
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    in.addData((21L, doc(21)))
+    q.processAllAvailable()
+    in.addData((22L, doc(22)))
+    q.processAllAvailable()
+    q.stop()
+    // two more batches must not add persistent entries
+    assert(spark.sparkContext.getPersistentRDDs.size <= persisted)
+  }
+}
