@@ -461,6 +461,23 @@ object RelationalQueries {
             lit("ok")).otherwise(lit("MERGE_MISMATCH")).as("merge_matches_direct"),
           tolVerdict(abs(col("distinct_est") - col("d_users")) / col("d_users"), 0.05)
             .as("hll_within_5pct"))
+    }),
+    // Z-order clustering key (ZOrder.zValue): the Morton interleave that
+    // writeZOrdered sorts by. The oracle runs the IDENTICAL bit
+    // arithmetic (zValueSql) in DuckDB; the file-skipping effect of the
+    // layout itself is locked by ZOrderSpec. Deterministic 1-in-97
+    // orderkey sample keeps the dump small.
+    "q31_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey"),
+          graft.functions.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16)
+            .as("zvalue"))
+        .withColumn("zbucket", shiftright(col("zvalue"), 20))
     })
   )
 
@@ -726,6 +743,16 @@ object RelationalQueries {
         |       COUNT(DISTINCT user_id) AS n_users_exact,
         |       'ok' AS merge_matches_direct,
         |       'ok' AS hll_within_5pct
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q31_zorder" -> {
+      val z = graft.functions.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)
+      s"""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |       CAST(l_partkey AS BIGINT) AS l_partkey,
+         |       CAST(l_suppkey AS BIGINT) AS l_suppkey,
+         |       $z AS zvalue,
+         |       $z >> 20 AS zbucket
+         |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin
+    }
   )
 }
