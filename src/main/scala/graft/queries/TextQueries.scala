@@ -341,6 +341,18 @@ object TextQueries {
           col("id").as("doc_id"), col("predicted_source"), col("source"),
           col("confidence"), (col("predicted") === col("y")).as("agrees"))
     }),
+    // deterministic train/val/test split + global-shuffle keys for the
+    // training-data export (TrainingExport): every value is a pure
+    // function of (salt, doc_id) via the portable md5 hash, so the
+    // oracle reproduces the full assignment bit-for-bit. The sharded
+    // write layout itself is locked by TrainingExportSpec.
+    "d37_split_export" -> ((s, dir) => {
+      graft.functions.TrainingExport.withShuffleKeys(
+        graft.functions.TrainingExport.assignSplits(
+          docs(s, dir).select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+        "doc_id", nShards = 8)
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -974,6 +986,19 @@ object TextQueries {
          |       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles,
          |       round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_fraction,
          |       round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) < 0.5 AS keep
-         |FROM newb GROUP BY doc_id""".stripMargin
+         |FROM newb GROUP BY doc_id""".stripMargin,
+    "d37_split_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${phash("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS hs,
+         |         ${phash("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS shuffle_ord
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN hs < 9000 THEN 'train'
+         |            WHEN hs < 9500 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       shuffle_ord,
+         |       shuffle_ord % 8 AS shard
+         |FROM h""".stripMargin
   )
 }
