@@ -478,6 +478,23 @@ object RelationalQueries {
           graft.functions.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16)
             .as("zvalue"))
         .withColumn("zbucket", shiftright(col("zvalue"), 20))
+    }),
+    // Global row numbering WITHOUT the single-partition window
+    // (GlobalOrder: range exchange + per-partition counts + offset
+    // join-back). The oracle is the naive ROW_NUMBER() OVER (ORDER BY
+    // ...) — identical numbers, distributed plan. Total order via the
+    // (shipdate, orderkey, linenumber) tie-break.
+    "q32_global_rownum" -> ((s, dir) => {
+      graft.operators.GlobalOrder
+        .withRowNumber(
+          t(s, dir, "lineitem")
+            .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("global_rn"))
     })
   )
 
@@ -753,6 +770,15 @@ object RelationalQueries {
          |       $z AS zvalue,
          |       $z >> 20 AS zbucket
          |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin
-    }
+    },
+    "q32_global_rownum" ->
+      """WITH rn AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS global_rn
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(global_rn AS BIGINT) AS global_rn
+        |FROM rn WHERE l_orderkey % 97 = 0""".stripMargin
   )
 }
