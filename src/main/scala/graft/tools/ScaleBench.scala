@@ -449,7 +449,70 @@ object ScaleBench {
          |"planted_dup_rate":0.02}""".stripMargin.replace("\n", ""))
   }
 
+  /** Z-order data-skipping at scale: `nRows` (x, y, payload) rows in a
+    * 4096x4096 key space, written (a) z-ordered and (b) x-sorted, then a
+    * ~1.6%-selective y-box and an xy-box are scanned on both layouts.
+    * Reports per-layout file-envelope hits (what a footer reader prunes)
+    * and min-of-2 scan wall-clock with pushed filters. Usage:
+    * runMain graft.tools.ScaleBench zorder [nRows] */
+  def zorderMain(spark: SparkSession, nRows: Long): Unit = {
+    import graft.functions.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_bench").toString
+    val data = spark.range(nRows).select(
+      pmod(hash(col("id")), lit(4096)).as("x"),
+      pmod(hash(col("id"), lit(1)), lit(4096)).as("y"),
+      col("id").as("payload"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, zWriteSec) = time {
+      ZOrder.writeZOrdered(data, s"$dir/z", Seq("x", "y"), bits = 12, nFiles = 64)
+    }
+    val (_, cWriteSec) = time {
+      data.withColumn("__k", col("x"))
+        .repartitionByRange(64, col("__k")).sortWithinPartitions(col("__k"))
+        .drop("__k").write.mode("overwrite").parquet(s"$dir/ctl")
+    }
+    def envelopeHits(path: String): Long =
+      ZOrder.fileEnvelopes(spark.read.parquet(path), Seq("y"))
+        .filter(col("min_y") <= 2112 && col("max_y") >= 2048).count()
+    def yBox(path: String): Long =
+      spark.read.parquet(path).filter(col("y").between(2048, 2112)).count()
+    def xyBox(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("x").between(1024, 1088) && col("y").between(2048, 2112)).count()
+    def minOf2(f: => Long): (Long, Double) = {
+      val (r1, s1) = time(f); val (_, s2) = time(f); (r1, math.min(s1, s2))
+    }
+    val (zRows, zSec) = minOf2(yBox(s"$dir/z"))
+    val (cRows, cSec) = minOf2(yBox(s"$dir/ctl"))
+    val (zxyRows, zxySec) = minOf2(xyBox(s"$dir/z"))
+    val (cxyRows, cxySec) = minOf2(xyBox(s"$dir/ctl"))
+    require(zRows == cRows && zxyRows == cxyRows, "layouts must agree on results")
+    println(
+      s"""{"workload":{"rows":$nRows,"files":64,"domain":"4096x4096","ybox_sel":${zRows.toDouble / nRows}},
+         |"write_sec":{"zorder":$zWriteSec,"xsorted":$cWriteSec},
+         |"file_hits_ybox":{"zorder":${envelopeHits(s"$dir/z")},"xsorted":${envelopeHits(s"$dir/ctl")}},
+         |"ybox_scan_sec":{"zorder":$zSec,"xsorted":$cSec},
+         |"xybox_scan_sec":{"zorder":$zxySec,"xsorted":$cxySec},
+         |"rows_returned":{"ybox":$zRows,"xybox":$zxyRows}}""".stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("zorder")) {
+      val nRows = if (args.length > 1) args(1).toLong else 20000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      zorderMain(spark, nRows)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("asof")) {
       val nLeft = if (args.length > 1) args(1).toLong else 20000000L
       val nRight = if (args.length > 2) args(2).toLong else 20000000L
