@@ -58,6 +58,21 @@ object IncrementalAgg {
         max(col("s_max")).as("max_value"),
         hll_sketch_estimate(hll_union_agg(col("s_hll"))).as("distinct_est"))
 
+  /** Merge states INTO STATE FORM (same schema back, still mergeable) —
+    * the fold [[graft.streaming.StreamingRollup]] uses to combine a
+    * micro-batch's states with the stored ones before rewriting a slice
+    * partition. `s_sum` is re-capped to DECIMAL(28,2) so repeated
+    * merges keep a stable schema instead of widening to (38,2). */
+  def mergeStatesRaw(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("s_cnt")).as("s_cnt"),
+        sum(col("s_sum")).cast("decimal(28,2)").as("s_sum"),
+        min(col("s_min")).as("s_min"),
+        max(col("s_max")).as("s_max"),
+        hll_union_agg(col("s_hll")).as("s_hll"))
+
   /** Write `states` into the state table at `path`, replacing ONLY the
     * slice partitions present in `states` (dynamic partition overwrite —
     * re-running a day is idempotent and never touches other days). */
