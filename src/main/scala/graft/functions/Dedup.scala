@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -387,5 +388,46 @@ object Dedup {
       .withColumn(
         "contamination",
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Passage-level dedup APPLY: split every document into consecutive
+    * `passageTokens`-token passages, keep only the corpus-wide FIRST
+    * occurrence of each passage (ordered by doc id, then position), and
+    * reassemble the cleaned documents — the ccnet/RefinedWeb-style
+    * remove-duplicated-paragraphs stage ([[crossDocSubstringStats]] is
+    * its measurement half). A fully deduplicated document comes back
+    * with empty `cleaned_text`, not dropped — the caller decides.
+    *
+    * Scale shape: one explode (n_tokens/passageTokens rows per doc), one
+    * window over the passage fingerprint (shuffle by fp — skew-free:
+    * a fingerprint's group is exactly its duplicate set), one group-back
+    * by doc. No joins, no driver state. */
+  def passageDedupApply(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / passageTokens).cast("int")
+    val passages = transform(
+      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(toks, i * passageTokens + 1, lit(passageTokens)), " "))
+    val w = Window
+      .partitionBy(col("fp"))
+      .orderBy(col("id").asc, col("pos").asc)
+    df.select(col(idCol).as("id"), posexplode(passages).as(Seq("pos", "passage")))
+      .withColumn("fp", TextFunctions.portableHash(col("passage")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("cleaned_text"))
+      .withColumn("dedup_fraction",
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_passages"), 6))
   }
 }

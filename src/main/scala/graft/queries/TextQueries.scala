@@ -341,6 +341,16 @@ object TextQueries {
           col("id").as("doc_id"), col("predicted_source"), col("source"),
           col("confidence"), (col("predicted") === col("y")).as("agrees"))
     }),
+    // passage-level dedup APPLY (ccnet/RefinedWeb remove-duplicated-
+    // paragraphs): corpus-wide first occurrence wins, docs reassembled
+    // from their kept passages. d30 measures duplicated spans; this is
+    // the half that edits the corpus.
+    "d38_passage_dedup_apply" -> ((s, dir) => {
+      graft.functions.Dedup.passageDedupApply(docs(s, dir), "text", "doc_id", 10)
+        .select(
+          col("id").as("doc_id"), col("n_passages"), col("n_kept"),
+          col("dedup_fraction"), col("cleaned_text"))
+    }),
     // deterministic train/val/test split + global-shuffle keys for the
     // training-data export (TrainingExport): every value is a pure
     // function of (salt, doc_id) via the portable md5 hash, so the
@@ -999,6 +1009,28 @@ object TextQueries {
          |            ELSE 'test' END AS split,
          |       shuffle_ord,
          |       shuffle_ord % 8 AS shard
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+    "d38_passage_dedup_apply" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, i AS pos,
+         |         array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS passage
+         |  FROM d, UNNEST(generate_series(
+         |    0, greatest(CAST(ceil(len(toks) / 10.0) AS INT) - 1, 0))) AS t(i)),
+         |k AS (
+         |  SELECT doc_id, pos, passage,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY ${phash("passage")}
+         |           ORDER BY doc_id, pos) = 1 AS keep
+         |  FROM p)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_passages,
+         |       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       round(1.0 - SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         |         AS dedup_fraction,
+         |       COALESCE(string_agg(passage, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+         |         AS cleaned_text
+         |FROM k GROUP BY doc_id""".stripMargin
   )
 }
