@@ -82,6 +82,59 @@ object Sampling {
       when(keep(col(idCol), lit(testFraction)), "test").otherwise("train"))
   }
 
+  /** Deterministic uniform in (0, 1) derived from the portable hash of
+    * `idCol` (salted so different operators draw independent streams). */
+  private def uniform(idCol: Column, salt: String): Column =
+    (TextFunctions.portableHash(concat(lit(s"$salt:"), idCol.cast("string")))
+      .cast("double") + lit(0.5)) / lit(hashSpace)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws key `-ln(u) / w` with `u` a DETERMINISTIC uniform
+    * derived from the portable hash of its id; the `k` smallest keys are
+    * an exact weight-proportional sample without replacement. The draw is
+    * a pure function of (id, weight), so the sample is reproducible
+    * across runs, partitionings, and engines — the property `rand()`
+    * based weighted sampling loses on task retry.
+    *
+    * This is the mixture-sampling workhorse: weight = quality score (or
+    * token count) and the sample is the training slice. Global variant:
+    * one map-side key computation + `TakeOrderedAndProject` (per-partition
+    * top-k, then k·partitions rows to one reducer — no full sort, no
+    * single-partition shuffle of the data). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", esKey(col(idCol), col(weightCol)))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-stratum weighted sampling without replacement: the `k` smallest
+    * A-ES keys within each stratum. One shuffle keyed by stratum; the
+    * per-stratum rank is window-ranked (spill-capable), same shape as
+    * [[exactSampleBy]]. */
+  def weightedSampleBy(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", esKey(col(idCol), col(weightCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The A-ES key `-ln(u)/w` (exponential with rate `w`): smallest-k by
+    * this key = weight-proportional sample without replacement. */
+  def esKey(idCol: Column, weightCol: Column): Column =
+    -log(uniform(idCol, "es")) / weightCol.cast("double")
+
   /** Data-mixing rates: given per-row token counts, a stratum column
     * (e.g. source), target mixture weights, and a total token budget,
     * compute each stratum's deterministic sampling rate

@@ -363,6 +363,23 @@ object TextQueries {
           "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
         "doc_id", nShards = 8)
     }),
+    // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // 25 docs per source drawn ∝ n_chars, keys derived from the portable
+    // hash so the draw is a pure function of (id, weight) — reproducible
+    // across runs/partitionings/engines, unlike rand()-keyed sampling
+    "d39_weighted_sample" -> ((s, dir) => {
+      graft.functions.Sampling
+        .weightedSampleBy(docs(s, dir), "doc_id", "source", "n_chars", k = 25)
+        .select(
+          col("source"), col("doc_id"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+    }),
+    // bigram LM perplexity scoring (CCNet-shape quality filter): add-k
+    // smoothed bigram model trained on the corpus, each doc scored by mean
+    // log-prob; one token-stream shuffle, broadcast model join
+    "d40_ngram_lm" -> ((s, dir) => {
+      graft.functions.NgramLm.bigramScores(docs(s, dir), "text", "doc_id", vocabSize = 64)
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -1010,6 +1027,58 @@ object TextQueries {
          |       shuffle_ord,
          |       shuffle_ord % 8 AS shard
          |FROM h""".stripMargin,
+    "d39_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, n_chars,
+         |         -ln((${phash("'es:' || CAST(doc_id AS VARCHAR)")}::DOUBLE + 0.5)
+         |             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM documents WHERE n_chars > 0
+         |), r AS (
+         |  SELECT source, doc_id, n_chars, es_key,
+         |         row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rn
+         |  FROM h)
+         |SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key
+         |FROM r WHERE rn <= 25""".stripMargin,
+    "d40_ngram_lm" ->
+      s"""WITH toksed AS (
+         |  SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2
+         |), uni AS (
+         |  SELECT doc_id, UNNEST(toks) AS tok FROM toksed
+         |), vocab AS (
+         |  SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok)
+         |  ORDER BY n DESC, tok ASC LIMIT 64
+         |), mstream AS (
+         |  SELECT u.doc_id, CASE WHEN v.tok IS NULL THEN '<unk>' ELSE u.tok END AS w
+         |  FROM uni u LEFT JOIN vocab v ON u.tok = v.tok
+         |), vsz AS (
+         |  SELECT COUNT(DISTINCT w) AS v FROM mstream
+         |), ex AS (
+         |  SELECT doc_id,
+         |         UNNEST(toks[1:len(toks)-1]) AS t1,
+         |         UNNEST(toks[2:len(toks)]) AS t2
+         |  FROM toksed
+         |), big AS (
+         |  SELECT e.doc_id,
+         |         CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE e.t1 END AS w1,
+         |         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE e.t2 END AS w2
+         |  FROM ex e LEFT JOIN vocab v1 ON e.t1 = v1.tok
+         |            LEFT JOIN vocab v2 ON e.t2 = v2.tok
+         |), c1 AS (
+         |  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+         |), c12 AS (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+         |), model AS (
+         |  SELECT c12.w1, c12.w2,
+         |         round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vsz.v)), 6) AS lp
+         |  FROM c12 JOIN c1 USING (w1) CROSS JOIN vsz
+         |), agg AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |         CAST(SUM(CAST(m.lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_lp_raw
+         |  FROM big b JOIN model m USING (w1, w2) GROUP BY b.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, round(avg_lp_raw, 6) AS avg_logprob,
+         |       round(exp(-round(avg_lp_raw, 6)), 6) AS ppl
+         |FROM agg""".stripMargin,
     "d38_passage_dedup_apply" ->
       s"""WITH d AS (
          |  SELECT doc_id, $toks AS toks FROM documents),

@@ -66,6 +66,33 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept >= 10, s"grown sample shares only $kept rows with the original")
   }
 
+  test("weightedSample: deterministic, weight-monotone, exact-k") {
+    val weighted = docs.withColumn("w", when($"doc_id" <= 100, 1000.0).otherwise(1.0))
+    val s = Sampling.weightedSample(weighted, "doc_id", "w", k = 50)
+    assert(s.count() == 50)
+    // same sample under a different partitioning (pure function of id+w)
+    val again = Sampling.weightedSample(weighted.repartition(11), "doc_id", "w", k = 50)
+    assert(s.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // 100 rows carry 1000x the weight of the other 1900: they hold
+    // ~1000/(1000+~2) of the mass, so the top-50 should be dominated by
+    // them (P[any light row drawn before 50 heavy] is tiny)
+    val heavy = s.filter($"doc_id" <= 100).count()
+    assert(heavy >= 45, s"only $heavy of 50 sampled rows are heavy-weight")
+    // zero/negative weights never sampled
+    val withZero = weighted.withColumn("w", when($"doc_id" === 1L, 0.0).otherwise($"w"))
+    assert(Sampling.weightedSample(withZero, "doc_id", "w", k = 2000)
+      .filter($"doc_id" === 1L).count() == 0)
+  }
+
+  test("weightedSampleBy: exact k per stratum, deterministic") {
+    val weighted = docs.withColumn("w", ($"doc_id" % 7 + 1).cast("double"))
+    val s = Sampling.weightedSampleBy(weighted, "doc_id", "lang", "w", k = 30)
+    val counts = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 30L, "de" -> 30L))
+    val again = Sampling.weightedSampleBy(weighted.repartition(5), "doc_id", "lang", "w", 30)
+    assert(s.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
   test("mixtureRates: rate = min(1, weight*budget/tokens), zero for unlisted strata") {
     val rows = Seq(
       ("a", 100L), ("a", 100L), // a: 200 tokens
