@@ -409,6 +409,39 @@ object RelationalQueries {
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_customers"))
     }),
+    // CDC MERGE semantics (sources/Upsert.merge): an update batch derived
+    // from orders — matched keys take new values (+10.00, status 'U'),
+    // shifted keys insert — merged via one full-outer coalesce with an
+    // `op` provenance column; verified here through per-op row counts and
+    // exact decimal totals over the whole merged table. The partition-
+    // scoped copy-on-write WRITE path is locked by UpsertSpec (untouched
+    // partition files survive bit-for-bit).
+    "q33_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+          col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(10.00).cast("decimal(18,2)")).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 1000 === 1)
+            .select(
+              (col("o_orderkey") + 6000000L).as("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), lit("N").as("o_orderstatus")))
+      graft.sources.Upsert.merge(base, updates, Seq("o_orderkey"))
+        .groupBy(col("op"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(col("o_totalprice")).cast("double").as("total_price_raw"))
+        .select(
+          col("op"), col("n_rows"), col("n_keys"),
+          round(col("total_price_raw"), 2).as("total_price"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -577,6 +610,32 @@ object RelationalQueries {
         |  SELECT o_custkey, 'both' AS segment FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
         |)
         |SELECT segment, COUNT(*) AS n_customers FROM seg GROUP BY segment""".stripMargin,
+    "q33_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderstatus
+        |  FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         o_totalprice + CAST(10.00 AS DECIMAL(18,2)) AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 6000000 AS o_orderkey, o_custkey, o_totalprice,
+        |         'N' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 1000 = 1
+        |), m AS (
+        |  SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |         CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |                THEN 'updated'
+        |              WHEN b.o_orderkey IS NULL THEN 'inserted'
+        |              ELSE 'unchanged' END AS op
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |)
+        |SELECT op, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+        |FROM m GROUP BY op""".stripMargin,
     "q26_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
