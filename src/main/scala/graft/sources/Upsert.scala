@@ -68,7 +68,21 @@ object Upsert {
     // contract (a batch touches few partitions); collected so the base
     // scan is STATICALLY pruned to those directories
     val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
-    val base = spark.read.parquet(tableRoot)
+    val rootPath = new org.apache.hadoop.fs.Path(tableRoot)
+    val hfs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(rootPath)) {
+      // bootstrap: no table yet — the whole batch inserts
+      val n = updates.count()
+      updates.write.mode("overwrite").partitionBy(partitionCol).parquet(tableRoot)
+      return (touched.length.toLong, n)
+    }
+    val raw = spark.read.parquet(tableRoot)
+    // partition-directory values read back through type inference (a
+    // date-like string becomes DATE); re-align to the batch's type so the
+    // merge schema check compares like with like
+    val partType = updates.schema(partitionCol).dataType
+    val base = raw
+      .withColumn(partitionCol, col(partitionCol).cast(partType))
       .filter(col(partitionCol).isin(touched: _*))
     // the rewrite reads and replaces the same directories: cut the plan
     // lineage first (localCheckpoint → leaf) so the overwrite does not
