@@ -16,52 +16,101 @@ import org.apache.spark.sql.functions._
   *   2. vocabulary = top-`vocabSize` tokens (count desc, token asc), OOV
   *      folded to `<unk>` through a broadcast left join — unbounded raw
   *      vocab never becomes a grouping key;
-  *   3. unigram-context and bigram counts are partial-aggregated
-  *      (map-side combine) over the mapped stream;
+  *   3. the stream collapses immediately to per-doc DISTINCT-bigram
+  *      counts ([[docBigramCounts]]) — everything downstream (bigram and
+  *      context counts, effective vocab size, scoring) derives from that
+  *      one table, so the expensive explode+window subtree exists ONCE in
+  *      the plan. Multi-branch reuse of it is the m11 lesson (NOTES.md):
+  *      MATERIALIZE the shared subplan — callers that run the full
+  *      pipeline should stage/cache the counts table (the registered d40
+  *      query routes it through StagingCache);
   *   4. P(w2|w1) = (c12 + k) / (c1 + k·V), V = distinct mapped tokens —
   *      the model is ≤ V² rows by construction, so the scoring join is a
-  *      broadcast; per-doc mean log-prob aggregates the stream in place.
+  *      broadcast.
   *
   * Float discipline (NOTES.md): each bigram's log-prob is rounded to 6
-  * decimals and summed as DECIMAL(28,6) — exact, order-independent — then
-  * divided by the count as double. Bit-identical in DuckDB.
+  * decimals, weighted by its exact integer count, and summed as DECIMAL —
+  * exact and order-independent — then divided by the token count as
+  * double. Bit-identical in DuckDB.
   *
-  * At 100 TB: the token-stream shuffle is the cost, and it is one shuffle,
-  * partitioned by doc — the same discipline as the lag-corr scan. Counts
-  * and the model are corpus-global and tiny (≤ V²); scoring is map-side
-  * after the broadcast. To train on a sample but score the full corpus,
-  * pass a sampled `trainDocs`.
+  * At 100 TB: one token-stream shuffle (partitioned by doc) + one
+  * aggregation into the counts table; counts and model are corpus-global
+  * and tiny (≤ V²); scoring is map-side after the broadcast. To train on
+  * a sample but score the full corpus, pass a sampled `trainDocs`.
   */
 object NgramLm {
 
-  private def toksOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
+  /** Top-`vocabSize` tokens by (count desc, token asc) with an
+    * `in_vocab` marker — V rows, broadcastable. */
+  def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    toksOf(docs, textCol)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+  }
 
-  /** (id, pos, w): the token stream with OOV folded to `<unk>`. */
-  private def mappedStream(toksed: DataFrame, vocab: DataFrame, idCol: String): DataFrame =
-    toksed
+  /** Per-doc distinct-bigram counts (id, w1, w2, cnt) with OOV folded to
+    * `<unk>` — the ONE heavy pass (explode + window lead + aggregate);
+    * stage/cache this when both training and scoring read it. */
+  def docBigramCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    toksOf(docs, textCol)
       .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
       .join(broadcast(vocab), Seq("tok"), "left")
       .select(
         col(idCol), col("pos"),
         when(col("in_vocab").isNull, lit("<unk>")).otherwise(col("tok")).as("w"))
-
-  /** (id, w1, w2) via a window `lead` over the stream — one shuffle by
-    * doc, no positional self-join. */
-  private def bigramsOf(stream: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    stream
       .withColumn("w2", lead(col("w"), 1).over(w))
       .filter(col("w2").isNotNull)
-      .select(col(idCol), col("w").as("w1"), col("w2"))
+      .groupBy(col(idCol), col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Per-document bigram LM scores over `docs(idCol, textCol)`: returns
-    * (id, n_bigrams, avg_logprob, ppl). Documents with fewer than two
-    * tokens have no bigrams and are excluded. `trainDocs` (default: the
-    * scored corpus itself) supplies the counting corpus. */
+  /** Add-k model (w1, w2, lp) from a counts table: c12 and c1 re-aggregate
+    * the counts (no corpus rescan); V = distinct tokens across both bigram
+    * sides (= the distinct mapped token stream — every position of a
+    * scored doc is in some bigram). */
+  def modelFromCounts(docBig: DataFrame, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be > 0, got $addK")
+    val c12 = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vsz = docBig.select(col("w1").as("w"))
+      .unionByName(docBig.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    c12
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      .select(
+        col("w1"), col("w2"),
+        round(log((col("c12") + lit(addK)) / (col("c1") + lit(addK) * col("v"))), 6).as("lp"))
+  }
+
+  /** Per-doc scores (id, n_bigrams, avg_logprob, ppl) for a counts table
+    * against a model: count-weighted exact-decimal mean log-prob. */
+  def scoresFromCounts(docBig: DataFrame, model: DataFrame, idCol: String): DataFrame =
+    docBig
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt") * col("lp").cast("decimal(28,6)")).cast("double") /
+          sum(col("cnt")).cast("double")).as("avg_lp_raw"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        round(col("avg_lp_raw"), 6).as("avg_logprob"),
+        round(exp(-round(col("avg_lp_raw"), 6)), 6).as("ppl"))
+
+  /** Full pipeline over `docs(idCol, textCol)`. Documents with fewer than
+    * two tokens have no bigrams and are excluded. `trainDocs` (default:
+    * the scored corpus itself) supplies the counting corpus. */
   def bigramScores(
       docs: DataFrame,
       textCol: String,
@@ -69,54 +118,12 @@ object NgramLm {
       vocabSize: Int = 512,
       addK: Double = 0.5,
       trainDocs: Option[DataFrame] = None): DataFrame = {
-    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
-    require(addK > 0, s"addK must be > 0, got $addK")
-
-    val train = toksOf(trainDocs.getOrElse(docs), textCol, idCol)
-
-    // top-V vocabulary from the training stream; V rows — broadcast
-    val vocab = train
-      .select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok").asc)
-      .limit(vocabSize)
-      .select(col("tok"), lit(true).as("in_vocab"))
-
-    val trainStream = mappedStream(train, vocab, idCol)
-    val trainBigrams = bigramsOf(trainStream, idCol)
-
-    // effective vocabulary size (distinct mapped tokens, <unk> included):
-    // one small aggregate, broadcast back as a scalar
-    val vsz = trainStream.agg(countDistinct(col("w")).as("v"))
-
-    val c1 = trainBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c12 = trainBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-
-    // ≤ V² rows by construction → broadcast; the per-bigram log-prob is
-    // rounded before the exact decimal sum (cross-engine bit stability)
-    val model = c12
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(vsz))
-      .select(
-        col("w1"), col("w2"),
-        round(log((col("c12") + lit(addK)) / (col("c1") + lit(addK) * col("v"))), 6).as("lp"))
-
-    val scoreBigrams =
-      if (trainDocs.isEmpty) trainBigrams
-      else bigramsOf(mappedStream(toksOf(docs, textCol, idCol), vocab, idCol), idCol)
-
-    scoreBigrams
-      .join(broadcast(model), Seq("w1", "w2"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(col("lp").cast("decimal(28,6)")).cast("double") / count(lit(1)))
-          .as("avg_lp_raw"))
-      .select(
-        col(idCol),
-        col("n_bigrams"),
-        round(col("avg_lp_raw"), 6).as("avg_logprob"),
-        round(exp(-round(col("avg_lp_raw"), 6)), 6).as("ppl"))
+    val vocab = vocabulary(trainDocs.getOrElse(docs), textCol, vocabSize)
+    val trainBig = docBigramCounts(trainDocs.getOrElse(docs), textCol, idCol, vocab)
+    val scoreBig =
+      if (trainDocs.isEmpty) trainBig
+      else docBigramCounts(docs, textCol, idCol, vocab)
+    scoresFromCounts(scoreBig, modelFromCounts(trainBig, addK), idCol)
   }
 
   /** Scores + a `keep` flag for docs whose perplexity is at or below
@@ -130,4 +137,9 @@ object NgramLm {
       addK: Double = 0.5): DataFrame =
     bigramScores(docs, textCol, idCol, vocabSize, addK)
       .withColumn("keep", col("ppl") <= maxPpl)
+
+  private def toksOf(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("toks")) >= 2)
 }

@@ -378,7 +378,17 @@ object TextQueries {
     // smoothed bigram model trained on the corpus, each doc scored by mean
     // log-prob; one token-stream shuffle, broadcast model join
     "d40_ngram_lm" -> ((s, dir) => {
-      graft.functions.NgramLm.bigramScores(docs(s, dir), "text", "doc_id", vocabSize = 64)
+      // the counts table is read by BOTH the model aggregation and the
+      // scoring join — stage it (m11 lesson: materialize a shared
+      // expensive subplan; un-staged, the explode+window subtree would
+      // evaluate once per branch)
+      val d = docs(s, dir)
+      val docBig = graft.sources.StagingCache.getOrElseUpdate(s, s"ngram_docbig:$dir:V=64") {
+        graft.functions.NgramLm.docBigramCounts(
+          d, "text", "doc_id", graft.functions.NgramLm.vocabulary(d, "text", 64))
+      }
+      graft.functions.NgramLm.scoresFromCounts(
+        docBig, graft.functions.NgramLm.modelFromCounts(docBig), "doc_id")
     }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
@@ -1071,10 +1081,13 @@ object TextQueries {
          |  SELECT c12.w1, c12.w2,
          |         round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vsz.v)), 6) AS lp
          |  FROM c12 JOIN c1 USING (w1) CROSS JOIN vsz
+         |), bigc AS (
+         |  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM big GROUP BY doc_id, w1, w2
          |), agg AS (
-         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
-         |         CAST(SUM(CAST(m.lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_lp_raw
-         |  FROM big b JOIN model m USING (w1, w2) GROUP BY b.doc_id
+         |  SELECT b.doc_id, CAST(SUM(b.cnt) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(b.cnt * CAST(m.lp AS DECIMAL(28,6))) AS DOUBLE)
+         |           / CAST(SUM(b.cnt) AS DOUBLE) AS avg_lp_raw
+         |  FROM bigc b JOIN model m USING (w1, w2) GROUP BY b.doc_id
          |)
          |SELECT doc_id, n_bigrams, round(avg_lp_raw, 6) AS avg_logprob,
          |       round(exp(-round(avg_lp_raw, 6)), 6) AS ppl
