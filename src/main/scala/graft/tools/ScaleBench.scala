@@ -248,6 +248,41 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Bigram-LM scoring stress: train the add-k model on `nDocs`
+    * synthetic 40-token docs and perplexity-score the same corpus —
+    * timed as (counts build) + (model + scoring), the split a production
+    * run sees (counts built once, scores re-derived per threshold).
+    * Usage: runMain graft.tools.ScaleBench lm [nDocs] */
+  def lmMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.NgramLm
+    def tok(id: org.apache.spark.sql.Column, j: Int) =
+      concat(lit("w"), pmod(hash(id, lit(j)), lit(1000)))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(j => tok(col("id"), j)): _*).as("text"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (docBig, buildSec) = time {
+      val b = NgramLm.docBigramCounts(
+        docs, "text", "doc_id", NgramLm.vocabulary(docs, "text", 512)).cache()
+      b.count()
+      b
+    }
+    val (nScored, scoreSec) = time {
+      NgramLm.scoresFromCounts(docBig, NgramLm.modelFromCounts(docBig), "doc_id").count()
+    }
+    val totalSec = buildSec + scoreSec
+    println(
+      s"""{"workload":{"docs":$nDocs,"tokens_per_doc":40,"vocab":512},
+         |"counts_build":{"sec":$buildSec},
+         |"model_and_score":{"sec":$scoreSec,"docs_scored":$nScored},
+         |"total":{"sec":$totalSec,"docs_per_sec":${(nDocs / totalSec).toLong}}}"""
+        .stripMargin.replace("\n", ""))
+    docBig.unpersist(blocking = false)
+    ()
+  }
+
   /** ANN stress on CLUSTERED embeddings (the realistic regime — the
     * sf0.01 recall gate runs on near-random vectors, the adversarial
     * one): `nVecs` synthetic dim-64 vectors in `nClusters` hash-derived
@@ -613,6 +648,20 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       incrMain(spark, nCorpus, nBatch)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("lm")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      lmMain(spark, nDocs)
       spark.stop()
       return
     }
