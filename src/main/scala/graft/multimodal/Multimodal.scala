@@ -51,6 +51,48 @@ object Multimodal {
     MediaFeature(id, payload.length, sum.toDouble / n, hist.toSeq.map(_ / n))
   }
 
+  final case class Frame(id: Long, frame_idx: Long, n_bytes: Long, checksum: String)
+
+  /** Video-style frame sampling plumbing: split each payload into the
+    * `nFramesCol` byte slices its metadata declares, keep every
+    * `everyNth` frame, one output row per kept frame (id, frame index,
+    * slice size, md5 checksum). The explode direction a video table
+    * needs — payload rows fan OUT to frame rows — with the real
+    * batch-execution contract: byte-range slicing, one digest/codec
+    * instance per partition, no shuffle (pure per-row fan-out, pipeline
+    * stays in one stage). Deterministic, so the whole path is
+    * DuckDB-oracle-able (x2). Swap the byte-slice "decode" for a real
+    * demuxer in production; the schema and batch shape do not change. */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      nFramesCol: String,
+      everyNth: Int): Dataset[Frame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol), col(nFramesCol).cast("int"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        // per-partition setup: one digest (stand-in for codec/demuxer init)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes, nf) =>
+          if (nf <= 0) Iterator.empty
+          else {
+            val chunk = (bytes.length + nf - 1) / nf
+            Iterator.range(0, nf).filter(_ % everyNth == 0).map { i =>
+              val from = math.min(bytes.length, i * chunk)
+              val until = math.min(bytes.length, from + chunk)
+              val slice = java.util.Arrays.copyOfRange(bytes, from, until)
+              Frame(id, i.toLong, (until - from).toLong,
+                md.digest(slice).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+  }
+
   /** Partition-wise batched feature extraction (the mapInPandas shape:
     * iterator-of-rows in, iterator-of-rows out, one setup per partition). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeature] = {

@@ -390,6 +390,18 @@ object TextQueries {
       graft.functions.NgramLm.scoresFromCounts(
         docBig, graft.functions.NgramLm.modelFromCounts(docBig), "doc_id")
     }),
+    // multimodal frame-sampling plumbing: payload → per-frame rows (every
+    // 2nd of the n_frames byte slices the metadata declares), md5-
+    // checksummed — zero-shuffle fan-out via the partition-wise batch
+    // contract (Multimodal.sampleFrames)
+    "x2_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs(s, dir), "text"),
+        "doc_id", "payload", "media_meta.n_frames", everyNth = 2)
+        .toDF()
+        .select(
+          col("id").as("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -969,6 +981,23 @@ object TextQueries {
         |       (octet_length(encode(text)) * 7 % 480)::BIGINT AS height,
         |       (octet_length(encode(text)) % 24)::BIGINT AS n_frames
         |FROM documents""".stripMargin,
+    // payloads are ASCII here, so VARCHAR substring = byte slicing (the
+    // Spark side slices real bytes; equality holds for this corpus)
+    "x2_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS n, length(text) % 24 AS nf
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text, i AS frame_idx, (n + nf - 1) // nf AS chunk
+        |  FROM p, UNNEST(generate_series(0, nf - 1)) AS t(i)
+        |  WHERE nf > 0 AND i % 2 = 0
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(length(substring(text, CAST(frame_idx * chunk + 1 AS BIGINT),
+        |                             CAST(chunk AS BIGINT))) AS BIGINT) AS n_bytes,
+        |       md5(substring(text, CAST(frame_idx * chunk + 1 AS BIGINT),
+        |           CAST(chunk AS BIGINT))) AS checksum
+        |FROM f""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)

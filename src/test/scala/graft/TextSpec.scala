@@ -176,6 +176,21 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(feats(1L).feature.sum - 1.0) < 1e-9) // histogram normalized
   }
 
+  test("multimodal: frame sampling slices, samples, and checksums bytes") {
+    // 10-byte payload, 4 frames -> chunk=3: [abc][def][ghi][j]; every 2nd
+    // frame keeps idx 0 and 2
+    val d = Seq((1L, "abcdefghij", 4), (2L, "xy", 0)).toDF("doc_id", "text", "nf")
+    val frames = Multimodal.sampleFrames(
+      d.withColumn("payload", $"text".cast("binary")), "doc_id", "payload", "nf", 2)
+      .collect().map(f => (f.id, f.frame_idx) -> f).toMap
+    assert(frames.keySet == Set((1L, 0L), (1L, 2L)), "nf=0 docs emit nothing")
+    assert(frames((1L, 0L)).n_bytes == 3L && frames((1L, 2L)).n_bytes == 3L)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames((1L, 0L)).checksum == md5hex("abc"))
+    assert(frames((1L, 2L)).checksum == md5hex("ghi"))
+  }
+
   test("repetition metrics: repeated spans flagged, diverse text passes") {
     val rep = ("spam " * 20).trim                       // 20 tokens, all repeated
     val div = (1 to 20).map(i => s"w$i").mkString(" ")  // 20 tokens, all distinct
