@@ -70,6 +70,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k NEAREST corpus vectors with a DIFFERENT label — the
+    * highest-similarity wrong answers, which is what a contrastive loss
+    * wants as negatives. Same distribution shape as [[bruteForceTopK]]
+    * (queries broadcast, corpus streamed, no corpus shuffle) with the
+    * label-mismatch predicate applied BEFORE ranking, so the top-k is
+    * exact over negatives. At corpus scale, mine through an ANN index
+    * instead: over-fetch top-k' (k' >> k) from [[ivfTopKTrained]] /
+    * [[lshTopKBanded]] and filter mismatches — approximate, but no
+    * cross-join; this exact form is the oracle for that path. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"),
+      col(labelCol).as("corpus_label"))
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"),
+      col(labelCol).as("query_label"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("corpus_label") =!= col("query_label"))
+      .select(
+        col("query_id"), col("query_label"), col("corpus_id"), col("corpus_label"),
+        round(cosineNative(c, "cvec", "qvec"), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("query_label"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("corpus_label"), col("cos_sim"))
+  }
+
   /** Bit-sampling LSH bucket id: sign bits of the first `nBits` dimensions
     * packed into a long. Vectors in the same orthant bucket are cosine
     * candidates. */

@@ -103,6 +103,14 @@ object TextQueries {
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
+    // hard-negative mining (contrastive training): the 5 most-similar
+    // WRONG-label vectors per query — exact over negatives (mismatch
+    // filter before ranking); the ANN over-fetch path approximates this
+    "d41_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
@@ -559,6 +567,23 @@ object TextQueries {
         |  FROM scored
         |)
         |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d41_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |         c.vec_id AS corpus_id, c.label AS corpus_label,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * q.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * c.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.vec[i] * q.vec[i])))), 6) AS cos_sim
+        |  FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id < 10) q
+        |  WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+        |), ranked AS (
+        |  SELECT query_id, query_label, corpus_id, corpus_label, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, query_label, rank::BIGINT AS rank, corpus_id, corpus_label, cos_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "d7_embed_lsh" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
