@@ -46,4 +46,35 @@ object Stats {
       }: _*)).as("s"))
       .select(col("s.*"))
   }
+
+  /** Per-group winsorization — the standard feature-prep clip: values
+    * below the group's `lo` percentile (or above `hi`) are pulled to the
+    * boundary. Adds `<valueCol>_w` (clipped value) plus `__plo`/`__phi`
+    * (the boundaries) and `__clipped` (-1 low / 0 no / 1 high).
+    *
+    * Shape: one aggregate over the groups for the two exact percentiles
+    * (group count is small by contract — it is broadcast back), then a
+    * map-side clip; the input is scanned twice but never shuffled. At
+    * very large scale swap `percentile` for `approx_percentile`, same
+    * as [[describe]]'s note. */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(v, lit(lo)).as("__plo"),
+        percentile(v, lit(hi)).as("__phi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w", least(greatest(v, col("__plo")), col("__phi")))
+      .withColumn(
+        "__clipped",
+        when(v < col("__plo"), lit(-1)).when(v > col("__phi"), lit(1)).otherwise(lit(0)))
+  }
 }

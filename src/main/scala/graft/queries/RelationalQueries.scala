@@ -442,6 +442,27 @@ object RelationalQueries {
           col("op"), col("n_rows"), col("n_keys"),
           round(col("total_price_raw"), 2).as("total_price"))
     }),
+    // per-group winsorization (feature-prep clip at exact p05/p95):
+    // boundaries from one small aggregate broadcast back, map-side clip,
+    // then per-group clip counts + exact-decimal clipped mean
+    "q34_winsorize" -> ((s, dir) => {
+      graft.operators.Stats
+        .winsorize(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice", Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("__clipped") === -1, 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("__clipped") === 1, 1L).otherwise(0L)).as("n_clipped_hi"),
+          round(min(col("__plo")), 6).as("p_lo"),
+          round(min(col("__phi")), 6).as("p_hi"),
+          (sum(round(col("l_extendedprice_w"), 6).cast("decimal(28,6)")).cast("double") /
+            count(lit(1))).as("mean_raw"))
+        .select(
+          col("l_returnflag"), col("n"), col("n_clipped_lo"), col("n_clipped_hi"),
+          col("p_lo"), col("p_hi"), round(col("mean_raw"), 6).as("clipped_mean"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -636,6 +657,27 @@ object RelationalQueries {
         |SELECT op, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
         |       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
         |FROM m GROUP BY op""".stripMargin,
+    "q34_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS plo,
+        |         quantile_cont(l_extendedprice, 0.95) AS phi
+        |  FROM lineitem GROUP BY l_returnflag
+        |), w AS (
+        |  SELECT l.l_returnflag, b.plo, b.phi,
+        |         least(greatest(l.l_extendedprice, b.plo), b.phi) AS v,
+        |         CASE WHEN l.l_extendedprice < b.plo THEN 1 ELSE 0 END AS clo,
+        |         CASE WHEN l.l_extendedprice > b.phi THEN 1 ELSE 0 END AS chi
+        |  FROM lineitem l JOIN b USING (l_returnflag)
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(clo) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(chi) AS BIGINT) AS n_clipped_hi,
+        |       round(MIN(plo), 6) AS p_lo,
+        |       round(MIN(phi), 6) AS p_hi,
+        |       round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+        |         AS clipped_mean
+        |FROM w GROUP BY l_returnflag""".stripMargin,
     "q26_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
