@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winsorization semantics: exact-percentile boundaries per group,
+  * values clipped to them, flags mark the direction. (describe() is
+  * oracle-locked via q23; winsorize via q34 — these are the unit-level
+  * edge cases.) */
+class StatsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("winsorize clips to per-group percentile boundaries") {
+    // group a: 1..100 → p05 (interpolated) = 5.95, p95 = 95.05
+    // group b: constant 7 → boundaries 7/7, nothing clips
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++ Seq.fill(10)(("b", 7.0)))
+      .toDF("g", "v")
+    val w = Stats.winsorize(df, "v", Seq("g"), 0.05, 0.95)
+    val a = w.filter($"g" === "a")
+    assert(a.agg(min($"v_w"), max($"v_w")).as[(Double, Double)].head() == ((5.95, 95.05)))
+    // 5 low values (1..5) below 5.95, 5 high (96..100) above 95.05
+    assert(a.filter($"__clipped" === -1).count() == 5)
+    assert(a.filter($"__clipped" === 1).count() == 5)
+    // interior values untouched
+    assert(a.filter($"__clipped" === 0 && $"v_w" =!= $"v").count() == 0)
+    val b = w.filter($"g" === "b")
+    assert(b.filter($"__clipped" =!= 0).count() == 0)
+    assert(b.select($"v_w").distinct().as[Double].collect().toSeq == Seq(7.0))
+  }
+
+  test("winsorize rejects bad bounds") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException](Stats.winsorize(df, "v", Nil))
+    intercept[IllegalArgumentException](Stats.winsorize(df, "v", Seq("g"), 0.9, 0.1))
+  }
+}
