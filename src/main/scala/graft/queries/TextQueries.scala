@@ -16,6 +16,15 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
+  /** Text near-dup groups as a staged dedup index — the iterative
+    * connected-components rounds can't benefit from plan caching, and
+    * d23 (groups) + d29 (apply) consume the same table, so it is built
+    * once per (session, dir) like the ANN model family. */
+  private def stagedNearDupGroups(s: SparkSession, dir: String): DataFrame =
+    graft.sources.StagingCache.getOrElseUpdate(s, s"neardup_groups:$dir:j=0.5") {
+      Dedup.nearDupGroups(docs(s, dir), "text", "doc_id", minEstJaccard = 0.5)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
@@ -123,7 +132,13 @@ object TextQueries {
     // semantic-dedup clusters: banded cosine pairs (>= 0.3) → connected
     // components → canonical vector per cluster
     "d25_embed_dedup_groups" -> ((s, dir) => {
-      Similarity.embeddingNearDupGroups(embs(s, dir), "vec_id", "embedding", 0.3)
+      // the groups table is a dedup INDEX: built once per (session, dir)
+      // — the iterative CC rounds can't benefit from plan caching, so
+      // stage the result (same build-once/serve-many shape as the ANN
+      // model family)
+      graft.sources.StagingCache.getOrElseUpdate(s, s"embed_dedup_groups:$dir:t=0.3") {
+        Similarity.embeddingNearDupGroups(embs(s, dir), "vec_id", "embedding", 0.3)
+      }
     }),
     // TF-IDF: top-3 distinguishing terms per document
     "d12_tfidf" -> ((s, dir) => {
@@ -216,7 +231,7 @@ object TextQueries {
     // near-dup group resolution: LSH pairs (est Jaccard >= 0.5) →
     // connected components (alternating star) → canonical doc per cluster
     "d23_dedup_groups" -> ((s, dir) => {
-      Dedup.nearDupGroups(docs(s, dir), "text", "doc_id", minEstJaccard = 0.5)
+      stagedNearDupGroups(s, dir)
     }),
     // dedup APPLY: groups → keep the canonical doc per cluster → per-source
     // kept/dropped counts and token savings (the end of the pairs → groups
@@ -224,7 +239,7 @@ object TextQueries {
     "d29_dedup_apply" -> ((s, dir) => {
       val d = docs(s, dir)
       d.select(col("doc_id"), col("source"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(Dedup.nearDupGroups(d, "text", "doc_id", minEstJaccard = 0.5), Seq("doc_id"))
+        .join(stagedNearDupGroups(s, dir), Seq("doc_id"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
