@@ -16,6 +16,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
+  /** BPE merges trained once per (session, dir) — the tokenizer model,
+    * shared by the merges table (d42) and the encoder (d43). */
+  private def trainedBpe(s: SparkSession, dir: String): Seq[graft.functions.Bpe.Merge] =
+    graft.sources.ModelCache.getOrElseUpdate(s, s"bpe:$dir:m=30") {
+      graft.functions.Bpe.train(docs(s, dir), "text", 30)
+    }
+
   /** Text near-dup groups as a staged dedup index — the iterative
     * connected-components rounds can't benefit from plan caching, and
     * d23 (groups) + d29 (apply) consume the same table, so it is built
@@ -363,6 +370,21 @@ object TextQueries {
         .select(
           col("id").as("doc_id"), col("predicted_source"), col("source"),
           col("confidence"), (col("predicted") === col("y")).as("agrees"))
+    }),
+    // BPE tokenizer TRAINING (Sennrich merges over the distinct-word
+    // frequency table; one collected argmax row per iteration). Trained
+    // model -> rows-only contract (iterative, not SQL-expressible; the
+    // kernel is locked by BpeSpec's paper example, like DtwSpec for DTW);
+    // trained once per (session, dir) via ModelCache
+    "d42_bpe_merges" -> ((s, dir) => {
+      graft.functions.Bpe.mergesTable(s, trainedBpe(s, dir))
+    }),
+    // per-doc token counts under the TRAINED subword vocab: distinct
+    // words encode once, lengths broadcast-join back to the stream —
+    // application cost scales with vocabulary, not corpus (rows-only,
+    // same trained-model contract as d42)
+    "d43_bpe_tokens" -> ((s, dir) => {
+      graft.functions.Bpe.tokenCounts(docs(s, dir), "text", "doc_id", trainedBpe(s, dir))
     }),
     // passage-level dedup APPLY (ccnet/RefinedWeb remove-duplicated-
     // paragraphs): corpus-wide first occurrence wins, docs reassembled
