@@ -47,6 +47,30 @@ object Stats {
       .select(col("s.*"))
   }
 
+  /** Per-group robust outlier flags via MAD (median absolute deviation):
+    * a value is an outlier when |x − median| > k·MAD. Robust where
+    * z-scores break (mean and stddev are themselves dragged by the
+    * outliers being hunted). Two small aggregates over the groups —
+    * median first, then the deviation median — each broadcast back;
+    * the data itself never shuffles. Adds `__med`, `__mad`, `__outlier`. */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(k > 0, s"k must be > 0, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed
+      .join(broadcast(mad), groupCols)
+      .withColumn("__outlier", abs(v - col("__med")) > lit(k) * col("__mad"))
+  }
+
   /** Per-group winsorization — the standard feature-prep clip: values
     * below the group's `lo` percentile (or above `hi`) are pulled to the
     * boundary. Adds `<valueCol>_w` (clipped value) plus `__plo`/`__phi`

@@ -463,6 +463,22 @@ object RelationalQueries {
           col("l_returnflag"), col("n"), col("n_clipped_lo"), col("n_clipped_hi"),
           col("p_lo"), col("p_hi"), round(col("mean_raw"), 6).as("clipped_mean"))
     }),
+    // robust outlier detection: |x − median| > 3·MAD per group — the
+    // medians come from two small broadcast aggregates, the data never
+    // shuffles; verified through per-group outlier counts + the robust
+    // center/scale
+    "q35_mad_outliers" -> ((s, dir) => {
+      graft.operators.Stats
+        .madOutliers(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice", Seq("l_returnflag"), k = 3.0)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("__outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(min(col("__med")), 6).as("med"),
+          round(min(col("__mad")), 6).as("mad"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -678,6 +694,21 @@ object RelationalQueries {
         |       round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
         |         AS clipped_mean
         |FROM w GROUP BY l_returnflag""".stripMargin,
+    "q35_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+        |  FROM lineitem GROUP BY l_returnflag
+        |), mad AS (
+        |  SELECT l.l_returnflag, quantile_cont(abs(l.l_extendedprice - med.m), 0.5) AS d
+        |  FROM lineitem l JOIN med USING (l_returnflag) GROUP BY l.l_returnflag
+        |)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN abs(l.l_extendedprice - med.m) > 3.0 * mad.d
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(MIN(med.m), 6) AS med,
+        |       round(MIN(mad.d), 6) AS mad
+        |FROM lineitem l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
     "q26_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,

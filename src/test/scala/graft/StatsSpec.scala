@@ -29,6 +29,17 @@ class StatsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(b.select($"v_w").distinct().as[Double].collect().toSeq == Seq(7.0))
   }
 
+  test("madOutliers flags robustly: one wild value does not move the scale") {
+    // 99 values in [1,99] plus one wild 1e6: median ~50.5, MAD ~25 —
+    // only the wild point exceeds 3*MAD. A z-score at 3 sigma would have
+    // sigma ~1e5 dragged by the outlier itself.
+    val df = ((1 to 99).map(i => ("a", i.toDouble)) :+ (("a", 1e6))).toDF("g", "v")
+    val out = Stats.madOutliers(df, "v", Seq("g"))
+    val flagged = out.filter($"__outlier").select($"v").as[Double].collect().toSeq
+    assert(flagged == Seq(1e6), s"flagged $flagged")
+    assert(out.filter($"__outlier" === false).count() == 99)
+  }
+
   test("winsorize rejects bad bounds") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException](Stats.winsorize(df, "v", Nil))
