@@ -166,6 +166,13 @@ object QualityClassifier {
     * MATRIX (numClasses × numBuckets doubles) broadcasts; the gradient
     * reduce is one partial-aggregated groupBy(bucket, k); nothing
     * driver-side exceeds the matrix. */
+  /** `tol` > 0 enables early stopping: training ends once the relative
+    * per-iteration loss improvement stays below `tol` for two
+    * consecutive iterations (deterministic — the loss sequence is a pure
+    * function of the data, so the stopping point is too). Iteration
+    * count IS the wall-clock here (each iteration is one fixed-overhead
+    * driver action over a small sampled table), so stopping at
+    * convergence instead of a fixed budget cuts training time directly. */
   def trainMulticlass(
       features: DataFrame,
       labels: DataFrame,
@@ -173,7 +180,8 @@ object QualityClassifier {
       numClasses: Int,
       iters: Int = 15,
       lr: Double = 50.0,
-      biasLr: Double = 0.5): MulticlassModel = {
+      biasLr: Double = 0.5,
+      tol: Double = 0.0): MulticlassModel = {
     val feats = features
       .join(labels.select(col("id"), col("y").cast("int").as("y")), Seq("id"))
       .cache()
@@ -181,8 +189,11 @@ object QualityClassifier {
     var w = Array.fill(numClasses)(Array.fill(numBuckets)(0.0))
     var b = Array.fill(numClasses)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var belowTol = 0
     try {
-      for (_ <- 1 to iters) {
+      var it = 0
+      while (it < iters && belowTol < 2) {
+        it += 1
         val errs = softmaxProbs(feats.select(col("id"), col("bucket"), col("x")), w, b)
           .join(feats.select(col("id"), col("y")).distinct(), Seq("id"))
           .select(
@@ -218,6 +229,11 @@ object QualityClassifier {
         w = Array.tabulate(numClasses)(k =>
           Array.tabulate(numBuckets)(bkt => w(k)(bkt) - lr * grads.getOrElse((k, bkt), 0.0)))
         b = Array.tabulate(numClasses)(k => b(k) - biasLr * gb.getOrElse(k, 0.0))
+        if (tol > 0 && losses.length >= 2) {
+          val prev = losses(losses.length - 2)
+          val rel = (prev - losses.last) / math.max(math.abs(prev), eps)
+          belowTol = if (rel < tol) belowTol + 1 else 0
+        }
       }
       MulticlassModel(w, b, losses.toSeq)
     } finally feats.unpersist(blocking = false)

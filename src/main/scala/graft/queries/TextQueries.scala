@@ -357,10 +357,14 @@ object TextQueries {
       val trainDocs = if (mod == 1L) d
         else d.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
       val model = graft.sources.ModelCache.getOrElseUpdate(
-        s, s"src_clf:$dir:D=1024:K=20:it=50:lr=4000:m=$mod") {
+        s, s"src_clf:$dir:D=1024:K=20:it=50:lr=4000:m=$mod:tol=1e-3") {
+        // iters=50 is the BUDGET; tol stops at convergence (2 consecutive
+        // relative loss improvements < 1e-3) — iteration count is the
+        // wall-clock of this overhead-bound loop
         graft.functions.QualityClassifier.trainMulticlass(
           graft.functions.QualityClassifier.hashedFeatures(trainDocs, "text", "doc_id", 1024),
-          labels(trainDocs), numBuckets = 1024, numClasses = 20, iters = 50, lr = 4000.0)
+          labels(trainDocs), numBuckets = 1024, numClasses = 20, iters = 50, lr = 4000.0,
+          tol = 1e-3)
       }
       graft.functions.QualityClassifier.scoreMulticlass(d, "text", "doc_id", model)
         .join(labels(d), Seq("id"))

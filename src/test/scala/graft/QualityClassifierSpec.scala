@@ -71,6 +71,27 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(acc >= 0.95, s"3-class accuracy $acc, losses ${m.lossHistory}")
   }
 
+  test("tol stops training at convergence; tol=0 runs the full budget") {
+    val docs2 = (0 until 20).map { i =>
+      (i.toLong, if (i % 2 == 0) s"alpha beta gamma $i" else s"delta epsilon zeta $i",
+        (i % 2).toLong)
+    }.toDF("doc_id", "text", "y")
+    val feats = QualityClassifier.hashedFeatures(docs2, "text", "doc_id", numBuckets = 32)
+    val labels = docs2.select($"doc_id".as("id"), $"y")
+    // an absurdly loose tolerance: any iteration counts as converged, so
+    // training stops after the minimum 2-consecutive window
+    val early = QualityClassifier.trainMulticlass(
+      feats, labels, numBuckets = 32, numClasses = 2, iters = 15, lr = 50.0, tol = 1e9)
+    assert(early.lossHistory.length < 15,
+      s"early stop never fired: ${early.lossHistory.length} iterations")
+    val full = QualityClassifier.trainMulticlass(
+      feats, labels, numBuckets = 32, numClasses = 2, iters = 15, lr = 50.0)
+    assert(full.lossHistory.length == 15, "tol=0 must run the full budget")
+    // the shared prefix of the two runs is identical (stopping changes
+    // where training ends, never what each iteration computes)
+    assert(full.lossHistory.take(early.lossHistory.length) == early.lossHistory)
+  }
+
   test("scoring an unseen doc uses only the broadcast weight table") {
     val unseen = Seq(
       (100L, "a fine day reading prose with the quick brown fox and the lazy dog"),
