@@ -193,6 +193,57 @@ object TextFunctions {
         round(col("n_occurrences").cast("double") / sum(col("n_occurrences")).over(all), 6))
   }
 
+  /** Token-distribution shift between two corpus slices — the
+    * data-mixture drift monitor: add-k-smoothed unigram distributions P
+    * (rows where `isACol`) and Q (the rest) over the union vocabulary,
+    * each token's KL contribution p·ln(p/q), and the corpus-level KL and
+    * total-variation totals attached to every row. Returns the
+    * `topN` tokens by contribution (desc, token asc) — the "what drifted"
+    * diagnostic a mixture dashboard shows.
+    *
+    * Shape: one exploded-token aggregate (partial-aggregated) into the
+    * vocabulary table; everything after runs over the VOCABULARY, and the
+    * corpus totals come from one tiny cross-joined aggregate. Float
+    * discipline: per-token contributions round to 9 decimals and total
+    * via exact decimal sums — bit-identical in DuckDB. */
+  def distributionShift(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      isACol: org.apache.spark.sql.Column,
+      addK: Double = 0.5,
+      topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(isACol.as("is_a"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val scored = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"), col("ca"), col("cb"),
+        ((col("ca") + lit(addK)) / (col("na") + lit(addK) * col("v"))).as("p"),
+        ((col("cb") + lit(addK)) / (col("nb") + lit(addK) * col("v"))).as("q"))
+      .select(
+        col("token"), col("ca"), col("cb"),
+        round(col("p") * log(col("p") / col("q")), 9).as("kl_term"),
+        round(abs(col("p") - col("q")) / 2, 9).as("tv_term"))
+    val overall = scored.agg(
+      round(sum(col("kl_term").cast("decimal(28,9)")).cast("double"), 6).as("kl_total"),
+      round(sum(col("tv_term").cast("decimal(28,9)")).cast("double"), 6).as("tv_total"))
+    scored
+      .orderBy(col("kl_term").desc, col("token").asc)
+      .limit(topN)
+      .crossJoin(broadcast(overall))
+      .select(
+        col("token"), col("ca"), col("cb"),
+        round(col("kl_term"), 6).as("kl_contrib"),
+        col("kl_total"), col("tv_total"))
+  }
+
   /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1 — public paper): per-document structural filters
     * complementing [[repetitionMetrics]]. Emits the raw metrics plus one

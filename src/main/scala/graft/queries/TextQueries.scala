@@ -375,6 +375,12 @@ object TextQueries {
           col("id").as("doc_id"), col("predicted_source"), col("source"),
           col("confidence"), (col("predicted") === col("y")).as("agrees"))
     }),
+    // data-mixture drift monitor: token-distribution shift of src0 vs
+    // the rest — per-token KL contributions (top 20) + corpus-level KL
+    // and total-variation totals on every row
+    "d44_dist_shift" -> ((s, dir) => {
+      TF.distributionShift(docs(s, dir), "text", col("source") === "src0")
+    }),
     // BPE tokenizer TRAINING (Sennrich merges over the distinct-word
     // frequency table; one collected argmax row per iteration). Trained
     // model -> rows-only contract (iterative, not SQL-expressible; the
@@ -1132,6 +1138,34 @@ object TextQueries {
          |       shuffle_ord,
          |       shuffle_ord % 8 AS shard
          |FROM h""".stripMargin,
+    "d44_dist_shift" ->
+      s"""WITH c AS (
+         |  SELECT tok AS token,
+         |         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM (SELECT source, UNNEST($toks) AS tok FROM documents)
+         |  GROUP BY tok
+         |), t AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         |         COUNT(*) AS v
+         |  FROM c
+         |), s AS (
+         |  SELECT c.token, c.ca, c.cb,
+         |         round(((c.ca + 0.5) / (t.na + 0.5 * t.v)) *
+         |               ln(((c.ca + 0.5) / (t.na + 0.5 * t.v)) /
+         |                  ((c.cb + 0.5) / (t.nb + 0.5 * t.v))), 9) AS kl_term,
+         |         round(abs((c.ca + 0.5) / (t.na + 0.5 * t.v) -
+         |                   (c.cb + 0.5) / (t.nb + 0.5 * t.v)) / 2, 9) AS tv_term
+         |  FROM c CROSS JOIN t
+         |), o AS (
+         |  SELECT round(CAST(SUM(CAST(kl_term AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_total,
+         |         round(CAST(SUM(CAST(tv_term AS DECIMAL(28,9))) AS DOUBLE), 6) AS tv_total
+         |  FROM s
+         |)
+         |SELECT s.token, s.ca, s.cb, round(s.kl_term, 6) AS kl_contrib,
+         |       o.kl_total, o.tv_total
+         |FROM s CROSS JOIN o
+         |ORDER BY s.kl_term DESC, s.token ASC LIMIT 20""".stripMargin,
     "d39_weighted_sample" ->
       s"""WITH h AS (
          |  SELECT source, doc_id, n_chars,
