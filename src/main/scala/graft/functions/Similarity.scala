@@ -109,6 +109,58 @@ object Similarity {
         col("corpus_id"), col("corpus_label"), col("cos_sim"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection: reduce vectors to
+    * `outDim` dimensions with a DETERMINISTIC ±1 matrix — entry s(i,j) is
+    * the parity of the portable hash of "salt:i:j" — so
+    * out[j] = Σᵢ vec[i]·s(i,j) / √outDim. No stored matrix, no randomness
+    * to ship: any executor (or DuckDB, for the oracle) regenerates the
+    * identical projection from the salt alone. The standard cheap
+    * front-end for ANN at high dim (distances preserved within 1±ε at
+    * outDim = O(ln n / ε²)).
+    *
+    * Execution shape: the sign matrix derives from the salt ONCE PER
+    * PARTITION (the model-from-seed setup step — deriving it per row
+    * would be outDim·inDim hashes per vector), and the per-row work is
+    * pure multiply-adds in a typed `mapPartitions` — no shuffle, no
+    * stored model table. Returns (`idCol`, proj: array<double>). */
+  def jlProjected(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      salt: String = "jl"): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim -> $outDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        // per-partition setup: the sign matrix from the salt (matches the
+        // SQL-side conv(substr(md5, 1, 15), 16, 10) % 2 parity exactly)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(i: Int, j: Int): Double = {
+          val hex = md.digest(s"$salt:$i:$j".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        }
+        val signs = Array.tabulate(outDim, inDim)((j, i) => sign(i, j))
+        val scale = math.sqrt(outDim.toDouble)
+        it.map { case (id, v) =>
+          val out = Array.tabulate(outDim) { j =>
+            val row = signs(j)
+            var s = 0.0
+            var i = 0
+            val n = math.min(inDim, v.length)
+            while (i < n) { s += v(i) * row(i); i += 1 }
+            s / scale
+          }
+          (id, out)
+        }
+      }
+      .toDF(idCol, "proj")
+  }
+
   /** Bit-sampling LSH bucket id: sign bits of the first `nBits` dimensions
     * packed into a long. Vectors in the same orthant bucket are cosine
     * candidates. */

@@ -119,6 +119,16 @@ object TextQueries {
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
+    // Johnson–Lindenstrauss sign projection 64 → 16 dims: deterministic
+    // ±1 matrix from the portable hash of the salt, derived once per
+    // partition, pure multiply-adds per row (no shuffle); exploded to
+    // (vec_id, dim, value) for oracle hashing
+    "d45_jl_project" -> ((s, dir) => {
+      Similarity.jlProjected(embs(s, dir), "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("value"), 6).as("value"))
+    }),
     // hard-negative mining (contrastive training): the 5 most-similar
     // WRONG-label vectors per query — exact over negatives (mismatch
     // filter before ranking); the ANN over-fetch path approximates this
@@ -614,6 +624,15 @@ object TextQueries {
         |  FROM scored
         |)
         |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim FROM ranked WHERE rank <= 5""".stripMargin,
+    "d45_jl_project" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |d AS (SELECT UNNEST(generate_series(0, 15)) AS dim)
+         |SELECT v.vec_id, d.dim,
+         |       round(list_sum(list_transform(generate_series(0, 63), i ->
+         |               v.vec[i + 1] *
+         |               (CASE WHEN ${phash("'jl:' || CAST(i AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR)")} % 2 = 0
+         |                     THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6) AS value
+         |FROM v CROSS JOIN d""".stripMargin,
     "d41_hard_negatives" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
         |scored AS (

@@ -176,6 +176,26 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(feats(1L).feature.sum - 1.0) < 1e-9) // histogram normalized
   }
 
+  test("JL projection approximately preserves pairwise squared distances") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter($"vec_id" < 30)
+    val orig = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    val proj = graft.functions.Similarity
+      .jlProjected(e, "vec_id", "embedding", 64, 16)
+      .as[(Long, Array[Double])].collect().toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- orig.keys.toSeq.sorted; j <- orig.keys.toSeq.sorted if i < j
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    // E[ratio] = 1 by the JL lemma; at outDim=16 per-pair std ~ sqrt(2/16)
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.2, s"mean distance ratio $mean")
+    val inBand = ratios.count(r => r > 0.3 && r < 1.9).toDouble / ratios.size
+    assert(inBand > 0.8, s"only ${inBand * 100}%% of pairs within the JL band")
+  }
+
   test("multimodal: frame sampling slices, samples, and checksums bytes") {
     // 10-byte payload, 4 frames -> chunk=3: [abc][def][ghi][j]; every 2nd
     // frame keeps idx 0 and 2
