@@ -126,6 +126,20 @@ object Bpe {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Rebuild the merge list from a stored merges table (the inverse of
+    * [[mergesTable]]) — pairs with
+    * [[graft.sources.ModelStore]] for versioned tokenizer models:
+    * `fromTable(ModelStore.load(spark, root, Some(v)))` is "tokenize with
+    * vocabulary VERSION AS OF v". */
+  def fromTable(df: DataFrame): Seq[Merge] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank)
+      .toSeq
+  }
+
   /** Per-doc BPE token counts under a trained merge list: the corpus's
     * DISTINCT words encode once (typed map over the vocab table), then
     * the per-word subword lengths broadcast-join back to the exploded

@@ -52,6 +52,22 @@ class BpeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Bpe.encodeWord("newest", merges).length == 4)
   }
 
+  test("merge list round-trips through the versioned ModelStore") {
+    val root = java.nio.file.Files.createTempDirectory("bpe_store").toString + "/m"
+    val m5 = Bpe.train(corpus, "text", 5)
+    val m3 = m5.take(3)
+    val v1 = graft.sources.ModelStore.save(Bpe.mergesTable(spark, m3), root)
+    val v2 = graft.sources.ModelStore.save(Bpe.mergesTable(spark, m5), root)
+    // current = v2 (full model); VERSION AS OF v1 = the 3-merge model
+    assert(Bpe.fromTable(graft.sources.ModelStore.load(spark, root)) == m5)
+    assert(Bpe.fromTable(graft.sources.ModelStore.load(spark, root, Some(v1))) == m3)
+    assert(v2 > v1)
+    // tokenization under the old vocabulary differs exactly as expected
+    val oldToks = Bpe.encodeWord("lowest",
+      Bpe.fromTable(graft.sources.ModelStore.load(spark, root, Some(v1))))
+    assert(oldToks == Vector("l", "o", "w", "est" + Bpe.EndOfWord))
+  }
+
   test("determinism: retraining yields the identical merge list") {
     val a = Bpe.train(corpus.repartition(7), "text", 5)
     val b = Bpe.train(corpus, "text", 5)
