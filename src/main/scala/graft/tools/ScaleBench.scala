@@ -248,6 +248,52 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
+    * `nParts` date partitions applied to an `nRows`-row table — measures
+    * the touched-partitions-only rewrite against the full-table rewrite
+    * a naive MERGE pays. Usage:
+    * runMain graft.tools.ScaleBench upsert [nRows] [nParts] [kParts] */
+  def upsertMain(spark: SparkSession, nRows: Long, nParts: Int, kParts: Int): Unit = {
+    import graft.sources.Upsert
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val base = spark.range(nRows).select(
+      col("id"),
+      concat(lit("d"), lpad((col("id") % nParts).cast("string"), 4, "0")).as("day"),
+      (col("id") % 1000).cast("double").as("amount"))
+    base.write.partitionBy("day").parquet(s"$dir/t")
+    val (files0, bytes0) = graft.sources.Compaction.stats(spark, s"$dir/t")
+    // batch: update every 10th row of the first kParts partitions + a few inserts
+    val updates = spark.range(nRows).select(
+      col("id"),
+      concat(lit("d"), lpad((col("id") % nParts).cast("string"), 4, "0")).as("day"),
+      (col("id") % 1000).cast("double").as("amount"))
+      .filter(col("id") % nParts < kParts && col("id") % 10 === 0)
+      .withColumn("amount", col("amount") + 1.5)
+      .unionByName(spark.range(5).select(
+        (col("id") + nRows).as("id"), lit("d9999").as("day"), lit(0.0).as("amount")))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((touched, written), cowSec) = time {
+      Upsert.copyOnWrite(spark, s"$dir/t", updates, Seq("id"), "day")
+    }
+    // control: the naive full-table MERGE rewrite
+    val (_, fullSec) = time {
+      val merged = Upsert.merge(
+        spark.read.parquet(s"$dir/t").select(col("id"), col("day").cast("string").as("day"),
+          col("amount")),
+        updates, Seq("id")).drop("op").localCheckpoint(true)
+      merged.write.mode("overwrite").partitionBy("day").parquet(s"$dir/full")
+    }
+    println(
+      s"""{"workload":{"rows":$nRows,"partitions":$nParts,"touched_partitions":$touched,
+         |"base_files":$files0,"base_mb":${bytes0 / 1024 / 1024}},
+         |"copy_on_write":{"sec":$cowSec,"rows_written":$written},
+         |"full_rewrite_control":{"sec":$fullSec},
+         |"speedup":${(fullSec / cowSec * 10).round / 10.0}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   /** Bigram-LM scoring stress: train the add-k model on `nDocs`
     * synthetic 40-token docs and perplexity-score the same corpus —
     * timed as (counts build) + (model + scoring), the split a production
@@ -648,6 +694,22 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       incrMain(spark, nCorpus, nBatch)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("upsert")) {
+      val nRows = if (args.length > 1) args(1).toLong else 20000000L
+      val nParts = if (args.length > 2) args(2).toInt else 200
+      val kParts = if (args.length > 3) args(3).toInt else 3
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      upsertMain(spark, nRows, nParts, kParts)
       spark.stop()
       return
     }
