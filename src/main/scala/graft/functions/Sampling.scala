@@ -135,6 +135,36 @@ object Sampling {
   def esKey(idCol: Column, weightCol: Column): Column =
     -log(uniform(idCol, "es")) / weightCol.cast("double")
 
+  /** Token-BUDGETED weighted sampling: rows are drawn per stratum in
+    * A-ES key order (weight-proportional, deterministic) until the
+    * stratum's cumulative token count reaches `tokenBudget` — the
+    * materialization step of a data-mixture plan ([[mixtureRates]]
+    * computes rates; this cuts the actual training slice to a token
+    * budget). The first row that crosses the budget is still included,
+    * so every non-empty stratum yields at least one document. One
+    * shuffle keyed by stratum; the running sum is a window over the
+    * stratum, spill-capable. */
+  def weightedSampleByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      tokenCountCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", esKey(col(idCol), col(weightCol)))
+      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      // strictly-before tokens < budget ⇒ keep (boundary doc included)
+      .filter(col("__cum") - col(tokenCountCol) < tokenBudget)
+      .drop("__cum")
+  }
+
   /** Data-mixing rates: given per-row token counts, a stratum column
     * (e.g. source), target mixture weights, and a total token budget,
     * compute each stratum's deterministic sampling rate

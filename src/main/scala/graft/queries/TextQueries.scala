@@ -439,6 +439,27 @@ object TextQueries {
           col("source"), col("doc_id"), col("n_chars"),
           round(col("es_key"), 6).as("es_key"))
     }),
+    // token-BUDGETED weighted sample: per source, docs drawn ∝ n_chars in
+    // A-ES order until 500 tokens accumulate (boundary doc included) —
+    // the materialization step of the d18 mixture plan
+    "d47_token_budget_sample" -> ((s, dir) => {
+      graft.functions.Sampling
+        .weightedSampleByTokenBudget(
+          docs(s, dir).withColumn("n_tokens", TF.tokenCount(col("text")).cast("long")),
+          "doc_id", "source", "n_chars", "n_tokens", tokenBudget = 500L)
+        .select(
+          col("source"), col("doc_id"), col("n_tokens"),
+          round(col("es_key"), 6).as("es_key"))
+    }),
+    // held-out LM scoring: the model trains on the even half of the
+    // corpus and scores EVERY doc (the train/serve split of d40's
+    // pipeline); bigrams unseen in training drop at the model join
+    "d46_lm_heldout" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.NgramLm.bigramScores(
+        d, "text", "doc_id", vocabSize = 64,
+        trainDocs = Some(d.filter(col("doc_id") % 2 === 0)))
+    }),
     // bigram LM perplexity scoring (CCNet-shape quality filter): add-k
     // smoothed bigram model trained on the corpus, each doc scored by mean
     // log-prob; one token-stream shuffle, broadcast model join
@@ -1197,6 +1218,76 @@ object TextQueries {
          |  FROM h)
          |SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key
          |FROM r WHERE rn <= 25""".stripMargin,
+    "d47_token_budget_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |         -ln((${phash("'es:' || CAST(doc_id AS VARCHAR)")}::DOUBLE + 0.5)
+         |             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM documents WHERE n_chars > 0
+         |), r AS (
+         |  SELECT source, doc_id, n_tokens, es_key,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY es_key, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h)
+         |SELECT source, doc_id, n_tokens, round(es_key, 6) AS es_key
+         |FROM r WHERE cum - n_tokens < 500""".stripMargin,
+    "d46_lm_heldout" ->
+      s"""WITH toksed_tr AS (
+         |  SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE len($toks) >= 2 AND doc_id % 2 = 0
+         |), toksed_all AS (
+         |  SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2
+         |), uni AS (
+         |  SELECT doc_id, UNNEST(toks) AS tok FROM toksed_tr
+         |), vocab AS (
+         |  SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok)
+         |  ORDER BY n DESC, tok ASC LIMIT 64
+         |), mstream AS (
+         |  SELECT u.doc_id, CASE WHEN v.tok IS NULL THEN '<unk>' ELSE u.tok END AS w
+         |  FROM uni u LEFT JOIN vocab v ON u.tok = v.tok
+         |), vsz AS (
+         |  SELECT COUNT(DISTINCT w) AS v FROM mstream
+         |), ex_tr AS (
+         |  SELECT doc_id,
+         |         UNNEST(toks[1:len(toks)-1]) AS t1,
+         |         UNNEST(toks[2:len(toks)]) AS t2
+         |  FROM toksed_tr
+         |), big_tr AS (
+         |  SELECT e.doc_id,
+         |         CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE e.t1 END AS w1,
+         |         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE e.t2 END AS w2
+         |  FROM ex_tr e LEFT JOIN vocab v1 ON e.t1 = v1.tok
+         |               LEFT JOIN vocab v2 ON e.t2 = v2.tok
+         |), c1 AS (
+         |  SELECT w1, COUNT(*) AS c1 FROM big_tr GROUP BY w1
+         |), c12 AS (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM big_tr GROUP BY w1, w2
+         |), model AS (
+         |  SELECT c12.w1, c12.w2,
+         |         round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vsz.v)), 6) AS lp
+         |  FROM c12 JOIN c1 USING (w1) CROSS JOIN vsz
+         |), ex_all AS (
+         |  SELECT doc_id,
+         |         UNNEST(toks[1:len(toks)-1]) AS t1,
+         |         UNNEST(toks[2:len(toks)]) AS t2
+         |  FROM toksed_all
+         |), big_all AS (
+         |  SELECT e.doc_id,
+         |         CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE e.t1 END AS w1,
+         |         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE e.t2 END AS w2
+         |  FROM ex_all e LEFT JOIN vocab v1 ON e.t1 = v1.tok
+         |                LEFT JOIN vocab v2 ON e.t2 = v2.tok
+         |), bigc AS (
+         |  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM big_all GROUP BY doc_id, w1, w2
+         |), agg AS (
+         |  SELECT b.doc_id, CAST(SUM(b.cnt) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(b.cnt * CAST(m.lp AS DECIMAL(28,6))) AS DOUBLE)
+         |           / CAST(SUM(b.cnt) AS DOUBLE) AS avg_lp_raw
+         |  FROM bigc b JOIN model m USING (w1, w2) GROUP BY b.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, round(avg_lp_raw, 6) AS avg_logprob,
+         |       round(exp(-round(avg_lp_raw, 6)), 6) AS ppl
+         |FROM agg""".stripMargin,
     "d40_ngram_lm" ->
       s"""WITH toksed AS (
          |  SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) >= 2

@@ -93,6 +93,24 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(s.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("weightedSampleByTokenBudget stops at the budget, boundary doc included") {
+    val d = docs.withColumn("w", lit(1.0)).withColumn("nt", lit(30L))
+    val s = Sampling.weightedSampleByTokenBudget(d, "doc_id", "lang", "w", "nt", 100L)
+    // 30-token docs against a 100-token budget: cum 30/60/90/120 — the
+    // 4th doc crosses the boundary and is the last one kept
+    val counts = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 4L, "de" -> 4L), s"got $counts")
+    // deterministic under repartition
+    val again = Sampling.weightedSampleByTokenBudget(
+      d.repartition(9), "doc_id", "lang", "w", "nt", 100L)
+    assert(s.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // zero budget still yields the first doc per stratum (cum - nt < 0 is
+    // false for every row... boundary: first row cum-nt = 0 < 0 false) —
+    // so zero budget yields nothing
+    assert(Sampling.weightedSampleByTokenBudget(d, "doc_id", "lang", "w", "nt", 0L)
+      .count() == 0)
+  }
+
   test("mixtureRates: rate = min(1, weight*budget/tokens), zero for unlisted strata") {
     val rows = Seq(
       ("a", 100L), ("a", 100L), // a: 200 tokens
