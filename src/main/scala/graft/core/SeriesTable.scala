@@ -127,4 +127,48 @@ object SeriesTable {
         joined.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
     }
   }
+
+  /** Resample to the dense daily grid with LINEAR interpolation of the
+    * gaps: each missing day gets prev + (next − prev) · elapsed/span from
+    * its nearest observed neighbors. Returns (key, period, value,
+    * interpolated) — the flag marks filled rows.
+    *
+    * Neighbor lookup is two `last/first(_, ignoreNulls)` running windows
+    * over (period, value) structs — no self-join, no per-gap scan; the
+    * whole operator is the grid aggregate plus ONE window sort per key
+    * (both window frames share the partitionBy(key).orderBy(period)
+    * sort). Grid endpoints are observed by construction (min/max of the
+    * key's own periods), so every gap is interior and both neighbors
+    * exist. The reference has no interpolation (gaps silently misalign
+    * its positional lag slicing — SURVEY.md §7.4). */
+  def interpolate(series: DataFrame): DataFrame = {
+    val grid = series
+      .groupBy(col("key"))
+      .agg(min(col("period")).as("p0"), max(col("period")).as("p1"))
+      .select(
+        col("key"),
+        explode(sequence(col("p0"), col("p1"), expr("interval 1 day"))).as("period"))
+      .select(col("key"), col("period").cast(DateType).as("period"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("period"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val obs = when(col("value").isNotNull, struct(col("period"), col("value")))
+    grid
+      .join(series, Seq("key", "period"), "left")
+      .withColumn("prev", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("next", first(obs, ignoreNulls = true).over(wNext))
+      .select(
+        col("key"),
+        col("period"),
+        when(col("value").isNotNull, col("value"))
+          .otherwise(
+            col("prev.value") +
+              (col("next.value") - col("prev.value")) *
+              datediff(col("period"), col("prev.period")).cast(DoubleType) /
+              datediff(col("next.period"), col("prev.period")).cast(DoubleType))
+          .as("value"),
+        col("value").isNull.as("interpolated"))
+  }
 }

@@ -241,6 +241,39 @@ object MappingQueries {
         date_format(col("period"), "yyyy-MM-dd").as("period"),
         round(col("value"), 6).as("value"))
     }),
+    // W3 extension: STL-lite decomposition (centered-MA trend + weekday
+    // seasonal + residual) over the zero-filled daily series
+    "m19_seasonal" -> ((s, dir) => {
+      val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
+      Decompose.seasonal(dense).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("residual"), 6).as("residual"))
+    }),
+    // gap fill by LINEAR interpolation between nearest observed neighbors
+    // (no self-join: two ignoreNulls running windows over one sort)
+    "m20_interp" -> ((s, dir) => {
+      SeriesTable.interpolate(Tables.engagementSeries(s, dir)).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        col("interpolated"))
+    }),
+    // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
+    "m21_changepoint" -> ((s, dir) => {
+      val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
+      Decompose.meanShift(dense).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        round(col("recent_mean"), 6).as("recent_mean"),
+        round(col("prior_mean"), 6).as("prior_mean"),
+        round(col("shift_z"), 6).as("shift_z"),
+        col("is_shift"))
+    }),
     // production pipeline: train recommendations, segment by stored model,
     // reuse stored lags / derive the DTW segment from the training
     // summaries (kernel runs ONCE) / default-lag fallback (rows-only)
@@ -379,6 +412,77 @@ object MappingQueries {
          |SELECT g.key, CAST(g.period AS VARCHAR) AS period,
          |       round(COALESCE(t1.v1, 0.0), 6) AS value
          |FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period""".stripMargin,
+    "m19_seasonal" ->
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |), dense AS (
+         |  SELECT g.key, g.period, COALESCE(t1.v1, 0.0) AS value
+         |  FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period
+         |), dec AS (
+         |  SELECT key, period, value,
+         |         CASE WHEN COUNT(*) OVER w7 = 7 THEN avg(value) OVER w7 END AS trend,
+         |         date_part('isodow', period) - 1 AS dow
+         |  FROM dense
+         |  WINDOW w7 AS (PARTITION BY key ORDER BY period ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), seas AS (
+         |  SELECT key, period, value, trend,
+         |         avg(value - trend) OVER (PARTITION BY key, dow) AS seasonal
+         |  FROM dec
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(value, 6) AS value,
+         |       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+         |       round(value - trend - seasonal, 6) AS residual
+         |FROM seas""".stripMargin,
+    "m20_interp" ->
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |), j AS (
+         |  SELECT g.key, g.period, t1.v1 AS value
+         |  FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period
+         |), f AS (
+         |  SELECT key, period, value,
+         |    last_value(CASE WHEN value IS NOT NULL THEN period END IGNORE NULLS) OVER wp AS pp,
+         |    last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS) OVER wp AS pv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN period END IGNORE NULLS) OVER wn AS np,
+         |    first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS) OVER wn AS nv
+         |  FROM j
+         |  WINDOW wp AS (PARTITION BY key ORDER BY period ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY key ORDER BY period ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period,
+         |       round(CASE WHEN value IS NOT NULL THEN value
+         |             ELSE pv + (nv - pv) * (date_diff('day', pp, period))::DOUBLE
+         |                                  / (date_diff('day', pp, np))::DOUBLE END, 6) AS value,
+         |       (value IS NULL) AS interpolated
+         |FROM f""".stripMargin,
+    "m21_changepoint" ->
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |), dense AS (
+         |  SELECT g.key, g.period, COALESCE(t1.v1, 0.0) AS value
+         |  FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period
+         |), ms AS (
+         |  SELECT key, period, value,
+         |         avg(value) OVER wr AS recent_mean,
+         |         avg(value) OVER wp AS prior_mean,
+         |         var_samp(value) OVER wr AS recent_var,
+         |         var_samp(value) OVER wp AS prior_var,
+         |         COUNT(*) OVER wa AS n_hist
+         |  FROM dense
+         |  WINDOW wr AS (PARTITION BY key ORDER BY period ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |         wp AS (PARTITION BY key ORDER BY period ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING),
+         |         wa AS (PARTITION BY key ORDER BY period ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |), sz AS (
+         |  SELECT *, sqrt((recent_var + prior_var) / 7) AS se FROM ms WHERE n_hist = 14
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(value, 6) AS value,
+         |       round(recent_mean, 6) AS recent_mean, round(prior_mean, 6) AS prior_mean,
+         |       round(CASE WHEN se > 0 THEN (recent_mean - prior_mean) / se END, 6) AS shift_z,
+         |       COALESCE(abs(CASE WHEN se > 0 THEN (recent_mean - prior_mean) / se END) > 3.0, FALSE) AS is_shift
+         |FROM sz""".stripMargin,
     "m17_sla" ->
       s"""$seriesCte, ms AS (
          |  SELECT COUNT(DISTINCT key) AS mapped_keys, COUNT(*) AS total_mappings FROM mapping
