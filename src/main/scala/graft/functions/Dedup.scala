@@ -117,7 +117,20 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val raw = minhashSignatures(df, textCol, idCol, shingleSize, numHashes)
     val sigs = if (cacheSigs) raw.cache() else raw
-    val banded = sigs.select(
+    val banded = bandBuckets(sigs, numBands, rowsPerBand)
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    (sigs, pairs)
+  }
+
+  /** Band a signature table (id, sig) into LSH buckets: one row per
+    * (id, band) with the band's portable hash — the equi-join key for all
+    * candidate generation. */
+  private def bandBuckets(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
       col("id"),
       explode(
         transform(
@@ -130,12 +143,52 @@ object Dedup {
                   array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))
                 .as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+  /** FUZZY train-vs-eval contamination ([[contaminationReport]] is the
+    * exact-n-gram form): MinHash-band the two corpora separately, take
+    * candidate (train, eval) pairs from shared (band, bucket) keys, score
+    * ONLY the candidates with exact shingle-set Jaccard, and report per
+    * train doc how many eval docs it near-duplicates and how closely.
+    * Catches paraphrased/partially-edited benchmark leakage that exact
+    * n-gram overlap underweights.
+    *
+    * Shape at scale: the eval side (benchmark suites — MBs against a
+    * 100 TB corpus) is BROADCAST twice (banded keys, then shingle sets);
+    * the train side pays one signature aggregate and never joins against
+    * itself — candidate count scales with true cross-corpus overlap. */
+  def fuzzyContamination(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    def banded(df: DataFrame) = bandBuckets(
+      minhashSignatures(df, textCol, idCol, shingleSize, numHashes), numBands, rowsPerBand)
+    val candidates = banded(train)
+      .join(broadcast(banded(evalSet).withColumnRenamed("id", "eval_id")), Seq("band", "bucket"))
+      .select(col("id").as("train_id"), col("eval_id"))
       .distinct()
-    (sigs, pairs)
+    val trainSh = train.select(
+      col(idCol).as("train_id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh_t"))
+    val evalSh = evalSet.select(
+      col(idCol).as("eval_id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh_e"))
+    candidates
+      .join(trainSh, Seq("train_id"))
+      .join(broadcast(evalSh), Seq("eval_id"))
+      .select(
+        col("train_id"),
+        col("eval_id"),
+        (size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_e")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("train_id"))
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"))
   }
 
   /** Exact n-gram Jaccard over LSH-BAND candidate pairs: pair generation

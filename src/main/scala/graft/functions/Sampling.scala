@@ -130,6 +130,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group QUALITY cap (the CommonCrawl per-domain cap): rank every
+    * row inside its group by (quality desc, id asc — deterministic) and
+    * keep the best `cap`. Unlike the sampling ops above this is a
+    * policy filter, not a draw: the same rows survive on every run.
+    *
+    * One shuffle keyed by the group column; row_number is rank-limited
+    * by WindowGroupLimit (partial limits before the exchange), so a hot
+    * domain never materializes its full membership on one reducer. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      qualityCol: String,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= cap)
+  }
+
   /** The A-ES key `-ln(u)/w` (exponential with rate `w`): smallest-k by
     * this key = weight-proportional sample without replacement. */
   def esKey(idCol: Column, weightCol: Column): Column =

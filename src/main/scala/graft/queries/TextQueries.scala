@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, Sampling, Similarity, TextFunctions => TF}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -231,6 +231,31 @@ object TextQueries {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0),
         "text", "doc_id", minContamination = 0.03)
+    }),
+    // per-source quality cap: keep the best `cap` docs per source by
+    // (quality desc, doc_id) — the CommonCrawl per-domain cap as a
+    // deterministic policy filter
+    "d49_domain_cap" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        col("doc_id"),
+        col("source"),
+        TF.qualityScore(col("text")).as("quality_score"))
+      Sampling.capPerGroup(scored, "source", "quality_score", "doc_id", cap = 10)
+    }),
+    // FUZZY decontamination: MinHash-banded train-vs-eval candidates,
+    // exact Jaccard on candidates only (the paraphrase-tolerant d19)
+    "d48_fuzzy_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // mod-10 split (vs d19's mod-97): a tenth of the corpus as the
+      // held-out side leaves real cross-split near-dups to find
+      Dedup.fuzzyContamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .select(
+          col("train_id"),
+          col("n_eval_matches"),
+          round(col("max_jaccard"), 6).as("max_jaccard"))
     }),
     // Gopher-style repetition filters: top-bigram fraction + duplicate
     // 3-gram fraction per doc, with the combined flag
@@ -950,6 +975,47 @@ object TextQueries {
          |SELECT doc_id, n_grams, n_contaminated,
          |       round(n_contaminated::DOUBLE / n_grams, 6) AS contamination
          |FROM agg WHERE n_contaminated::DOUBLE >= n_grams * 0.03""".stripMargin,
+    "d49_domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    round(0.4 * least(1.0, len($toks)::DOUBLE / 100.0)
+         |        + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))
+         |        + 0.3 * least(1.0, (len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks)) * 10.0),
+         |      6) AS quality_score
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id ASC) AS group_rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, source, quality_score, CAST(group_rank AS INTEGER) AS group_rank
+         |FROM ranked WHERE group_rank <= 10""".stripMargin,
+    "d48_fuzzy_decontam" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), cand AS (
+         |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+         |  FROM banded t JOIN banded e ON t.band = e.band AND t.bucket = e.bucket
+         |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         |), scored AS (
+         |  SELECT c.train_id, c.eval_id,
+         |         len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |  FROM cand c JOIN sh a ON a.doc_id = c.train_id JOIN sh b ON b.doc_id = c.eval_id
+         |)
+         |SELECT train_id, COUNT(*) AS n_eval_matches, round(MAX(jaccard), 6) AS max_jaccard
+         |FROM scored WHERE jaccard >= 0.2 GROUP BY train_id""".stripMargin
+    },
     "d20_repetition" ->
       s"""WITH g2 AS (
          |  SELECT doc_id, UNNEST(list_transform(

@@ -124,4 +124,27 @@ class SamplingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m("b") == ((0.8, 40L)))  // 0.4*100/50
     assert(m("c") == ((0.0, 0L)))
   }
+
+  test("capPerGroup keeps the best N per group, deterministic ties by id") {
+    val rows = Seq(
+      // srcA: quality 0.9, 0.8, 0.8, 0.1 — cap 2 keeps 0.9 and the
+      // LOWER-id of the two 0.8s
+      (1L, "srcA", 0.8), (2L, "srcA", 0.9), (3L, "srcA", 0.8), (4L, "srcA", 0.1),
+      // srcB under the cap: all kept
+      (5L, "srcB", 0.5)
+    ).toDF("doc_id", "source", "q")
+    val kept = Sampling.capPerGroup(rows, "source", "q", "doc_id", cap = 2)
+      .select("doc_id", "group_rank").as[(Long, Int)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L, 5L))
+    assert(kept(2L) == 1 && kept(1L) == 2 && kept(5L) == 1)
+    // partitioning must not change the survivors
+    val again = Sampling.capPerGroup(rows.repartition(7), "source", "q", "doc_id", cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == Set(1L, 2L, 5L))
+    // rank-limit must push a partial limit below the exchange (a hot
+    // domain never ships its full membership to one reducer)
+    val plan = Sampling.capPerGroup(rows, "source", "q", "doc_id", cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }

@@ -352,6 +352,27 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("fuzzy contamination: near-dup of an eval doc flagged, unrelated not") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog every single morning"
+    val nearDup = "the quick brown fox jumps over the lazy dog every single evening"
+    val train = Seq(
+      (1L, nearDup),                                  // 1-word edit of eval doc
+      (2L, "completely different content about spark window aggregation plans")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(train, eval_, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("train_id") -> r).toMap
+    assert(out.keySet == Set(1L), s"expected only doc 1 flagged, got ${out.keySet}")
+    assert(out(1L).getAs[Long]("n_eval_matches") == 1L)
+    // 12-token docs, 10 distinct trigrams each; only the final trigram
+    // differs -> 9 shared of 11 union
+    assert(math.abs(out(1L).getAs[Double]("max_jaccard") - 9.0 / 11.0) < 1e-9)
+    // both eval-side tables must broadcast (bands + shingle sets)
+    val plan = Dedup.fuzzyContamination(train, eval_, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("quality score within [0,1] and favors diverse text") {
     val scores = docs.select($"doc_id", TF.qualityScore($"text").as("q")).as[(Long, Double)].collect().toMap
     scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
