@@ -168,29 +168,36 @@ object TextFunctions {
   /** Corpus vocabulary statistics (the Zipf table): per token, total
     * occurrences, document frequency, frequency rank (count desc, token
     * asc tie-break), and corpus share. One explode + one partial-
-    * aggregated groupBy; the rank/share windows run over the VOCABULARY
-    * (log-scale of the corpus — fine on one reducer even when the corpus
-    * is not), never over the token stream. */
+    * aggregated groupBy; the rank runs over the VOCABULARY (log-scale of
+    * the corpus), and even that is numbered DISTRIBUTED via
+    * [[graft.operators.GlobalOrder]] — a web-scale corpus has hundreds of
+    * millions of distinct tokens, too many for the naive
+    * single-partition `row_number() OVER (ORDER BY ...)`. The corpus
+    * total joins back as a broadcast 1-row aggregate, not an
+    * unpartitioned window. */
   def vocabStats(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String,
       minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy().orderBy(col("n_occurrences").desc, col("token").asc)
-    df
+    val counted = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("id")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
-      .withColumn("freq_rank", row_number().over(rankW).cast("long"))
+    val total = counted.agg(sum(col("n_occurrences")).as("__total"))
+    graft.operators.GlobalOrder
+      .withRowNumber(
+        counted,
+        Seq(col("n_occurrences").desc, col("token").asc),
+        outCol = "freq_rank")
+      .join(broadcast(total))
       .withColumn(
         "corpus_share",
-        round(col("n_occurrences").cast("double") / sum(col("n_occurrences")).over(all), 6))
+        round(col("n_occurrences").cast("double") / col("__total"), 6))
+      .drop("__total")
   }
 
   /** Token-distribution shift between two corpus slices — the
