@@ -144,6 +144,68 @@ object Dedup {
                 .as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin family): every pair with shingle Jaccard >= `minJaccard`,
+    * with NO false negatives — the deterministic complement to the
+    * probabilistic [[minhashLshPairs]] path (LSH misses pairs a band
+    * never catches; audits and dedup-correctness gates want the exact
+    * set).
+    *
+    * Candidate generation: order the token universe rarest-first
+    * (document frequency asc — ranked DISTRIBUTED via GlobalOrder, the
+    * token table is vocabulary-sized), re-sort each doc's shingle set in
+    * that order, and emit only each doc's first s − ceil(t·s) + 1 tokens
+    * as join keys: two sets with Jaccard >= t MUST share a prefix token
+    * (if all prefix tokens differed, the overlap cannot reach the
+    * threshold), so joining prefixes loses nothing. Pair pruning adds
+    * the length filter t·|a| <= |b| (a shorter set can never clear t
+    * against a much longer one). Skew-safe by construction: prefixes
+    * hold each doc's RAREST tokens, so hot tokens never become join
+    * keys. Exact Jaccard verifies candidates, as in [[ngramJaccardViaLsh]].
+    */
+  def setSimJoinExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.4): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1], got $minJaccard")
+    val sets = df.select(
+      col(idCol).as("id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val toks = sets.select(col("id"), explode(col("sh")).as("g"))
+    val order = graft.operators.GlobalOrder.withRowNumber(
+      toks.groupBy(col("g")).agg(count(lit(1)).as("df")),
+      Seq(col("df").asc, col("g").asc),
+      outCol = "tok_rank")
+    val ranked = toks
+      .join(order.select(col("g"), col("tok_rank")), Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tok_rank"))).as("rtoks"), count(lit(1)).as("s"))
+    val prefix = ranked.select(
+      col("id"),
+      col("s"),
+      explode(slice(
+        col("rtoks"),
+        lit(1),
+        (col("s") - ceil(col("s") * minJaccard) + 1).cast("int"))).as("tok"))
+    val candidates = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.s") * minJaccard <= col("a.s") && col("a.s") * minJaccard <= col("b.s"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** FUZZY train-vs-eval contamination ([[contaminationReport]] is the
     * exact-n-gram form): MinHash-band the two corpora separately, take
     * candidate (train, eval) pairs from shared (band, bucket) keys, score

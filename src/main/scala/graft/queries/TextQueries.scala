@@ -232,6 +232,13 @@ object TextQueries {
         d.filter(col("doc_id") % 97 === 0),
         "text", "doc_id", minContamination = 0.03)
     }),
+    // EXACT similarity self-join (prefix filtering, no false negatives):
+    // the result is ALL pairs with jaccard >= 0.4, so the oracle is the
+    // brute-force all-pairs scan — hash equality proves losslessness
+    "d50_setsim_join" -> ((s, dir) => {
+      Dedup.setSimJoinExact(docs(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     // per-source quality cap: keep the best `cap` docs per source by
     // (quality desc, doc_id) — the CommonCrawl per-domain cap as a
     // deterministic policy filter
@@ -975,6 +982,14 @@ object TextQueries {
          |SELECT doc_id, n_grams, n_contaminated,
          |       round(n_contaminated::DOUBLE / n_grams, 6) AS contamination
          |FROM agg WHERE n_contaminated::DOUBLE >= n_grams * 0.03""".stripMargin,
+    "d50_setsim_join" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4""".stripMargin,
     "d49_domain_cap" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,

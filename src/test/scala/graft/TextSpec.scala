@@ -352,6 +352,47 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("setSimJoinExact is lossless vs brute-force all-pairs on random docs") {
+    // 60 random docs over a 30-word vocab with planted near-dups: the
+    // prefix-filtered join must return EXACTLY the brute-force result
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // 20 near-dups: copy a base doc and perturb one word
+    val dups = (1 to 20).map { i =>
+      val (srcId, text) = base(rnd.nextInt(base.size))
+      val words = text.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+      (1000L + i, words.mkString(" "))
+    }
+    val d = (base ++ dups).toDF("doc_id", "text")
+    val fast = Dedup.setSimJoinExact(d, "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = d.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.nonEmpty, "fixture must produce at least one qualifying pair")
+  }
+
+  test("setSimJoinExact: a corpus-wide hot token never becomes a join key") {
+    // every doc shares token 'the' (max df) but docs are otherwise
+    // disjoint — rarest-first prefixes exclude 'the', so the candidate
+    // join must stay empty instead of going quadratic on the hot key
+    val d = (1 to 50)
+      .map(i => (i.toLong, s"the alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.setSimJoinExact(d, "text", "doc_id", minJaccard = 0.4)
+    assert(out.count() == 0)
+  }
+
   test("fuzzy contamination: near-dup of an eval doc flagged, unrelated not") {
     val evalDoc = "the quick brown fox jumps over the lazy dog every single morning"
     val nearDup = "the quick brown fox jumps over the lazy dog every single evening"
