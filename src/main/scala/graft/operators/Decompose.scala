@@ -49,6 +49,50 @@ object Decompose {
         (col("detrended") - col("seasonal")).as("residual"))
   }
 
+  /** Outlier REPAIR: flag per-key MAD outliers (|v − median| > k·MAD)
+    * and replace each flagged value by linear interpolation between its
+    * nearest CLEAN neighbors (calendar-weighted); an edge outlier takes
+    * the one clean neighbor it has, and a key with no clean rows falls
+    * back to its median. Returns (key, period, value, is_outlier,
+    * repaired).
+    *
+    * The robust statistics are exact percentiles computed as WINDOW
+    * aggregates over partitionBy(key) — no med/mad join-back and no
+    * broadcast of a key-sized table (the [[Stats.madOutliers]] broadcast
+    * shape is for few-group use; per-entity groups at 100 TB need the
+    * window form, which reuses one hash exchange for both stats and the
+    * neighbor scan). */
+  def repairOutliers(series: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val wKey = Window.partitionBy(col("key"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("period"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    val v = col("value").cast("double")
+    val cleanObs = when(!col("is_outlier"), struct(col("period"), col("value")))
+    val interp = col("prev.value") +
+      (col("next.value") - col("prev.value")) *
+      datediff(col("period"), col("prev.period")).cast("double") /
+      datediff(col("next.period"), col("prev.period")).cast("double")
+    series
+      .withColumn("__med", percentile(v, lit(0.5)).over(wKey))
+      .withColumn("__mad", percentile(abs(v - col("__med")), lit(0.5)).over(wKey))
+      .withColumn("is_outlier", abs(v - col("__med")) > col("__mad") * k)
+      .withColumn("prev", last(cleanObs, ignoreNulls = true).over(wPrev))
+      .withColumn("next", first(cleanObs, ignoreNulls = true).over(wNext))
+      .select(
+        col("key"),
+        col("period"),
+        col("value"),
+        col("is_outlier"),
+        when(!col("is_outlier"), col("value"))
+          .when(col("prev").isNotNull && col("next").isNotNull, interp)
+          .when(col("prev").isNotNull, col("prev.value"))
+          .when(col("next").isNotNull, col("next.value"))
+          .otherwise(col("__med"))
+          .as("repaired"))
+  }
+
   /** Two-window mean-shift screen (Welch z): for each day with a full
     * 2·w-day history, recent = mean of the trailing `w` days, prior =
     * mean of the `w` days before those, and

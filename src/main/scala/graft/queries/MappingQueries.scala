@@ -262,6 +262,16 @@ object MappingQueries {
         round(col("value"), 6).as("value"),
         col("interpolated"))
     }),
+    // MAD outlier repair: flag per-key spikes, heal them by interpolating
+    // from clean neighbors (window percentiles — no med/mad join-back)
+    "m22_outlier_repair" -> ((s, dir) => {
+      Decompose.repairOutliers(Tables.engagementSeries(s, dir)).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        col("is_outlier"),
+        round(col("repaired"), 6).as("repaired"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -457,6 +467,36 @@ object MappingQueries {
          |                                  / (date_diff('day', pp, np))::DOUBLE END, 6) AS value,
          |       (value IS NULL) AS interpolated
          |FROM f""".stripMargin,
+    "m22_outlier_repair" ->
+      s"""$seriesCte, st AS (
+         |  SELECT key, period, v1 AS value,
+         |         quantile_cont(v1, 0.5) OVER (PARTITION BY key) AS med
+         |  FROM t1
+         |), st2 AS (
+         |  SELECT *, quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY key) AS mad
+         |  FROM st
+         |), fl AS (
+         |  SELECT key, period, value, med, abs(value - med) > 3.0 * mad AS is_outlier
+         |  FROM st2
+         |), nb AS (
+         |  SELECT key, period, value, med, is_outlier,
+         |    last_value(CASE WHEN NOT is_outlier THEN period END IGNORE NULLS) OVER wp AS pp,
+         |    last_value(CASE WHEN NOT is_outlier THEN value END IGNORE NULLS) OVER wp AS pv,
+         |    first_value(CASE WHEN NOT is_outlier THEN period END IGNORE NULLS) OVER wn AS np,
+         |    first_value(CASE WHEN NOT is_outlier THEN value END IGNORE NULLS) OVER wn AS nv
+         |  FROM fl
+         |  WINDOW wp AS (PARTITION BY key ORDER BY period ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |         wn AS (PARTITION BY key ORDER BY period ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(value, 6) AS value, is_outlier,
+         |       round(CASE WHEN NOT is_outlier THEN value
+         |                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |                    pv + (nv - pv) * (date_diff('day', pp, period))::DOUBLE
+         |                                   / (date_diff('day', pp, np))::DOUBLE
+         |                  WHEN pv IS NOT NULL THEN pv
+         |                  WHEN nv IS NOT NULL THEN nv
+         |                  ELSE med END, 6) AS repaired
+         |FROM nb""".stripMargin,
     "m21_changepoint" ->
       s"""$seriesCte, grid AS (
          |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period

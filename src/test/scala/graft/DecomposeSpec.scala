@@ -100,6 +100,43 @@ class DecomposeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(zStep.get > 30.0, s"Welch z should explode at the step, got $zStep")
   }
 
+  test("repairOutliers heals a spike by interpolating clean neighbors") {
+    // med=10, mad=0: only the spike deviates, so only it is flagged;
+    // its clean neighbors (both 10) interpolate it back to 10
+    val s = daily(Seq(
+      ("K1", 0, 10.0), ("K1", 1, 10.0), ("K1", 2, 10.0), ("K1", 3, 100.0),
+      ("K1", 4, 10.0), ("K1", 5, 10.0), ("K1", 6, 10.0)))
+    val out = Decompose.repairOutliers(s)
+      .select($"period".cast("string"), $"is_outlier", $"repaired")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("2024-01-04") == ((true, 10.0)))
+    assert(out.filter(_._1 != "2024-01-04").values.forall(v => !v._1 && v._2 == 10.0))
+  }
+
+  test("repairOutliers weights interpolation by calendar distance over gaps") {
+    // spike at day 2; clean neighbors at day 0 (0.0) and day 6 (60.0):
+    // repaired = 0 + 60 * 2/6 = 20
+    val s = daily(Seq(
+      ("K1", 0, 0.0), ("K1", 2, 500.0), ("K1", 6, 60.0),
+      // spread anchors: med=40, mad=20 -> only the 500 exceeds 3*mad
+      ("K1", 8, 10.0), ("K1", 9, 20.0), ("K1", 10, 40.0), ("K1", 11, 50.0)))
+    val out = Decompose.repairOutliers(s)
+      .select($"period".cast("string"), $"is_outlier", $"repaired")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("2024-01-03")._1, "spike must be flagged")
+    assert(math.abs(out("2024-01-03")._2 - 20.0) < 1e-9, s"got ${out("2024-01-03")._2}")
+  }
+
+  test("repairOutliers: edge outlier takes its one clean neighbor") {
+    val s = daily(Seq(
+      ("K1", 0, 900.0), ("K1", 1, 10.0), ("K1", 2, 10.0),
+      ("K1", 3, 10.0), ("K1", 4, 10.0)))
+    val out = Decompose.repairOutliers(s)
+      .select($"period".cast("string"), $"is_outlier", $"repaired")
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("2024-01-01") == ((true, 10.0)))
+  }
+
   test("meanShift yields null z (no flag) on zero-variance windows") {
     val s = daily((0 until 28).map(d => ("K1", d, 5.0)))
     val out = Decompose.meanShift(s).select($"shift_z", $"is_shift").collect()
