@@ -187,12 +187,14 @@ object TextFunctions {
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("id")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
-    val total = counted.agg(sum(col("n_occurrences")).as("__total"))
-    graft.operators.GlobalOrder
-      .withRowNumber(
-        counted,
-        Seq(col("n_occurrences").desc, col("token").asc),
-        outCol = "freq_rank")
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      counted,
+      Seq(col("n_occurrences").desc, col("token").asc),
+      outCol = "freq_rank")
+    // total from the RANKED side: it reads the cache GlobalOrder built,
+    // so the corpus is scanned once, not re-aggregated from parquet
+    val total = ranked.agg(sum(col("n_occurrences")).as("__total"))
+    ranked
       .join(broadcast(total))
       .withColumn(
         "corpus_share",

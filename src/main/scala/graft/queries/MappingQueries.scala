@@ -262,6 +262,28 @@ object MappingQueries {
         round(col("value"), 6).as("value"),
         col("interpolated"))
     }),
+    // rolling EXACT median (robust smoother): percentile as a frame
+    // window aggregate, trailing 7 rows per key
+    "m23_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("period")).rowsBetween(-6, 0)
+      Tables.engagementSeries(s, dir).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("roll_med"))
+    }),
+    // autocorrelation function: the lag-corr scan against the series
+    // ITSELF (v2 = v1) — same one-shuffle window kernel as m3
+    "m24_acf" -> ((s, dir) => {
+      val self = Tables.engagementSeries(s, dir)
+        .select(col("key"), col("period"), col("value").as("v1"), col("value").as("v2"))
+      LagCorrelation.lagCorrTable(self, cfg).select(
+        col("key"),
+        col("lag").cast("long").as("lag"),
+        round(col("correlation"), 6).as("acf"),
+        col("n_overlap"))
+    }),
     // MAD outlier repair: flag per-key spikes, heal them by interpolating
     // from clean neighbors (window percentiles — no med/mad join-back)
     "m22_outlier_repair" -> ((s, dir) => {
@@ -467,6 +489,22 @@ object MappingQueries {
          |                                  / (date_diff('day', pp, np))::DOUBLE END, 6) AS value,
          |       (value IS NULL) AS interpolated
          |FROM f""".stripMargin,
+    "m23_rolling_median" ->
+      s"""$seriesCte
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(v1, 6) AS value,
+         |       round(quantile_cont(v1, 0.5) OVER (
+         |         PARTITION BY key ORDER BY period ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med
+         |FROM t1""".stripMargin,
+    "m24_acf" ->
+      s"""$seriesCte, acorrs AS (
+         |  SELECT m.key, CAST(l.lag AS BIGINT) AS lag, corr(m.v1, r.v1) AS acf, COUNT(*) AS n_overlap
+         |  FROM t1 m
+         |  CROSS JOIN (SELECT UNNEST(range(0, 7)) AS lag) l
+         |  JOIN t1 r ON r.key = m.key AND r.period = m.period + CAST(l.lag AS INTEGER)
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |)
+         |SELECT key, lag, round(acf, 6) AS acf, n_overlap
+         |FROM acorrs WHERE acf IS NOT NULL AND NOT isnan(acf)""".stripMargin,
     "m22_outlier_repair" ->
       s"""$seriesCte, st AS (
          |  SELECT key, period, v1 AS value,

@@ -64,10 +64,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!p.contains("Exchange"), "per-row metrics must not shuffle: " + p)
   }
 
-  test("d28: vocab stats aggregate partially before the shuffle, one pruned scan") {
+  test("d28: vocab stats aggregate partially before the shuffle, pruned scans only") {
     val p = plan("d28_vocab_stats")
-    assert(p.split("Scan parquet").length - 1 == 1, p)
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the distributed rank caches the counted vocab; the cached plan's
+    // embedded parquet scan reprints per reference, so assert every
+    // occurrence is the PRUNED scan and the rank reads the cache
+    val scans = p.split("Scan parquet").length - 1
+    val pruned = p.split("ReadSchema: struct<doc_id:bigint,text:string>").length - 1
+    assert(scans == pruned, s"unpruned documents scan present ($scans vs $pruned):\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+    // the global rank must NOT be a single-partition window
+    assert(!p.contains("Window [row_number() windowspecdefinition(n_occurrences"), p)
     // token counts combine map-side: HashAggregate below the Exchange
     assert(p.contains("HashAggregate"), p)
   }
