@@ -151,18 +151,25 @@ object Dedup {
     * never catches; audits and dedup-correctness gates want the exact
     * set).
     *
-    * Candidate generation: order the token universe rarest-first
-    * (document frequency asc — ranked DISTRIBUTED via GlobalOrder, the
-    * token table is vocabulary-sized), re-sort each doc's shingle set in
-    * that order, and emit only each doc's first s − ceil(t·s) + 1 tokens
-    * as join keys: two sets with Jaccard >= t MUST share a prefix token
-    * (if all prefix tokens differed, the overlap cannot reach the
-    * threshold), so joining prefixes loses nothing. Pair pruning adds
-    * the length filter t·|a| <= |b| (a shorter set can never clear t
-    * against a much longer one). Skew-safe by construction: prefixes
-    * hold each doc's RAREST tokens, so hot tokens never become join
-    * keys. Exact Jaccard verifies candidates, as in [[ngramJaccardViaLsh]].
-    */
+    * Candidate generation: order the token universe rarest-first, re-sort
+    * each doc's shingle set in that order, and emit only each doc's first
+    * s − ceil(t·s) + 1 tokens as join keys: two sets with Jaccard >= t
+    * MUST share a prefix token (if all prefix tokens differed, the
+    * overlap cannot reach the threshold), so joining prefixes loses
+    * nothing. Pair pruning adds the length filter t·|a| <= |b| (a
+    * shorter set can never clear t against a much longer one). Skew-safe
+    * by construction: prefixes hold each doc's RAREST tokens, so hot
+    * tokens never become join keys. Exact Jaccard verifies candidates,
+    * as in [[ngramJaccardViaLsh]].
+    *
+    * The order is (document frequency asc, token asc) compared DIRECTLY
+    * as a struct sort key — the prefix theorem needs a consistent total
+    * order, not a materialized global RANK, so no global numbering, no
+    * driver action, no cached vocabulary table: one df aggregate and one
+    * join-back, all lazy. (Measured: an eager localCheckpoint of the
+    * prefix table to dodge the self-join's double compute was SLOWER
+    * than recomputing — block materialization cost more than the
+    * pipeline.) */
   def setSimJoinExact(
       df: DataFrame,
       textCol: String,
@@ -173,21 +180,21 @@ object Dedup {
     val sets = df.select(
       col(idCol).as("id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
     val toks = sets.select(col("id"), explode(col("sh")).as("g"))
-    val order = graft.operators.GlobalOrder.withRowNumber(
-      toks.groupBy(col("g")).agg(count(lit(1)).as("df")),
-      Seq(col("df").asc, col("g").asc),
-      outCol = "tok_rank")
+    val dfTab = toks.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ranked = toks
-      .join(order.select(col("g"), col("tok_rank")), Seq("g"))
+      .join(dfTab, Seq("g"))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("tok_rank"))).as("rtoks"), count(lit(1)).as("s"))
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("g")))).as("rtoks"),
+        count(lit(1)).as("s"))
     val prefix = ranked.select(
       col("id"),
       col("s"),
       explode(slice(
         col("rtoks"),
         lit(1),
-        (col("s") - ceil(col("s") * minJaccard) + 1).cast("int"))).as("tok"))
+        (col("s") - ceil(col("s") * minJaccard) + 1).cast("int"))).as("tokStruct"))
+      .select(col("id"), col("s"), col("tokStruct.g").as("tok"))
     val candidates = prefix.as("a")
       .join(
         prefix.as("b"),

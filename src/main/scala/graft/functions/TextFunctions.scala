@@ -135,12 +135,26 @@ object TextFunctions {
     array_distinct(allShingles(text, n))
 
   /** All word n-gram shingles in text order (NON-distinct) — repetition
-    * metrics need the multiplicities that [[shingles]] collapses. */
+    * metrics need the multiplicities that [[shingles]] collapses.
+    *
+    * Built by zipping the token array against its own tails (n − 1
+    * zip_with folds), NOT by slicing inside a transform lambda: a lambda
+    * body re-evaluates its outer expressions PER ELEMENT, so the
+    * `slice(tokens(text), i, n)` formulation re-ran the regex tokenizer
+    * once per shingle position — ~100× per document (the d40 bigram
+    * lesson, NOTES.md). zip_with evaluates each array argument once per
+    * ROW; concat null-propagates past the padded tail, and the final
+    * slice drops the incomplete positions. Shorter-than-n docs keep the
+    * historical one-shingle-of-everything behavior. */
   def allShingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val t = tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(t) - n, lit(0))),
-      i => array_join(slice(t, i + 1, lit(n)), " "))
+    val zipped = (2 to n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k), greatest(size(t) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(t) < n, array(array_join(t, " ")))
+      .otherwise(slice(zipped, lit(1), size(t) - (n - 1)))
   }
 
   /** Gopher-style per-document repetition metrics
