@@ -262,6 +262,30 @@ object MappingQueries {
         round(col("value"), 6).as("value"),
         col("interpolated"))
     }),
+    // Fisher-z significance for the best-lag correlations: the reference
+    // thresholds raw r; this adds the 95% CI and an excludes-zero flag
+    // so a mapping can be gated on evidence, not just effect size.
+    // tanh-free formulation (exp/ln only — DuckDB has no tanh):
+    // R = (1+r)/(1-r) = exp(2z); ci = (R*exp(±3.92*se) - 1)/(R*exp(±3.92*se) + 1)
+    "m25_corr_significance" -> ((s, dir) => {
+      val r = col("correlation")
+      val n = col("n_overlap")
+      val ok = n > 3 && abs(r) < 1.0
+      val bigR = (lit(1.0) + r) / (lit(1.0) - r)
+      val se = lit(1.0) / sqrt(n.cast("double") - 3.0)
+      val eLo = bigR * exp(lit(-3.92) * se)
+      val eHi = bigR * exp(lit(3.92) * se)
+      bestLag(s, dir).select(
+        col("key"),
+        col("optimal_lag").cast("long").as("optimal_lag"),
+        r,
+        n,
+        round(when(ok, log(bigR) * 0.5), 6).as("fisher_z"),
+        round(when(ok, se), 6).as("se"),
+        round(when(ok, (eLo - 1.0) / (eLo + 1.0)), 6).as("ci_lo"),
+        round(when(ok, (eHi - 1.0) / (eHi + 1.0)), 6).as("ci_hi"),
+        coalesce(when(ok, abs(log(bigR) * 0.5) > lit(1.96) * se), lit(false)).as("significant"))
+    }),
     // rolling EXACT median (robust smoother): percentile as a frame
     // window aggregate, trailing 7 rows per key
     "m23_rolling_median" -> ((s, dir) => {
@@ -489,6 +513,21 @@ object MappingQueries {
          |                                  / (date_diff('day', pp, np))::DOUBLE END, 6) AS value,
          |       (value IS NULL) AS interpolated
          |FROM f""".stripMargin,
+    "m25_corr_significance" ->
+      s"""$seriesCte, sig AS (
+         |  SELECT key, optimal_lag, correlation, n_overlap,
+         |         n_overlap > 3 AND abs(correlation) < 1.0 AS ok,
+         |         (1.0 + correlation) / (1.0 - correlation) AS bigr,
+         |         CASE WHEN n_overlap > 3 THEN 1.0 / sqrt(n_overlap::DOUBLE - 3.0) END AS se
+         |  FROM best1
+         |)
+         |SELECT key, optimal_lag, correlation, n_overlap,
+         |       round(CASE WHEN ok THEN ln(bigr) * 0.5 END, 6) AS fisher_z,
+         |       round(CASE WHEN ok THEN se END, 6) AS se,
+         |       round(CASE WHEN ok THEN (bigr * exp(-3.92 * se) - 1.0) / (bigr * exp(-3.92 * se) + 1.0) END, 6) AS ci_lo,
+         |       round(CASE WHEN ok THEN (bigr * exp(3.92 * se) - 1.0) / (bigr * exp(3.92 * se) + 1.0) END, 6) AS ci_hi,
+         |       COALESCE(CASE WHEN ok THEN abs(ln(bigr) * 0.5) > 1.96 * se END, FALSE) AS significant
+         |FROM sig""".stripMargin,
     "m23_rolling_median" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period, round(v1, 6) AS value,
