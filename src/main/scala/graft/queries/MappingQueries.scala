@@ -262,6 +262,27 @@ object MappingQueries {
         round(col("value"), 6).as("value"),
         col("interpolated"))
     }),
+    // STL-style anomaly screen: MAD outliers on the DESEASONALIZED
+    // residual — catches values abnormal for their weekday that a raw
+    // threshold would pass (composition of m19's decomposition and
+    // m22's robust stats, window-only)
+    "m26_seasonal_anomaly" -> ((s, dir) => {
+      val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
+      val dec = Decompose.seasonal(dense).filter(col("residual").isNotNull)
+      val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      dec
+        .withColumn("__med", percentile(col("residual"), lit(0.5)).over(wKey))
+        .withColumn(
+          "__mad",
+          percentile(abs(col("residual") - col("__med")), lit(0.5)).over(wKey))
+        .select(
+          col("key"),
+          date_format(col("period"), "yyyy-MM-dd").as("period"),
+          round(col("value"), 6).as("value"),
+          round(col("residual"), 6).as("residual"),
+          coalesce(abs(col("residual") - col("__med")) > col("__mad") * 3.0, lit(false))
+            .as("is_anomaly"))
+    }),
     // Fisher-z significance for the best-lag correlations: the reference
     // thresholds raw r; this adds the 95% CI and an excludes-zero flag
     // so a mapping can be gated on evidence, not just effect size.
@@ -513,6 +534,37 @@ object MappingQueries {
          |                                  / (date_diff('day', pp, np))::DOUBLE END, 6) AS value,
          |       (value IS NULL) AS interpolated
          |FROM f""".stripMargin,
+    "m26_seasonal_anomaly" ->
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |), dense AS (
+         |  SELECT g.key, g.period, COALESCE(t1.v1, 0.0) AS value
+         |  FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period
+         |), dec AS (
+         |  SELECT key, period, value,
+         |         CASE WHEN COUNT(*) OVER w7 = 7 THEN avg(value) OVER w7 END AS trend,
+         |         date_part('isodow', period) - 1 AS dow
+         |  FROM dense
+         |  WINDOW w7 AS (PARTITION BY key ORDER BY period ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), seas AS (
+         |  SELECT key, period, value, trend,
+         |         value - trend - avg(value - trend) OVER (PARTITION BY key, dow) AS residual
+         |  FROM dec
+         |), res AS (
+         |  SELECT * FROM seas WHERE residual IS NOT NULL
+         |), st AS (
+         |  SELECT key, period, value, residual,
+         |         quantile_cont(residual, 0.5) OVER (PARTITION BY key) AS med
+         |  FROM res
+         |), st2 AS (
+         |  SELECT *, quantile_cont(abs(residual - med), 0.5) OVER (PARTITION BY key) AS mad
+         |  FROM st
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(value, 6) AS value,
+         |       round(residual, 6) AS residual,
+         |       COALESCE(abs(residual - med) > mad * 3.0, FALSE) AS is_anomaly
+         |FROM st2""".stripMargin,
     "m25_corr_significance" ->
       s"""$seriesCte, sig AS (
          |  SELECT key, optimal_lag, correlation, n_overlap,
