@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal re-aggregation over the canonical (key, period, value) series:
+  * OHLC bars, time-weighted averages, gap reports, and exponentially
+  * weighted means.
+  *
+  * The reference resamples its daily series only by zero-fill before
+  * correlating (mapping_engine.py:96-115); these are the standard
+  * downsampling/summary forms its users apply to the same series before
+  * or after mapping. All four are single-exchange plans: one hash
+  * aggregate (bars, twap) or one window sort (gaps, ewma) per key — no
+  * joins, no UDFs, nothing leaves whole-stage codegen, so each survives a
+  * 100 TB fact table at the cost of exactly one shuffle on `key`.
+  */
+object Temporal {
+
+  /** Weekly OHLC bars per key: open/close = value at the first/last
+    * observed day of the ISO week, high/low = extremes, volume = sum,
+    * n_obs = count. One hash aggregate on (key, week) — `min_by`/`max_by`
+    * keep open/close inside the same partial-aggregated pass (no
+    * first/last window join-back). Periods within a key are unique, so
+    * the argmin/argmax are deterministic. */
+  def ohlcBars(series: DataFrame): DataFrame =
+    series
+      .groupBy(col("key"), date_trunc("week", col("period")).cast("date").as("week"))
+      .agg(
+        min_by(col("value"), col("period")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("period")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_obs"))
+
+  /** Monthly time-weighted average: each observation holds until the next
+    * one (step interpolation), so its weight is the calendar distance to
+    * the key's next observation, clipped to the month boundary; the
+    * month's last observation carries to the first day of the next month.
+    * TWAP = Σ value·dt / Σ dt.
+    *
+    * One window (lead over the key's own sort — gap-aware by
+    * construction) feeding one hash aggregate; both reuse the same
+    * exchange on `key`. The irregular-series form of [[ohlcBars]]'
+    * volume/n average: a mean that a sparse key cannot bias toward its
+    * burst days. */
+  def twap(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    val monthEndExcl = add_months(date_trunc("month", col("period")).cast("date"), 1)
+    val holdUntil = least(coalesce(lead(col("period"), 1).over(w), monthEndExcl), monthEndExcl)
+    series
+      .withColumn("dt", datediff(holdUntil, col("period")).cast("double"))
+      .groupBy(col("key"), date_trunc("month", col("period")).cast("date").as("month"))
+      .agg(
+        (sum(col("value") * col("dt")) / sum(col("dt"))).as("twap"),
+        sum(col("dt")).as("covered_days"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Missing-run report: one row per maximal run of absent days inside a
+    * key's observed range — (key, gap_start, gap_end, gap_days). A single
+    * lead scan (consecutive observations more than one day apart bracket
+    * exactly one run); no dense grid is materialized, so the plan costs
+    * one exchange regardless of how sparse the series is — the dual of
+    * [[graft.core.SeriesTable.resample]], which pays |range| rows to
+    * zero-fill what this reports. */
+  def gapReport(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    series
+      .select(col("key"), col("period"), lead(col("period"), 1).over(w).as("next_period"))
+      .filter(col("next_period").isNotNull && datediff(col("next_period"), col("period")) > 1)
+      .select(
+        col("key"),
+        date_add(col("period"), 1).as("gap_start"),
+        date_sub(col("next_period"), 1).as("gap_end"),
+        (datediff(col("next_period"), col("period")) - 1).cast("long").as("gap_days"))
+  }
+
+  /** Exponentially weighted moving average over the trailing `span` rows:
+    * ewma(t) = Σ_k α^k·x(t−k) / Σ_k α^k over the observations present in
+    * the frame (the leading edge renormalizes over what exists — the
+    * standard adjusted form). Run it on a DENSE series (resample first)
+    * so row distance is calendar distance.
+    *
+    * Position-dependent weights are outside what a frame aggregate can
+    * express, so the kernel materializes `span` lag columns over ONE
+    * window sort (the [[LagCorrelation.lagCorrTable]] lead-scan idiom in
+    * reverse) and folds them in-row: still a single exchange + sort per
+    * key, everything codegen'd, no self-join of the fact table. `span` is
+    * a config-sized constant (plan width grows with it, data does not). */
+  def ewma(series: DataFrame, alpha: Double, span: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(span >= 1, s"span must be >= 1, got $span")
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    val ks = 0 until span
+    val lagged = series.select(
+      col("key") :: col("period") :: col("value") ::
+        ks.toList.map(k => lag(col("value"), k).over(w).as(s"x$k")): _*)
+    val num = ks.map(k => when(col(s"x$k").isNotNull, col(s"x$k") * math.pow(alpha, k)))
+      .reduce[Column]((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+    val den = ks.map(k => when(col(s"x$k").isNotNull, lit(math.pow(alpha, k))))
+      .reduce[Column]((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+    lagged.select(col("key"), col("period"), col("value"), (num / den).as("ewma"))
+  }
+}

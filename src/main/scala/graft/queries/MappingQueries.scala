@@ -339,6 +339,49 @@ object MappingQueries {
         col("is_outlier"),
         round(col("repaired"), 6).as("repaired"))
     }),
+    // weekly OHLC downsampling: open/close via min_by/max_by in ONE
+    // partial-aggregated pass (no first/last window join-back)
+    "m27_ohlc" -> ((s, dir) => {
+      Temporal.ohlcBars(Tables.engagementSeries(s, dir)).select(
+        col("key"),
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        round(col("open"), 6).as("open"),
+        round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"),
+        round(col("close"), 6).as("close"),
+        round(col("volume"), 6).as("volume"),
+        col("n_obs"))
+    }),
+    // monthly time-weighted average over the IRREGULAR series: each
+    // observation holds until the next (step interpolation), weights
+    // clipped at month boundaries — the mean a sparse key can't bias
+    "m28_twap" -> ((s, dir) => {
+      Temporal.twap(Tables.engagementSeries(s, dir)).select(
+        col("key"),
+        date_format(col("month"), "yyyy-MM-dd").as("month"),
+        round(col("twap"), 6).as("twap"),
+        round(col("covered_days"), 6).as("covered_days"),
+        col("n_obs"))
+    }),
+    // missing-run report: one row per maximal run of absent days — the
+    // sparse dual of m13's dense zero-fill (no grid materialized)
+    "m29_gaps" -> ((s, dir) => {
+      Temporal.gapReport(Tables.engagementSeries(s, dir)).select(
+        col("key"),
+        date_format(col("gap_start"), "yyyy-MM-dd").as("gap_start"),
+        date_format(col("gap_end"), "yyyy-MM-dd").as("gap_end"),
+        col("gap_days"))
+    }),
+    // exponentially weighted mean over the dense series (alpha = 0.5 so
+    // every weight is a power of two — bit-exact across engines)
+    "m30_ewma" -> ((s, dir) => {
+      val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
+      Temporal.ewma(dense, alpha = 0.5, span = 10).select(
+        col("key"),
+        date_format(col("period"), "yyyy-MM-dd").as("period"),
+        round(col("value"), 6).as("value"),
+        round(col("ewma"), 6).as("ewma"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -401,7 +444,70 @@ object MappingQueries {
       |  JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + CAST(v.optimal_lag AS INTEGER)
       |)""".stripMargin
 
+  // m30's finite-window EWMA terms, generated for both engines from the
+  // same (alpha, span); alpha = 0.5 keeps every POWER exact in double
+  private def ewmaTerms(span: Int): (String, String) = {
+    val num = (0 until span)
+      .map(k => s"COALESCE(lag(value, $k) OVER wk * POWER(0.5, $k), 0)")
+      .mkString(" + ")
+    val den = (0 until span)
+      .map(k => s"CASE WHEN lag(value, $k) OVER wk IS NOT NULL THEN POWER(0.5, $k) ELSE 0 END")
+      .mkString(" + ")
+    (num, den)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "m27_ohlc" ->
+      s"""$seriesCte
+         |SELECT key, CAST(date_trunc('week', period)::DATE AS VARCHAR) AS week,
+         |       round(arg_min(v1, period), 6) AS open,
+         |       round(MAX(v1), 6) AS high,
+         |       round(MIN(v1), 6) AS low,
+         |       round(arg_max(v1, period), 6) AS close,
+         |       round(SUM(v1), 6) AS volume,
+         |       COUNT(*) AS n_obs
+         |FROM t1 GROUP BY 1, 2""".stripMargin,
+    "m28_twap" ->
+      s"""$seriesCte, held AS (
+         |  SELECT key, period, v1,
+         |         date_trunc('month', period)::DATE AS month,
+         |         date_diff('day', period,
+         |           least(
+         |             COALESCE(lead(period) OVER (PARTITION BY key ORDER BY period),
+         |                      (date_trunc('month', period) + INTERVAL 1 MONTH)::DATE),
+         |             (date_trunc('month', period) + INTERVAL 1 MONTH)::DATE))::DOUBLE AS dt
+         |  FROM t1
+         |)
+         |SELECT key, CAST(month AS VARCHAR) AS month,
+         |       round(SUM(v1 * dt) / SUM(dt), 6) AS twap,
+         |       round(SUM(dt), 6) AS covered_days,
+         |       COUNT(*) AS n_obs
+         |FROM held GROUP BY 1, 2""".stripMargin,
+    "m29_gaps" ->
+      s"""$seriesCte, nxt AS (
+         |  SELECT key, period, lead(period) OVER (PARTITION BY key ORDER BY period) AS next_period
+         |  FROM t1
+         |)
+         |SELECT key,
+         |       CAST((period + INTERVAL 1 DAY)::DATE AS VARCHAR) AS gap_start,
+         |       CAST((next_period - INTERVAL 1 DAY)::DATE AS VARCHAR) AS gap_end,
+         |       (date_diff('day', period, next_period) - 1)::BIGINT AS gap_days
+         |FROM nxt
+         |WHERE next_period IS NOT NULL AND date_diff('day', period, next_period) > 1""".stripMargin,
+    "m30_ewma" -> {
+      val (num, den) = ewmaTerms(10)
+      s"""$seriesCte, grid AS (
+         |  SELECT key, CAST(UNNEST(generate_series(p0, p1, INTERVAL 1 DAY)) AS DATE) AS period
+         |  FROM (SELECT key, MIN(period) AS p0, MAX(period) AS p1 FROM t1 GROUP BY key)
+         |), dense AS (
+         |  SELECT g.key, g.period, COALESCE(t1.v1, 0.0) AS value
+         |  FROM grid g LEFT JOIN t1 ON t1.key = g.key AND t1.period = g.period
+         |)
+         |SELECT key, CAST(period AS VARCHAR) AS period, round(value, 6) AS value,
+         |       round(($num) / ($den), 6) AS ewma
+         |FROM dense
+         |WINDOW wk AS (PARTITION BY key ORDER BY period)""".stripMargin
+    },
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,

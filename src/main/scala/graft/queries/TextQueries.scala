@@ -520,6 +520,99 @@ object TextQueries {
         .select(
           col("id").as("doc_id"), col("frame_idx"), col("n_bytes"), col("checksum"))
     }),
+    // int8 embedding quantization: per-vector symmetric scale (max-abs /
+    // 127), explicit floor(x/s + 0.5) rounding so both engines agree at
+    // halves, saturating clamp — 4x storage cut for the 100 TB corpus,
+    // with the reconstruction error reported per vector. Pure per-row
+    // array arithmetic: scan-stage work, no shuffle at all.
+    "d51_int8_quant" -> ((s, dir) => {
+      val sc = col("scale")
+      embs(s, dir)
+        .withColumn(
+          "scale",
+          array_max(transform(col("embedding"), x => abs(x))).cast("double") / 127.0)
+        .withColumn(
+          "q",
+          when(sc === 0.0, transform(col("embedding"), _ => lit(0)))
+            .otherwise(transform(
+              col("embedding"),
+              x =>
+                least(greatest(floor(x.cast("double") / sc + 0.5), lit(-127.0)), lit(127.0))
+                  .cast("int"))))
+        .withColumn(
+          "err2",
+          zip_with(
+            col("q"),
+            col("embedding"),
+            (q, v) =>
+              (q.cast("double") * sc - v.cast("double")) *
+                (q.cast("double") * sc - v.cast("double"))))
+        .select(
+          col("vec_id"),
+          round(sc, 9).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x).cast("long")).as("q_abs_sum"),
+          round(
+            aggregate(col("err2"), lit(0.0), (a, x) => a + x) / size(col("q")),
+            9).as("mse"))
+    }),
+    // URL/domain extraction + blocklist screen: the harness docs carry no
+    // URLs, so each doc gets two deterministic doc_id-derived links
+    // IN-QUERY (the d33 pattern — both engines build identical text);
+    // the domain frequency table is what a crawl-filtering pipeline
+    // joins its blocklist against. One explode + one hash aggregate.
+    "d52_url_extract" -> ((s, dir) => {
+      val txt = concat(
+        col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example-"), (col("doc_id") % 3).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 4).cast("string"),
+        lit(".assets.net/r/"), (col("doc_id") % 7).cast("string"))
+      docs(s, dir)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(
+          col("doc_id"),
+          explode(regexp_extract_all(col("txt"), lit("https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"), lit(0)))
+            .as("url"))
+        .select(
+          col("doc_id"),
+          regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
+        .groupBy(col("domain"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .withColumn("blocked", col("domain").like("cdn%"))
+    }),
+    // per-source corpus report card: the curation dashboard a pipeline
+    // operator reads before choosing filters — doc/token volumes, exact
+    // dup rate (d2's fingerprint), quality mean (exact: 6-decimal scores
+    // summed as integers, so partial-aggregation order can't move the
+    // mean), median length, short-doc fraction. One pass over documents.
+    "d54_corpus_report" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"), col("source"), col("lang"), col("text"),
+          TF.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), col("source"), col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(TF.qualityScoreOf(col("toks")) * 1e6, 0).cast("long").as("q6"),
+          TF.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(percentile(col("n_tokens"), lit(0.5)), 6).as("median_tokens"),
+          round(
+            (sum(col("q6")).cast("double") / 1e6) / count(lit(1)),
+            6).as("avg_quality"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+          round(
+            count(when(col("n_tokens") < 50, 1)).cast("double") / count(lit(1)),
+            6).as("short_frac"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -1166,6 +1259,67 @@ object TextQueries {
          |       (s - 1)::BIGINT AS tok_offset,
          |       array_to_string(tk[s : s + 31], ' ') AS chunk_text
          |FROM t, UNNEST(generate_series(1, greatest(len(tk) - 8, 1), 24)) AS u(s)""".stripMargin,
+    "d51_int8_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0 AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale, embedding,
+        |         CASE WHEN scale = 0
+        |              THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding, x ->
+        |                least(greatest(floor(x::DOUBLE / scale + 0.5), -127.0), 127.0)::INT)
+        |         END AS qs
+        |  FROM v
+        |)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |       list_sum(list_transform(qs, x -> x::BIGINT))::BIGINT AS q_sum,
+        |       list_sum(list_transform(qs, x -> abs(x)::BIGINT))::BIGINT AS q_abs_sum,
+        |       round(list_sum(list_transform(generate_series(1, 64), i ->
+        |               (qs[i]::DOUBLE * scale - embedding[i]::DOUBLE) *
+        |               (qs[i]::DOUBLE * scale - embedding[i]::DOUBLE))) / len(qs), 9) AS mse
+        |FROM q""".stripMargin,
+    "d52_url_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+        |              || '.example-' || CAST(doc_id % 3 AS VARCHAR)
+        |              || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |              || ' and http://cdn' || CAST(doc_id % 4 AS VARCHAR)
+        |              || '.assets.net/r/' || CAST(doc_id % 7 AS VARCHAR) AS txt
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(txt, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?')) AS url
+        |  FROM p
+        |), d AS (
+        |  SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM u
+        |)
+        |SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls,
+        |       domain LIKE 'cdn%' AS blocked
+        |FROM d GROUP BY domain""".stripMargin,
+    "d54_corpus_report" -> {
+      val t = "string_split_regex(lower(trim(text)), '\\s+')"
+      s"""WITH per AS (
+         |  SELECT doc_id, source, lang,
+         |         len($t)::BIGINT AS n_tokens,
+         |         round(round(0.4 * least(1.0, len($t)::DOUBLE / 100.0)
+         |             + 0.3 * (len(list_distinct($t))::DOUBLE / len($t))
+         |             + 0.3 * least(1.0, (len(list_filter($t, tok -> list_contains($enList, tok)))::DOUBLE / len($t)) * 10.0),
+         |           6) * 1e6, 0)::BIGINT AS q6,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents
+         |)
+         |SELECT source,
+         |       COUNT(*) AS n_docs,
+         |       SUM(n_tokens)::BIGINT AS total_tokens,
+         |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+         |       round((SUM(q6)::DOUBLE / 1e6) / COUNT(*), 6) AS avg_quality,
+         |       (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dup_docs,
+         |       round(COUNT(CASE WHEN n_tokens < 50 THEN 1 END)::DOUBLE / COUNT(*), 6) AS short_frac,
+         |       COUNT(DISTINCT lang)::BIGINT AS n_langs
+         |FROM per GROUP BY source""".stripMargin
+    },
     "x1_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text))::BIGINT AS n_bytes,

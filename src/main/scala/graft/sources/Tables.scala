@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.core.GraftSession.tune(spark)
-    // `events` stores TIMESTAMP(NANOS): read nanos as long, then rebuild a
-    // microsecond timestamp (integral division — doubles would lose
-    // precision above 2^53 nanos).
+    // Normalize `ts` across harness writer versions: TIMESTAMP(NANOS)
+    // arrives as a long (rebuild micros by integral division — doubles
+    // would lose precision above 2^53 nanos); a tz-naive writer arrives
+    // as TIMESTAMP_NTZ (cast to TIMESTAMP — value-preserving since every
+    // engine session pins spark.sql.session.timeZone=UTC, and required
+    // by the instant functions: unix_millis rejects NTZ).
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

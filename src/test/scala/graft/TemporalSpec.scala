@@ -1,0 +1,94 @@
+package graft
+
+import graft.core.{PeriodUnit, SeriesTable}
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the temporal re-aggregation family:
+  * OHLC bars, time-weighted averages, gap reports, EWMA. */
+class TemporalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def daily(rows: Seq[(String, Int, Double)]) = {
+    val df = rows
+      .map { case (k, d, v) =>
+        (k, java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString, v)
+      }
+      .toDF("k", "t", "v")
+    SeriesTable.canonicalize(df, "k", "t", "v", PeriodUnit.Day)
+  }
+
+  test("ohlcBars: open/close follow period order, not value order") {
+    // 2024-01-01 is a Monday; days 0..4 land in one ISO week
+    val s = daily(Seq(("K1", 0, 5.0), ("K1", 1, 9.0), ("K1", 2, 1.0), ("K1", 4, 7.0)))
+    val r = Temporal.ohlcBars(s)
+      .select($"week".cast("string"), $"open", $"high", $"low", $"close", $"volume", $"n_obs")
+      .as[(String, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(r.toSeq == Seq(("2024-01-01", 5.0, 9.0, 1.0, 7.0, 22.0, 4L)))
+  }
+
+  test("ohlcBars: observations split by ISO week boundary") {
+    // day 6 = Sunday 2024-01-07 (week of Jan 1), day 7 = Monday (next week)
+    val s = daily(Seq(("K1", 6, 2.0), ("K1", 7, 3.0)))
+    val weeks = Temporal.ohlcBars(s).select($"week".cast("string")).as[String].collect().sorted
+    assert(weeks.toSeq == Seq("2024-01-01", "2024-01-08"))
+  }
+
+  test("twap: step-holds each value until the next observation") {
+    // obs at day 0 (v=10, holds 2 days) and day 2 (v=40, holds to Feb 1 = 30 days)
+    val s = daily(Seq(("K1", 0, 10.0), ("K1", 2, 40.0)))
+    val r = Temporal.twap(s)
+      .select($"month".cast("string"), $"twap", $"covered_days", $"n_obs")
+      .as[(String, Double, Double, Long)]
+      .collect()
+    val (month, twap, covered, n) = r.head
+    assert(month == "2024-01-01" && n == 2L && covered == 31.0)
+    assert(math.abs(twap - (10.0 * 2 + 40.0 * 29) / 31.0) < 1e-9)
+  }
+
+  test("twap: a value never bleeds across the month boundary") {
+    // single obs on Jan 30 holds 2 days (to Feb 1), not until some later obs
+    val s = daily(Seq(("K1", 29, 10.0), ("K1", 40, 99.0)))
+    val r = Temporal.twap(s)
+      .select($"month".cast("string"), $"twap", $"covered_days")
+      .as[(String, Double, Double)]
+      .collect().map { case (m, t, c) => m -> ((t, c)) }.toMap
+    assert(r("2024-01-01") == ((10.0, 2.0)))
+    // Feb obs (day 40 = Feb 10) holds to Mar 1: 20 days
+    assert(r("2024-02-01") == ((99.0, 20.0)))
+  }
+
+  test("gapReport: one row per maximal missing run, none for dense keys") {
+    val s = daily(Seq(
+      ("K1", 0, 1.0), ("K1", 1, 1.0), ("K1", 5, 1.0), ("K1", 6, 1.0), ("K1", 9, 1.0),
+      ("K2", 0, 1.0), ("K2", 1, 1.0)))
+    val r = Temporal.gapReport(s)
+      .select($"key", $"gap_start".cast("string"), $"gap_end".cast("string"), $"gap_days")
+      .as[(String, String, String, Long)]
+      .collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      ("K1", "2024-01-03", "2024-01-05", 3L),
+      ("K1", "2024-01-08", "2024-01-09", 2L)))
+  }
+
+  test("ewma: alpha=0.5 weights halve per step and renormalize at the edge") {
+    val s = daily(Seq(("K1", 0, 8.0), ("K1", 1, 4.0), ("K1", 2, 2.0)))
+    val out = Temporal.ewma(s, alpha = 0.5, span = 4)
+      .select($"period".cast("string"), $"ewma")
+      .as[(String, Double)].collect().toMap
+    assert(out("2024-01-01") == 8.0) // lone obs: weight renormalizes to 1
+    assert(math.abs(out("2024-01-02") - (4.0 + 0.5 * 8.0) / 1.5) < 1e-12)
+    assert(math.abs(out("2024-01-03") - (2.0 + 0.5 * 4.0 + 0.25 * 8.0) / 1.75) < 1e-12)
+  }
+
+  test("ewma: span truncates the memory") {
+    val s = daily((0 until 5).map(d => ("K1", d, if (d == 0) 100.0 else 0.0)))
+    val out = Temporal.ewma(s, alpha = 0.5, span = 2)
+      .select($"period".cast("string"), $"ewma")
+      .as[(String, Double)].collect().toMap
+    // day 2 onward: the 100 at day 0 is outside the 2-row window
+    assert(out("2024-01-03") == 0.0 && out("2024-01-05") == 0.0)
+  }
+}
