@@ -78,6 +78,74 @@ object Temporal {
         (datediff(col("next_period"), col("period")) - 1).cast("long").as("gap_days"))
   }
 
+  /** Per-key ordinary-least-squares trend: slope/intercept of value on
+    * epoch-day, fit quality (r² = corr², nulled for degenerate variance
+    * exactly like the lag-corr NaN guard), and the straight-line
+    * projection `horizonDays` past the key's last observation.
+    *
+    * One partial-aggregated hash aggregate — OLS over a billion-row key
+    * costs the same shuffle as a count. The moment-based formulation
+    * (covar_pop / var_pop) keeps every term an aggregate column, so no
+    * second pass and no join-back. */
+  def trendFit(series: DataFrame, epoch: String, horizonDays: Int = 7): DataFrame = {
+    // x = days since a caller-chosen epoch NEAR the data: the moments are
+    // exact-algebra identical for any origin, but a far origin (1970)
+    // puts 4 extra digits into mx/xmax and burns float precision in the
+    // intercept's my − slope·mx cancellation.
+    val x = datediff(col("period"), to_date(lit(epoch))).cast("double")
+    val v = col("value").cast("double")
+    val slope = col("__cov") / col("__varx")
+    val icept = col("__my") - slope * col("__mx")
+    val r = col("__r")
+    series
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        covar_pop(x, v).as("__cov"),
+        var_pop(x).as("__varx"),
+        avg(x).as("__mx"),
+        avg(v).as("__my"),
+        corr(x, v).as("__r"),
+        max(x).as("__xmax"))
+      .filter(col("n") >= 3 && col("__varx") > 0)
+      .select(
+        col("key"),
+        col("n"),
+        slope.as("slope"),
+        icept.as("intercept"),
+        when(r.isNotNull && !isnan(r), r * r).as("r2"),
+        (icept + slope * (col("__xmax") + horizonDays)).as("forecast"))
+  }
+
+  /** Co-movement screen: the `topK` most-correlated entity PAIRS over
+    * calendar-aligned values — which series move together, the
+    * cross-entity complement of [[LagCorrelation]]'s within-entity scan.
+    *
+    * Pair generation is a self-equi-join on `period` (never a cross
+    * join), one hash aggregate with corr accumulators, then a top-k that
+    * plans as TakeOrderedAndProject. Intrinsically O(active-keys²) per
+    * period — at 100 TB, bound the fan-out by pre-bucketing candidates
+    * (sign-LSH over per-key weekly sketches, the [[graft.functions.
+    * Similarity]] banding) or DIMSUM sampling before the exact corr;
+    * this exact form is the verifier those candidate generators are
+    * measured against. Correlation is rounded to 6 decimals BEFORE
+    * ranking (the [[LagCorrelation.bestLag]] stability rule) with a
+    * (key_a, key_b) tie-break, so the top-k frontier is engine-stable. */
+  def pairCorrelations(series: DataFrame, minOverlap: Int, topK: Int): DataFrame = {
+    val a = series.select(col("key").as("key_a"), col("period"), col("value").as("va"))
+    val b = series.select(col("key").as("key_b"), col("period"), col("value").as("vb"))
+    a.join(b, Seq("period"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(corr(col("va"), col("vb")).as("correlation"), count(lit(1)).as("n_overlap"))
+      .filter(
+        col("n_overlap") >= minOverlap &&
+          col("correlation").isNotNull && !isnan(col("correlation")))
+      .withColumn("correlation", round(col("correlation"), 6))
+      .orderBy(abs(col("correlation")).desc, col("key_a").asc, col("key_b").asc)
+      .limit(topK)
+  }
+
   /** Exponentially weighted moving average over the trailing `span` rows:
     * ewma(t) = Σ_k α^k·x(t−k) / Σ_k α^k over the observations present in
     * the frame (the leading edge renormalizes over what exists — the

@@ -382,6 +382,28 @@ object MappingQueries {
         round(col("value"), 6).as("value"),
         round(col("ewma"), 6).as("ewma"))
     }),
+    // per-key OLS trend + 7-day projection: slope/intercept/r² in ONE
+    // moment-based aggregate (no second pass, no join-back)
+    "m31_trend" -> ((s, dir) => {
+      Temporal.trendFit(Tables.engagementSeries(s, dir), epoch = "2024-01-01").select(
+        col("key"),
+        col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"),
+        round(col("forecast"), 6).as("forecast"))
+    }),
+    // co-movement screen: top-50 correlated entity PAIRS over aligned
+    // days — period equi-join (never a cross join) + corr accumulators +
+    // TakeOrderedAndProject; the cross-entity complement of m3
+    "m32_pair_corr" -> ((s, dir) => {
+      Temporal.pairCorrelations(
+        Tables.engagementSeries(s, dir), minOverlap = 10, topK = 50).select(
+        col("key_a"),
+        col("key_b"),
+        col("correlation"),
+        col("n_overlap"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -508,6 +530,35 @@ object MappingQueries {
          |FROM dense
          |WINDOW wk AS (PARTITION BY key ORDER BY period)""".stripMargin
     },
+    "m31_trend" ->
+      s"""$seriesCte, xs AS (
+         |  SELECT key, (period - DATE '2024-01-01')::DOUBLE AS x, v1 FROM t1
+         |), st AS (
+         |  SELECT key, COUNT(*) AS n,
+         |         covar_pop(x, v1) AS cov, var_pop(x) AS varx,
+         |         avg(x) AS mx, avg(v1) AS my, corr(x, v1) AS r, MAX(x) AS xmax
+         |  FROM xs GROUP BY key
+         |  HAVING COUNT(*) >= 3 AND var_pop(x) > 0
+         |)
+         |SELECT key, n,
+         |       round(cov / varx, 6) AS slope,
+         |       round(my - (cov / varx) * mx, 6) AS intercept,
+         |       round(CASE WHEN r IS NOT NULL AND NOT isnan(r) THEN r * r END, 6) AS r2,
+         |       round((my - (cov / varx) * mx) + (cov / varx) * (xmax + 7), 6) AS forecast
+         |FROM st""".stripMargin,
+    "m32_pair_corr" ->
+      s"""$seriesCte, pairs AS (
+         |  SELECT a.key AS key_a, b.key AS key_b,
+         |         corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap
+         |  FROM t1 a JOIN t1 b ON a.period = b.period AND a.key < b.key
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 10
+         |)
+         |SELECT key_a, key_b, round(correlation, 6) AS correlation, n_overlap
+         |FROM pairs
+         |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+         |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
+         |LIMIT 50""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,

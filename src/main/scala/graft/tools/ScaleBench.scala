@@ -579,7 +579,66 @@ object ScaleBench {
          |"rows_returned":{"ybox":$zRows,"xybox":$zxyRows}}""".stripMargin.replace("\n", ""))
   }
 
+  /** Temporal-family stress: nKeys daily series over nDays with ~20%
+    * deterministic gaps; times one full pass of each temporal operator
+    * (OHLC, TWAP, gap report, EWMA, trend fit) over the same cached
+    * input. Every operator is one exchange on `key` (or one hash
+    * aggregate), so rec/s here is the number that scales with executors.
+    * Usage: runMain graft.tools.ScaleBench temporal [nKeys] [nDays] */
+  def temporalMain(spark: SparkSession, nKeys: Long, nDays: Int): Unit = {
+    import graft.operators.Temporal
+    val base = spark.range(nKeys * nDays).select(
+      (col("id") / nDays).cast("long").as("k"),
+      (col("id") % nDays).cast("int").as("d"))
+    val series = base
+      .filter(pmod(hash(col("k"), col("d")), lit(5)) =!= 0) // ~20% of days absent
+      .select(
+        col("k").cast("string").as("key"),
+        date_add(lit("2020-01-01").cast("date"), col("d")).as("period"),
+        (sin(col("d") / lit(5.0)) * 10.0 + pmod(col("k"), lit(7)) + col("d") * 0.01)
+          .as("value"))
+      .cache()
+    val inputRows = series.count() // materialize outside the timed sections
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // time via (count, sum(result col)) — a bare count() lets column
+    // pruning drop the computed column (and remove an unreferenced
+    // Window entirely), timing a plan the operator never ran
+    def run(df: DataFrame, c: String): Long =
+      df.agg(count(lit(1)), sum(col(c))).head.getLong(0)
+    val (ohlcRows, ohlcSec) = time(run(Temporal.ohlcBars(series), "close"))
+    val (twapRows, twapSec) = time(run(Temporal.twap(series), "twap"))
+    val (gapRows, gapSec) = time(run(Temporal.gapReport(series), "gap_days"))
+    val (ewmaRows, ewmaSec) = time(run(Temporal.ewma(series, 0.5, 10), "ewma"))
+    val (trendRows, trendSec) = time(run(Temporal.trendFit(series, "2020-01-01"), "forecast"))
+    println(
+      s"""{"workload":{"keys":$nKeys,"days":$nDays,"input_rows":$inputRows},
+         |"ohlc":{"sec":$ohlcSec,"rows":$ohlcRows,"rec_per_sec":${(inputRows / ohlcSec).toLong}},
+         |"twap":{"sec":$twapSec,"rows":$twapRows,"rec_per_sec":${(inputRows / twapSec).toLong}},
+         |"gaps":{"sec":$gapSec,"rows":$gapRows,"rec_per_sec":${(inputRows / gapSec).toLong}},
+         |"ewma":{"sec":$ewmaSec,"rows":$ewmaRows,"rec_per_sec":${(inputRows / ewmaSec).toLong}},
+         |"trend":{"sec":$trendSec,"rows":$trendRows,"rec_per_sec":${(inputRows / trendSec).toLong}}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("temporal")) {
+      val nKeys = if (args.length > 1) args(1).toLong else 1000000L
+      val nDays = if (args.length > 2) args(2).toInt else 60
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      temporalMain(spark, nKeys, nDays)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("zorder")) {
       val nRows = if (args.length > 1) args(1).toLong else 20000000L
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -73,6 +73,37 @@ class TemporalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("K1", "2024-01-08", "2024-01-09", 2L)))
   }
 
+  test("trendFit: exact line is recovered with r2 = 1 and extrapolated") {
+    // value = 3 + 2*day -> slope 2, intercept 3 (epoch = first day)
+    val s = daily((0 until 10).map(d => ("K1", d, 3.0 + 2.0 * d)))
+    val r = Temporal.trendFit(s, epoch = "2024-01-01", horizonDays = 7)
+      .select($"key", $"n", $"slope", $"intercept", $"r2", $"forecast")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._2 == 10L)
+    assert(math.abs(r._3 - 2.0) < 1e-9 && math.abs(r._4 - 3.0) < 1e-9)
+    assert(math.abs(r._5 - 1.0) < 1e-9)
+    assert(math.abs(r._6 - (3.0 + 2.0 * 16)) < 1e-9) // xmax=9, +7 days
+  }
+
+  test("trendFit: degenerate keys (too short, zero x-variance) are dropped") {
+    val s = daily(Seq(("SHORT", 0, 1.0), ("SHORT", 1, 2.0)))
+    assert(Temporal.trendFit(s, epoch = "2024-01-01").count() == 0)
+  }
+
+  test("pairCorrelations: finds the anti-correlated pair and respects minOverlap") {
+    val rows =
+      (0 until 12).map(d => ("A", d, d.toDouble)) ++
+        (0 until 12).map(d => ("B", d, 100.0 - d)) ++ // perfectly anti-corr with A
+        (0 until 5).map(d => ("C", d, d * d * 1.0)) // too few overlaps
+    val r = Temporal.pairCorrelations(daily(rows), minOverlap = 10, topK = 10)
+      .select($"key_a", $"key_b", $"correlation", $"n_overlap")
+      .as[(String, String, Double, Long)]
+      .collect()
+    assert(r.map(t => (t._1, t._2)).toSeq == Seq(("A", "B")))
+    assert(r.head._3 == -1.0 && r.head._4 == 12L)
+  }
+
   test("ewma: alpha=0.5 weights halve per step and renormalize at the edge") {
     val s = daily(Seq(("K1", 0, 8.0), ("K1", 1, 4.0), ("K1", 2, 2.0)))
     val out = Temporal.ewma(s, alpha = 0.5, span = 4)
