@@ -404,6 +404,18 @@ object MappingQueries {
         col("correlation"),
         col("n_overlap"))
     }),
+    // Holt linear-trend smoothing: the in-JVM sequential kernel (a
+    // non-associative recursion no window can express), oracle'd by a
+    // DuckDB RECURSIVE CTE stepping the identical IEEE update
+    "m33_holt" -> ((s, dir) => {
+      Forecast.holt(
+        Tables.engagementSeries(s, dir), alpha = 0.5, beta = 0.5, horizon = 7).toDF().select(
+        col("key"),
+        col("n"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -559,6 +571,29 @@ object MappingQueries {
          |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
          |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
          |LIMIT 50""".stripMargin,
+    // The recursion anchor is the kernel's seed (level₂ = x₂,
+    // trend₂ = x₂ − x₁); each step spells the update in the SAME
+    // operation order as Forecast.holt, so doubles agree bit-for-bit.
+    "m33_holt" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, obs AS (
+         |  SELECT key, row_number() OVER (PARTITION BY key ORDER BY period) AS i, v1::DOUBLE AS x
+         |  FROM t1
+         |), nk AS (
+         |  SELECT key, MAX(i) AS n FROM obs GROUP BY key HAVING MAX(i) >= 2
+         |), rec AS (
+         |  SELECT o1.key, 2 AS i, o2.x AS level, o2.x - o1.x AS trend
+         |  FROM obs o1 JOIN obs o2 ON o2.key = o1.key AND o1.i = 1 AND o2.i = 2
+         |  UNION ALL
+         |  SELECT r.key, r.i + 1,
+         |         0.5 * o.x + 0.5 * (r.level + r.trend) AS level,
+         |         0.5 * ((0.5 * o.x + 0.5 * (r.level + r.trend)) - r.level) + 0.5 * r.trend AS trend
+         |  FROM rec r JOIN obs o ON o.key = r.key AND o.i = r.i + 1
+         |)
+         |SELECT r.key, nk.n::BIGINT AS n,
+         |       round(r.level, 6) AS level,
+         |       round(r.trend, 6) AS trend,
+         |       round(r.level + 7 * r.trend, 6) AS forecast
+         |FROM rec r JOIN nk ON nk.key = r.key AND r.i = nk.n""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,

@@ -479,6 +479,23 @@ object RelationalQueries {
           round(min(col("__med")), 6).as("med"),
           round(min(col("__mad")), 6).as("mad"))
     }),
+    // F-json: schema'd JSON extraction from the events props column
+    // (from_json with an explicit schema — parse once at the scan stage,
+    // no values-discovery pass), bucketed aggregate over the parsed field
+    "q36_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "k", org.apache.spark.sql.types.LongType)))).getField("k").as("k"),
+          col("value"))
+        .groupBy(col("event_type"), (col("k") - pmod(col("k"), lit(10))).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -709,6 +726,13 @@ object RelationalQueries {
         |       round(MIN(mad.d), 6) AS mad
         |FROM lineitem l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+    "q36_json" ->
+      """WITH p AS (
+        |  SELECT event_type, (props->>'k')::BIGINT AS k, value FROM events
+        |)
+        |SELECT event_type, k - (k % 10) AS k_bucket, COUNT(*) AS n,
+        |       SUM(k)::BIGINT AS sum_k, round(AVG(value), 6) AS avg_value
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q26_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
