@@ -79,6 +79,24 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("temporal family: one exchange each; d51 quantization never shuffles") {
+    // m27 OHLC: one partial-aggregated hash agg — no window, no join-back
+    val ohlc = plan("m27_ohlc")
+    assert(!ohlc.contains("Window"), "OHLC must not window: " + ohlc)
+    assert(!ohlc.contains("SortMergeJoin"), ohlc)
+    // m31 trend: moment-based OLS is ONE aggregate (partial + final)
+    val trend = plan("m31_trend")
+    assert(!trend.contains("Window") && !trend.contains("Join"), trend)
+    // m32 pair screen: top-k is TakeOrderedAndProject, join is an
+    // equi-join on period (never cartesian)
+    val pair = plan("m32_pair_corr")
+    assert(pair.contains("TakeOrderedAndProject"), pair)
+    assert(!pair.contains("CartesianProduct") && !pair.contains("BroadcastNestedLoopJoin"), pair)
+    // d51 int8 quantization: pure scan-stage arithmetic, zero Exchange
+    val quant = plan("d51_int8_quant")
+    assert(!quant.contains("Exchange"), "per-row quantization must not shuffle: " + quant)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the runtime-filter lever for 100 TB fact joins: a selective filter
     // on the dimension side injects a bloom_filter_agg whose result
