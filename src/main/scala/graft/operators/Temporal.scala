@@ -146,6 +146,45 @@ object Temporal {
       .limit(topK)
   }
 
+  /** Per-key time-series feature vector — the bridge from the series
+    * family to the ML/clustering family (catch22-lite): count, mean,
+    * sample std, coefficient of variation, OLS slope, lag-1
+    * autocorrelation, zero fraction, peak-over-mean. Downstream these
+    * rows feed the embedding operators (cluster keys by behavior, ANN
+    * over series shapes).
+    *
+    * One window sort by key (the lead partner for acf1) feeding one hash
+    * aggregate on the SAME key partitioning — Spark plans no second
+    * exchange, so the whole extraction costs one shuffle. */
+  def features(series: DataFrame, epoch: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    val v = col("value").cast("double")
+    val x = datediff(col("period"), to_date(lit(epoch))).cast("double")
+    series
+      .select(col("key"), v.as("v"), x.as("x"), lead(v, 1).over(w).as("v_next"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("v")).as("mean"),
+        stddev_samp(col("v")).as("std"),
+        (covar_pop(col("x"), col("v")) / var_pop(col("x"))).as("slope"),
+        corr(col("v"), col("v_next")).as("acf1"),
+        (count(when(col("v") === 0.0, 1)).cast("double") / count(lit(1))).as("zero_frac"),
+        max(col("v")).as("vmax"),
+        var_pop(col("x")).as("__varx"))
+      .filter(col("n") >= 3 && col("__varx") > 0)
+      .select(
+        col("key"),
+        col("n"),
+        col("mean"),
+        col("std"),
+        when(col("mean") =!= 0.0, col("std") / col("mean")).as("cv"),
+        col("slope"),
+        when(col("acf1").isNotNull && !isnan(col("acf1")), col("acf1")).as("acf1"),
+        col("zero_frac"),
+        when(col("mean") =!= 0.0, col("vmax") / col("mean")).as("peak_over_mean"))
+  }
+
   /** Exponentially weighted moving average over the trailing `span` rows:
     * ewma(t) = Σ_k α^k·x(t−k) / Σ_k α^k over the observations present in
     * the frame (the leading edge renormalizes over what exists — the

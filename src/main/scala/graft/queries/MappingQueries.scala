@@ -416,6 +416,20 @@ object MappingQueries {
         round(col("trend"), 6).as("trend"),
         round(col("forecast"), 6).as("forecast"))
     }),
+    // catch22-lite per-key feature vector (series -> ML bridge): one
+    // window sort + one hash aggregate reusing the same key partitioning
+    "m34_features" -> ((s, dir) => {
+      Temporal.features(Tables.engagementSeries(s, dir), epoch = "2024-01-01").select(
+        col("key"),
+        col("n"),
+        round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"),
+        round(col("cv"), 6).as("cv"),
+        round(col("slope"), 6).as("slope"),
+        round(col("acf1"), 6).as("acf1"),
+        round(col("zero_frac"), 6).as("zero_frac"),
+        round(col("peak_over_mean"), 6).as("peak_over_mean"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -594,6 +608,27 @@ object MappingQueries {
          |       round(r.trend, 6) AS trend,
          |       round(r.level + 7 * r.trend, 6) AS forecast
          |FROM rec r JOIN nk ON nk.key = r.key AND r.i = nk.n""".stripMargin,
+    "m34_features" ->
+      s"""$seriesCte, led AS (
+         |  SELECT key, v1 AS v, (period - DATE '2024-01-01')::DOUBLE AS x,
+         |         lead(v1) OVER (PARTITION BY key ORDER BY period) AS v_next
+         |  FROM t1
+         |), ag AS (
+         |  SELECT key, COUNT(*) AS n, avg(v) AS mean, stddev_samp(v) AS std,
+         |         covar_pop(x, v) / var_pop(x) AS slope,
+         |         corr(v, v_next) AS acf1,
+         |         COUNT(CASE WHEN v = 0.0 THEN 1 END)::DOUBLE / COUNT(*) AS zero_frac,
+         |         MAX(v) AS vmax, var_pop(x) AS varx
+         |  FROM led GROUP BY key
+         |  HAVING COUNT(*) >= 3 AND var_pop(x) > 0
+         |)
+         |SELECT key, n, round(mean, 6) AS mean, round(std, 6) AS std,
+         |       round(CASE WHEN mean <> 0.0 THEN std / mean END, 6) AS cv,
+         |       round(slope, 6) AS slope,
+         |       round(CASE WHEN acf1 IS NOT NULL AND NOT isnan(acf1) THEN acf1 END, 6) AS acf1,
+         |       round(zero_frac, 6) AS zero_frac,
+         |       round(CASE WHEN mean <> 0.0 THEN vmax / mean END, 6) AS peak_over_mean
+         |FROM ag""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,

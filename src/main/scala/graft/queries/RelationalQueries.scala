@@ -496,6 +496,45 @@ object RelationalQueries {
           sum(col("k")).as("sum_k"),
           round(avg(col("value")), 6).as("avg_value"))
     }),
+    // first-touch conversion funnel: per-user min-ts per step in ONE
+    // conditional aggregate (no per-step scans, no window), ordered-step
+    // flags derived after, then a tiny global rollup. Time-to-convert
+    // averages over exact integer millis so partial-agg order is moot.
+    "q37_funnel" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .select(
+          col("t_view").isNotNull.as("s1"),
+          coalesce(col("t_click") > col("t_view"), lit(false)).as("s2pre"),
+          coalesce(col("t_purchase") > col("t_click"), lit(false)).as("s3pre"),
+          (unix_millis(col("t_purchase")) - unix_millis(col("t_view"))).as("ms"))
+        .select(
+          col("s1"),
+          (col("s1") && col("s2pre")).as("s2"),
+          (col("s1") && col("s2pre") && col("s3pre")).as("s3"),
+          col("ms"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_converted"),
+        round(
+          sum(when(col("s2"), 1L).otherwise(0L)).cast("double") /
+            nullif(sum(when(col("s1"), 1L).otherwise(0L)), lit(0L)),
+          6).as("view_to_click"),
+        round(
+          sum(when(col("s3"), 1L).otherwise(0L)).cast("double") /
+            nullif(sum(when(col("s2"), 1L).otherwise(0L)), lit(0L)),
+          6).as("click_to_purchase"),
+        round(
+          (sum(when(col("s3"), col("ms"))).cast("double") /
+            nullif(sum(when(col("s3"), 1L).otherwise(0L)), lit(0L))) / 3.6e6,
+          6).as("avg_hours_to_convert"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -726,6 +765,33 @@ object RelationalQueries {
         |       round(MIN(mad.d), 6) AS mad
         |FROM lineitem l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+    "q37_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |), st AS (
+        |  SELECT (t_view IS NOT NULL) AS s1,
+        |         (t_view IS NOT NULL) AND COALESCE(t_click > t_view, FALSE) AS s2,
+        |         (t_view IS NOT NULL) AND COALESCE(t_click > t_view, FALSE)
+        |           AND COALESCE(t_purchase > t_click, FALSE) AS s3,
+        |         epoch_ms(t_purchase) - epoch_ms(t_view) AS ms
+        |  FROM per
+        |)
+        |SELECT COUNT(*) AS n_users,
+        |       SUM(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |       SUM(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_click_after_view,
+        |       SUM(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+        |       round(SUM(CASE WHEN s2 THEN 1 ELSE 0 END)::DOUBLE
+        |             / NULLIF(SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 0), 6) AS view_to_click,
+        |       round(SUM(CASE WHEN s3 THEN 1 ELSE 0 END)::DOUBLE
+        |             / NULLIF(SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 0), 6) AS click_to_purchase,
+        |       round((SUM(CASE WHEN s3 THEN ms END)::DOUBLE
+        |             / NULLIF(SUM(CASE WHEN s3 THEN 1 ELSE 0 END), 0)) / 3.6e6, 6)
+        |         AS avg_hours_to_convert
+        |FROM st""".stripMargin,
     "q36_json" ->
       """WITH p AS (
         |  SELECT event_type, (props->>'k')::BIGINT AS k, value FROM events
