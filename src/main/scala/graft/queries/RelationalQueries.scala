@@ -535,6 +535,84 @@ object RelationalQueries {
             nullif(sum(when(col("s3"), 1L).otherwise(0L)), lit(0L))) / 3.6e6,
           6).as("avg_hours_to_convert"))
     }),
+    // weekly cohort retention: distinct (user, week) activity → first
+    // week per user → (cohort, offset) counts → rate against the
+    // cohort's own week-0 row. Every stage is a partial-aggregated
+    // count-distinct or a join of TINY aggregated tables; the raw events
+    // shuffle once.
+    "q38_retention" -> ((s, dir) => {
+      val activity = t(s, dir, "events")
+        .select(
+          col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val cohort = activity.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val ret = activity
+        .join(cohort, Seq("user_id"))
+        .groupBy(
+          col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val base = ret
+        .filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_active").as("cohort_size"))
+      ret
+        .join(base, Seq("cohort_week"))
+        .select(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"),
+          col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+    }),
+    // RFM segmentation with exact-median splits: per-user recency /
+    // frequency / monetary in one conditional aggregate, split points
+    // from one 1-row percentile aggregate (broadcast back), segments as
+    // deterministic threshold CASEs — no ntile, whose tie placement is
+    // row-order-dependent and engine-unstable
+    "q39_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val asOf = ev.agg(max(col("ts")).as("as_of"))
+      val per = ev
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("f"),
+          // exact-decimal sum (q34 pattern): m feeds a >-vs-median split,
+          // where a double sum's partial-aggregation order could flip a
+          // boundary user's segment between engines
+          coalesce(
+            sum(when(col("event_type") === "purchase",
+              round(col("value"), 6).cast("decimal(28,6)"))).cast("double"),
+            lit(0.0)).as("m"))
+        .crossJoin(broadcast(asOf))
+        .select(
+          col("user_id"),
+          datediff(to_date(col("as_of")), to_date(col("last_ts"))).cast("double").as("r"),
+          col("f").cast("double").as("f"),
+          col("m"))
+      val splits = per.agg(
+        percentile(col("r"), lit(0.5)).as("r50"),
+        percentile(col("f"), lit(0.5)).as("f50"),
+        percentile(col("m"), lit(0.5)).as("m50"))
+      per
+        .crossJoin(broadcast(splits))
+        .select(
+          col("user_id"), col("r"), col("f"), col("m"),
+          // low recency-days is GOOD: score 1 when at or under the median
+          when(col("r") <= col("r50"), 1L).otherwise(0L).as("r_hot"),
+          when(col("f") > col("f50"), 1L).otherwise(0L).as("f_hi"),
+          when(col("m") > col("m50"), 1L).otherwise(0L).as("m_hi"))
+        .groupBy(
+          (col("r_hot") * 4 + col("f_hi") * 2 + col("m_hi")).as("segment"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(avg(col("r")), 6).as("avg_recency_days"),
+          round(avg(col("f")), 6).as("avg_frequency"),
+          round(
+            (sum(col("m").cast("decimal(28,6)")).cast("double") / count(lit(1))),
+            6).as("avg_monetary"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -765,6 +843,50 @@ object RelationalQueries {
         |       round(MIN(mad.d), 6) AS mad
         |FROM lineitem l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
+    "q38_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+        |), ret AS (
+        |  SELECT c.cohort_week, (date_diff('day', c.cohort_week, a.week) // 7)::BIGINT AS week_offset,
+        |         COUNT(DISTINCT a.user_id) AS n_active
+        |  FROM activity a JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2
+        |), base AS (
+        |  SELECT cohort_week, n_active AS cohort_size FROM ret WHERE week_offset = 0
+        |)
+        |SELECT CAST(r.cohort_week AS VARCHAR) AS cohort_week, r.week_offset,
+        |       r.n_active, b.cohort_size,
+        |       round(r.n_active::DOUBLE / b.cohort_size, 6) AS retention
+        |FROM ret r JOIN base b USING (cohort_week)""".stripMargin,
+    "q39_rfm" ->
+      """WITH snap AS (SELECT MAX(ts) AS as_of FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |         date_diff('day', MAX(ts)::DATE, (SELECT as_of FROM snap)::DATE)::DOUBLE AS r,
+        |         COUNT(*)::DOUBLE AS f,
+        |         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |                           THEN CAST(round(value, 6) AS DECIMAL(28,6)) END)::DOUBLE,
+        |                  0.0) AS m
+        |  FROM events GROUP BY user_id
+        |), sp AS (
+        |  SELECT quantile_cont(r, 0.5) AS r50, quantile_cont(f, 0.5) AS f50,
+        |         quantile_cont(m, 0.5) AS m50
+        |  FROM per
+        |), scored AS (
+        |  SELECT user_id, r, f, m,
+        |         CASE WHEN r <= sp.r50 THEN 1 ELSE 0 END AS r_hot,
+        |         CASE WHEN f > sp.f50 THEN 1 ELSE 0 END AS f_hi,
+        |         CASE WHEN m > sp.m50 THEN 1 ELSE 0 END AS m_hi
+        |  FROM per, sp
+        |)
+        |SELECT (r_hot * 4 + f_hi * 2 + m_hi)::BIGINT AS segment,
+        |       COUNT(*) AS n_users,
+        |       round(SUM(r) / COUNT(*), 6) AS avg_recency_days,
+        |       round(SUM(f) / COUNT(*), 6) AS avg_frequency,
+        |       round(SUM(CAST(m AS DECIMAL(28,6)))::DOUBLE / COUNT(*), 6) AS avg_monetary
+        |FROM scored GROUP BY 1""".stripMargin,
     "q37_funnel" ->
       """WITH per AS (
         |  SELECT user_id,
