@@ -146,6 +146,99 @@ object Temporal {
       .limit(topK)
   }
 
+  /** Scale path for [[pairCorrelations]]: banded sign-LSH candidate
+    * generation over per-key shape sketches, then the EXACT correlation
+    * only on candidate pairs — the [[graft.functions.Similarity]]
+    * recall-hardening pattern applied to series co-movement.
+    *
+    * Why the sketch works: Pearson correlation is the cosine of the
+    * CENTERED series, so two correlated keys agree on which calendar
+    * slots sit above vs below their own mean. Each key gets a dense
+    * `nBits·nBands`-slot vector of (slot mean − key mean), missing
+    * slots centered to 0, and [[graft.functions.Similarity
+    * .signBandBuckets]] band-hashes the sign pattern: a pair is a
+    * candidate if ANY band matches (OR-amplification), so the exact
+    * corr join touches |candidates| pairs instead of |active-keys|² —
+    * the difference between a day and never at 100 TB. Recall vs the
+    * exact screen is locked by PairCorrRecallSpec. */
+  def pairCorrelationsBanded(
+      series: DataFrame,
+      epoch: String,
+      slotDays: Int,
+      nBits: Int,
+      nBands: Int,
+      minOverlap: Int,
+      topK: Int): DataFrame = {
+    val dim = nBits * nBands
+    val slotOf = (datediff(col("period"), to_date(lit(epoch))) / slotDays).cast("int")
+    val slots = series
+      .select(col("key"), slotOf.as("slot"), col("value"))
+      .filter(col("slot") >= 0 && col("slot") < dim)
+      .groupBy(col("key"), col("slot"))
+      .agg(avg(col("value")).as("sv"))
+    val centered = slots
+      .groupBy(col("key"))
+      .agg(
+        avg(col("sv")).as("km"),
+        map_from_entries(collect_list(struct(col("slot"), col("sv")))).as("mp"))
+      .select(
+        col("key"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          s => coalesce(element_at(col("mp"), s), col("km")) - col("km")).as("vec"))
+    // canonical bucket = min(pattern, complement): the exact screen ranks
+    // by |corr|, and an ANTI-correlated pair has the MIRRORED sign
+    // pattern — folding each bucket with its bit-complement makes both
+    // co-movement directions collide
+    val full = (1L << nBits) - 1L
+    val buckets = centered
+      .select(
+        col("key"),
+        explode(graft.functions.Similarity.signBandBuckets(col("vec"), nBits, nBands))
+          .as("bb"))
+      .select(
+        col("key"),
+        col("bb.band").as("band"),
+        least(col("bb.bucket"), lit(full).bitwiseXOR(col("bb.bucket"))).as("bucket"))
+    // multi-probe (Hamming-1): one side also joins under each one-bit
+    // flip of its canonical bucket — a pair whose sign patterns disagree
+    // on a single slot of a band still collides. Flipping is symmetric,
+    // so probing the x side alone covers both directions; the y side
+    // stays canonical and the match is still ONE equi-join.
+    val canonProbe = (b: Column) =>
+      least(b, lit(full).bitwiseXOR(b))
+    val probed = buckets.select(
+      col("key"),
+      col("band"),
+      explode(
+        array_distinct(concat(
+          array(col("bucket")),
+          transform(
+            sequence(lit(0), lit(nBits - 1)),
+            i => canonProbe(col("bucket").bitwiseXOR(
+              pow(lit(2.0), i.cast("double")).cast("long"))))))).as("bucket"))
+    val cands = probed.alias("x")
+      .join(
+        buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.key") < col("y.key"))
+      .select(col("x.key").as("key_a"), col("y.key").as("key_b"))
+      .distinct()
+    val a = series.select(col("key").as("key_a"), col("period"), col("value").as("va"))
+    val b = series.select(col("key").as("key_b"), col("period"), col("value").as("vb"))
+    cands
+      .join(a, Seq("key_a"))
+      .join(b, Seq("key_b", "period"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(corr(col("va"), col("vb")).as("correlation"), count(lit(1)).as("n_overlap"))
+      .filter(
+        col("n_overlap") >= minOverlap &&
+          col("correlation").isNotNull && !isnan(col("correlation")))
+      .withColumn("correlation", round(col("correlation"), 6))
+      .orderBy(abs(col("correlation")).desc, col("key_a").asc, col("key_b").asc)
+      .limit(topK)
+  }
+
   /** Per-key time-series feature vector — the bridge from the series
     * family to the ML/clustering family (catch22-lite): count, mean,
     * sample std, coefficient of variation, OLS slope, lag-1

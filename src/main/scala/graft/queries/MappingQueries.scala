@@ -430,6 +430,18 @@ object MappingQueries {
         round(col("zero_frac"), 6).as("zero_frac"),
         round(col("peak_over_mean"), 6).as("peak_over_mean"))
     }),
+    // m32's scale path: banded sign-LSH candidates over centered shape
+    // sketches (corr = cosine of the centered series), exact corr ONLY
+    // on candidate pairs — |candidates| instead of |keys|² at 100 TB
+    "m35_pair_corr_banded" -> ((s, dir) => {
+      Temporal.pairCorrelationsBanded(
+        Tables.engagementSeries(s, dir), epoch = "2024-01-01",
+        slotDays = 2, nBits = 3, nBands = 5, minOverlap = 10, topK = 50).select(
+        col("key_a"),
+        col("key_b"),
+        col("correlation"),
+        col("n_overlap"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -629,6 +641,56 @@ object MappingQueries {
          |       round(zero_frac, 6) AS zero_frac,
          |       round(CASE WHEN mean <> 0.0 THEN vmax / mean END, 6) AS peak_over_mean
          |FROM ag""".stripMargin,
+    // Bands are replayed arithmetically: the raw bucket starts from all
+    // bits set (missing/above-mean slots both center >= 0) and clears
+    // the bit of every present slot BELOW the key mean — identical to
+    // signBandBuckets over the filled centered vector. Canonical fold
+    // (LEAST with the complement) and Hamming-1 probes mirror the Spark
+    // operator exactly.
+    "m35_pair_corr_banded" ->
+      s"""$seriesCte, slots AS (
+         |  SELECT key, ((period - DATE '2024-01-01') // 2)::INT AS slot, avg(v1) AS sv
+         |  FROM t1
+         |  WHERE ((period - DATE '2024-01-01') // 2) >= 0
+         |    AND ((period - DATE '2024-01-01') // 2) < 15
+         |  GROUP BY 1, 2
+         |), keymean AS (
+         |  SELECT key, avg(sv) AS km FROM slots GROUP BY key
+         |), neg AS (
+         |  SELECT s.key, (s.slot // 3) AS band,
+         |         SUM(CASE WHEN s.sv < m.km
+         |                  THEN POWER(2.0, s.slot % 3)::BIGINT ELSE 0 END) AS negbits
+         |  FROM slots s JOIN keymean m USING (key)
+         |  GROUP BY 1, 2
+         |), allb AS (
+         |  SELECT key, UNNEST(generate_series(0, 4)) AS band FROM keymean
+         |), buck AS (
+         |  SELECT a.key, a.band,
+         |         LEAST(7 - COALESCE(n.negbits, 0), COALESCE(n.negbits, 0)) AS bucket
+         |  FROM allb a LEFT JOIN neg n ON n.key = a.key AND n.band = a.band
+         |), probes AS (
+         |  SELECT key, band,
+         |         UNNEST(list_distinct([bucket] || list_transform(
+         |           generate_series(0, 2), i ->
+         |             LEAST(xor(bucket, POWER(2.0, i)::BIGINT),
+         |                   7 - xor(bucket, POWER(2.0, i)::BIGINT))))) AS bucket
+         |  FROM buck
+         |), cand AS (
+         |  SELECT DISTINCT x.key AS key_a, y.key AS key_b
+         |  FROM probes x JOIN buck y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.key < y.key
+         |), pc AS (
+         |  SELECT c.key_a, c.key_b, corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap
+         |  FROM cand c
+         |  JOIN t1 a ON a.key = c.key_a
+         |  JOIN t1 b ON b.key = c.key_b AND b.period = a.period
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+         |)
+         |SELECT key_a, key_b, round(correlation, 6) AS correlation, n_overlap
+         |FROM pc
+         |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+         |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
+         |LIMIT 50""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,
