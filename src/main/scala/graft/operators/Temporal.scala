@@ -4,17 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Temporal re-aggregation over the canonical (key, period, value) series:
-  * OHLC bars, time-weighted averages, gap reports, and exponentially
-  * weighted means.
+/** Temporal re-aggregation and screening over the canonical
+  * (key, period, value) series: OHLC bars, time-weighted averages, gap
+  * reports, exponentially weighted means, OLS trend fits, per-key
+  * feature vectors, and the cross-entity co-movement screens.
   *
   * The reference resamples its daily series only by zero-fill before
   * correlating (mapping_engine.py:96-115); these are the standard
   * downsampling/summary forms its users apply to the same series before
-  * or after mapping. All four are single-exchange plans: one hash
-  * aggregate (bars, twap) or one window sort (gaps, ewma) per key — no
-  * joins, no UDFs, nothing leaves whole-stage codegen, so each survives a
-  * 100 TB fact table at the cost of exactly one shuffle on `key`.
+  * or after mapping. The per-key operators are single-exchange plans:
+  * one hash aggregate (bars, twap, trend, features) or one window sort
+  * (gaps, ewma) per key — no joins, no UDFs, nothing leaves whole-stage
+  * codegen, so each survives a 100 TB fact table at the cost of exactly
+  * one shuffle on `key`. The pair screens are the intrinsically
+  * quadratic exception; see [[pairCorrelationsBanded]] for the
+  * candidate-generation scale path.
   */
 object Temporal {
 

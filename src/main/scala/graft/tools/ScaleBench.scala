@@ -3,7 +3,7 @@ package graft.tools
 import graft.core.{MappingConfig, PeriodUnit}
 import graft.operators.{DtwMapping, LagCorrelation}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale stress benchmark: synthesize a two-series workload far above the
@@ -622,7 +622,90 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Exact-vs-banded pair-correlation A/B: nKeys daily series with
+    * planted co-moving pairs (key 2i+1 mirrors key 2i, sign flipping by
+    * parity so both correlation directions are exercised); times the
+    * O(keys²) exact screen against the sign-LSH candidate screen and
+    * reports how many of the exact top-k the banded path recovered.
+    * Usage: runMain graft.tools.ScaleBench paircorr [nKeys] [nDays] */
+  def pairCorrMain(
+      spark: SparkSession,
+      nKeys: Long,
+      nDays: Int,
+      bandedOnly: Boolean = false): Unit = {
+    import graft.operators.Temporal
+    val base = spark.range(nKeys * nDays).select(
+      (col("id") / nDays).cast("long").as("k"),
+      (col("id") % nDays).cast("int").as("d"))
+    // every even key is IID hash noise (uncorrelated with everything, so
+    // the exact top-k separates cleanly: |corr| ~ N(0, 1/sqrt(nDays)) off
+    // the plant); its odd partner MIRRORS it (anti-correlated) plus a 5%
+    // jitter. A shared parametric family (e.g. sinusoids) would make
+    // unrelated keys genuinely correlated and the candidate set densely,
+    // correctly, quadratic — structure, not a screen property.
+    def noiseOf(k: Column) =
+      pmod(hash(k, col("d")), lit(1000)).cast("double") / 1000.0 - 0.5
+    val even = (col("k") / 2).cast("long") * 2
+    val jitter = pmod(hash(col("k"), col("d"), lit(7)), lit(1000)).cast("double") / 20000.0
+    val series = base.select(
+      col("k").cast("string").as("key"),
+      date_add(lit("2020-01-01").cast("date"), col("d")).as("period"),
+      (when(pmod(col("k"), lit(2)) === 0, noiseOf(even)).otherwise(-noiseOf(even)) * 10.0
+        + jitter).as("value")).cache()
+    val inputRows = series.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val topK = 200
+    // LSH sizing scales with the corpus: the canonical bucket space is
+    // 2^(nBits-1), and selectivity needs ~O(1) keys per bucket, so
+    // nBits ~ log2(nKeys) + margin. (The registered m35 uses 3x5 — sized
+    // for the 150-key harness; this A/B sizes for ITS corpus. Fixed
+    // small-corpus bits at 5000 keys invert the win: 4 canonical buckets
+    // put ~1250 keys in each, and the candidate join dwarfs the exact
+    // screen. Bits are the knob, not the verdict.)
+    val nBits = math.min(18, (math.log(nKeys.toDouble) / math.log(2.0)).ceil.toInt + 2)
+    val nBands = math.max(2, math.min(5, nDays / nBits))
+    val (exact, exactSec) =
+      if (bandedOnly) (Array.empty[org.apache.spark.sql.Row], Double.NaN)
+      else time(Temporal.pairCorrelations(series, minOverlap = 10, topK = topK).collect())
+    val (banded, bandedSec) = time(
+      Temporal.pairCorrelationsBanded(
+        series, "2020-01-01", slotDays = 1,
+        nBits = nBits, nBands = nBands, minOverlap = 10, topK = topK).collect())
+    // with bandedOnly the planted ground truth stands in for the exact
+    // screen: the strongest |corr| pairs are the constructed (2i, 2i+1)
+    val hit =
+      if (bandedOnly)
+        banded.count(r => r.getString(0).toLong / 2 == r.getString(1).toLong / 2)
+      else {
+        val exactSet = exact.map(r => (r.getString(0), r.getString(1))).toSet
+        banded.count(r => exactSet((r.getString(0), r.getString(1))))
+      }
+    println(
+      s"""{"workload":{"keys":$nKeys,"days":$nDays,"input_rows":$inputRows,"top_k":$topK},
+         |"exact":{"sec":$exactSec,"pairs_considered":${nKeys * (nKeys - 1) / 2}},
+         |"banded":{"sec":$bandedSec,"recall_at_k":${hit.toDouble / topK}},
+         |"speedup":${exactSec / bandedSec}}""".stripMargin.replace("\n", ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("paircorr")) {
+      val nKeys = if (args.length > 1) args(1).toLong else 5000L
+      val nDays = if (args.length > 2) args(2).toInt else 60
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      pairCorrMain(spark, nKeys, nDays, bandedOnly = args.contains("bandedOnly"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("temporal")) {
       val nKeys = if (args.length > 1) args(1).toLong else 1000000L
       val nDays = if (args.length > 2) args(2).toInt else 60
