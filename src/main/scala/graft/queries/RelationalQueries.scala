@@ -613,6 +613,47 @@ object RelationalQueries {
             (sum(col("m").cast("decimal(28,6)")).cast("double") / count(lit(1))),
             6).as("avg_monetary"))
     }),
+    // hopping-window aggregation with Spark's native window() TVF (the
+    // batch form of the streaming daily tumble): 7-day windows sliding
+    // 1 day, so each event lands in 7 — the engine expands windows at
+    // the scan, one hash aggregate after
+    "q40_hopping" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 6)
+            .as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("event_type"),
+          col("n"),
+          col("total_value"))
+    }),
+    // gaps-and-islands: contiguous per-user runs of the same event_type
+    // (SCD2-style validity ranges) via the row_number-difference trick —
+    // two window functions over ONE sort, no self-join
+    "q41_runs" -> ((s, dir) => {
+      val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          (row_number().over(wAll) - row_number().over(wTyp)).as("grp"))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(
+          count(lit(1)).as("run_len"),
+          min(col("ts")).as("from_ts"),
+          max(col("ts")).as("to_ts"))
+        .filter(col("run_len") >= 3)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("run_len"),
+          date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -914,6 +955,28 @@ object RelationalQueries {
         |             / NULLIF(SUM(CASE WHEN s3 THEN 1 ELSE 0 END), 0)) / 3.6e6, 6)
         |         AS avg_hours_to_convert
         |FROM st""".stripMargin,
+    // Spark's window(ts, 7d, 1d) is epoch-aligned at day granularity:
+    // an event belongs to the 7 windows starting ts::DATE-6 .. ts::DATE
+    "q40_hopping" ->
+      """WITH w AS (
+        |  SELECT ts::DATE - o.off::INTEGER AS win_start, event_type, value
+        |  FROM events, (SELECT UNNEST(generate_series(0, 6)) AS off) o
+        |)
+        |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type, COUNT(*) AS n,
+        |       round(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))::DOUBLE, 6) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q41_runs" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, COUNT(*) AS run_len,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM g GROUP BY user_id, event_type, grp
+        |HAVING COUNT(*) >= 3""".stripMargin,
     "q36_json" ->
       """WITH p AS (
         |  SELECT event_type, (props->>'k')::BIGINT AS k, value FROM events
