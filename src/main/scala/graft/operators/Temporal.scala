@@ -164,7 +164,17 @@ object Temporal {
     * candidate if ANY band matches (OR-amplification), so the exact
     * corr join touches |candidates| pairs instead of |active-keys|² —
     * the difference between a day and never at 100 TB. Recall vs the
-    * exact screen is locked by PairCorrRecallSpec. */
+    * exact screen is locked by PairCorrRecallSpec.
+    *
+    * SIZING IS THE CONTRACT: bits per band must scale with log₂(keys)
+    * (canonical space is 2^(nBits−1); aim for ~O(1) keys per bucket).
+    * Under-sized bands make the candidate join COSTLIER than the exact
+    * screen — measured both ways in PERF.md (3-bit bands at 5k keys:
+    * 12× slower than exact; 18-bit at 50k keys: 20 s vs ~2 h). At
+    * harness scale (150–1500 keys, 30-day series) the exact screen is
+    * simply the right tool; this operator's registration there exists
+    * to oracle-verify the banding arithmetic, and its speed case lives
+    * in `ScaleBench paircorr`. */
   def pairCorrelationsBanded(
       series: DataFrame,
       epoch: String,
