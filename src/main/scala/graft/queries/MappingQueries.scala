@@ -442,6 +442,34 @@ object MappingQueries {
         col("correlation"),
         col("n_overlap"))
     }),
+    // config sensitivity diff: how the recommended lag table changes
+    // when maxLag tightens 6 → 3 — the regression-diff a user runs
+    // before rolling out a config change. Both variants derive from the
+    // SAME staged corr table (one kernel pass, filtered twice), then a
+    // full-outer diff classifies each key.
+    "m36_config_diff" -> ((s, dir) => {
+      val corr = graft.sources.StagingCache.getOrElseUpdate(s, s"lagCorrTable:$dir") {
+        LagCorrelation.lagCorrTable(merged(s, dir), cfg)
+      }
+      val oldBest = LagCorrelation.bestLag(corr)
+        .select(col("key"), col("optimal_lag").as("old_lag"), col("correlation").as("old_corr"))
+      val newBest = LagCorrelation.bestLag(corr.filter(col("lag") <= 3))
+        .select(col("key"), col("optimal_lag").as("new_lag"), col("correlation").as("new_corr"))
+      oldBest
+        .join(newBest, Seq("key"), "full_outer")
+        .select(
+          col("key"),
+          col("old_lag").cast("long").as("old_lag"),
+          col("new_lag").cast("long").as("new_lag"),
+          col("old_corr"),
+          col("new_corr"),
+          when(col("old_lag").isNull, lit("added"))
+            .when(col("new_lag").isNull, lit("removed"))
+            .when(col("old_lag") === col("new_lag"), lit("unchanged"))
+            .otherwise(lit("lag_changed")).as("status"),
+          round(coalesce(col("old_corr"), lit(0.0)) - coalesce(col("new_corr"), lit(0.0)), 6)
+            .as("corr_give_up"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -691,6 +719,23 @@ object MappingQueries {
          |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
          |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
          |LIMIT 50""".stripMargin,
+    "m36_config_diff" ->
+      s"""$seriesCte, newbest AS (
+         |  SELECT key, lag, round(correlation, 6) AS correlation, n_overlap,
+         |         row_number() OVER (PARTITION BY key ORDER BY round(correlation, 6) DESC, lag ASC) AS rn
+         |  FROM valid_corrs WHERE lag <= 3
+         |), new1 AS (
+         |  SELECT key, lag AS new_lag, correlation AS new_corr FROM newbest WHERE rn = 1
+         |)
+         |SELECT COALESCE(o.key, n.key) AS key,
+         |       o.optimal_lag AS old_lag, n.new_lag,
+         |       o.correlation AS old_corr, n.new_corr,
+         |       CASE WHEN o.optimal_lag IS NULL THEN 'added'
+         |            WHEN n.new_lag IS NULL THEN 'removed'
+         |            WHEN o.optimal_lag = n.new_lag THEN 'unchanged'
+         |            ELSE 'lag_changed' END AS status,
+         |       round(COALESCE(o.correlation, 0.0) - COALESCE(n.new_corr, 0.0), 6) AS corr_give_up
+         |FROM best1 o FULL OUTER JOIN new1 n ON n.key = o.key""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,

@@ -654,6 +654,33 @@ object RelationalQueries {
           date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
     }),
+    // contribution / Pareto analysis: per-nation revenue share and the
+    // cumulative share walked in revenue-desc order. The windows run
+    // over the ALREADY-AGGREGATED 25-row table — a single-partition
+    // window is only a scale bug on raw data, not on a group-by result
+    // bounded by the dimension's cardinality
+    "q42_contribution" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val wAll = Window.partitionBy()
+      val wCum = Window
+        .partitionBy()
+        .orderBy(col("rev").desc, col("n_name").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .select(
+          col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / sum(col("rev")).over(wAll).cast("double"), 6)
+            .as("share"),
+          round(
+            sum(col("rev")).over(wCum).cast("double") /
+              sum(col("rev")).over(wAll).cast("double"),
+            6).as("cum_share"))
+    }),
     // A9 derived-ratio aggregate with NULLIF guard
     "q13_ratio" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -977,6 +1004,20 @@ object RelationalQueries {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS valid_to
         |FROM g GROUP BY user_id, event_type, grp
         |HAVING COUNT(*) >= 3""".stripMargin,
+    "q42_contribution" ->
+      """WITH rev AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, rev::DOUBLE AS revenue,
+        |       round(rev::DOUBLE / (SUM(rev) OVER ())::DOUBLE, 6) AS share,
+        |       round((SUM(rev) OVER (ORDER BY rev DESC, n_name ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |             / (SUM(rev) OVER ())::DOUBLE, 6) AS cum_share
+        |FROM rev""".stripMargin,
     "q36_json" ->
       """WITH p AS (
         |  SELECT event_type, (props->>'k')::BIGINT AS k, value FROM events

@@ -612,13 +612,16 @@ object ScaleBench {
     val (gapRows, gapSec) = time(run(Temporal.gapReport(series), "gap_days"))
     val (ewmaRows, ewmaSec) = time(run(Temporal.ewma(series, 0.5, 10), "ewma"))
     val (trendRows, trendSec) = time(run(Temporal.trendFit(series, "2020-01-01"), "forecast"))
+    val (holtRows, holtSec) = time(
+      run(graft.operators.Forecast.holt(series, 0.5, 0.5, 7).toDF(), "forecast"))
     println(
       s"""{"workload":{"keys":$nKeys,"days":$nDays,"input_rows":$inputRows},
          |"ohlc":{"sec":$ohlcSec,"rows":$ohlcRows,"rec_per_sec":${(inputRows / ohlcSec).toLong}},
          |"twap":{"sec":$twapSec,"rows":$twapRows,"rec_per_sec":${(inputRows / twapSec).toLong}},
          |"gaps":{"sec":$gapSec,"rows":$gapRows,"rec_per_sec":${(inputRows / gapSec).toLong}},
          |"ewma":{"sec":$ewmaSec,"rows":$ewmaRows,"rec_per_sec":${(inputRows / ewmaSec).toLong}},
-         |"trend":{"sec":$trendSec,"rows":$trendRows,"rec_per_sec":${(inputRows / trendSec).toLong}}}"""
+         |"trend":{"sec":$trendSec,"rows":$trendRows,"rec_per_sec":${(inputRows / trendSec).toLong}},
+         |"holt":{"sec":$holtSec,"rows":$holtRows,"rec_per_sec":${(inputRows / holtSec).toLong}}}"""
         .stripMargin.replace("\n", ""))
   }
 

@@ -104,6 +104,35 @@ class TemporalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.head._3 == -1.0 && r.head._4 == 12L)
   }
 
+  test("invariants on a seeded random series: gaps tile the range, ewma stays in hull") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      k <- 0 until 8
+      d <- 0 until 40 if rnd.nextDouble() > 0.3 // ~30% missing days
+    } yield (s"K$k", d, rnd.nextDouble() * 100.0)
+    val s = daily(rows)
+
+    // observed days + reported gap days tile each key's [min, max] range
+    val spans = s.groupBy($"key")
+      .agg(min($"period").as("p0"), max($"period").as("p1"), count(lit(1)).as("n_obs"))
+      .select($"key", (datediff($"p1", $"p0") + 1).as("range_days"), $"n_obs")
+      .as[(String, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val gapDays = Temporal.gapReport(s)
+      .groupBy($"key").agg(sum($"gap_days").as("g"))
+      .as[(String, Long)].collect().toMap
+    spans.foreach { case (k, (range, nObs)) =>
+      assert(gapDays.getOrElse(k, 0L) + nObs == range.toLong, s"key $k does not tile")
+    }
+
+    // ewma is a convex combination of window values: always inside the
+    // hull of the key's observed values
+    val hull = s.groupBy($"key").agg(min($"value").as("lo"), max($"value").as("hi"))
+    val out = Temporal.ewma(s, alpha = 0.5, span = 10)
+      .join(hull, Seq("key"))
+      .filter($"ewma" < $"lo" - 1e-9 || $"ewma" > $"hi" + 1e-9)
+    assert(out.count() == 0, "ewma escaped the value hull")
+  }
+
   test("ewma: alpha=0.5 weights halve per step and renormalize at the edge") {
     val s = daily(Seq(("K1", 0, 8.0), ("K1", 1, 4.0), ("K1", 2, 2.0)))
     val out = Temporal.ewma(s, alpha = 0.5, span = 4)
