@@ -470,6 +470,50 @@ object MappingQueries {
           round(coalesce(col("old_corr"), lit(0.0)) - coalesce(col("new_corr"), lit(0.0)), 6)
             .as("corr_give_up"))
     }),
+    // Holt backtest: train on all but each key's LAST 7 observations,
+    // forecast the holdout positionally (h = 1..7 ahead of the train
+    // frontier), and score per key — the evaluation loop that tells a
+    // user whether m33's smoothing is trustworthy before they act on it
+    "m37_backtest" -> ((s, dir) => {
+      val holdout = 7
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("period"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      val numbered = Tables.engagementSeries(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("n") >= holdout + 2) // train needs >= 2 points
+      val train = numbered.filter(col("rn") <= col("n") - holdout)
+        .select(col("key"), col("period"), col("value"))
+      val test = numbered.filter(col("rn") > col("n") - holdout)
+        .select(
+          col("key"),
+          (col("rn") - (col("n") - holdout)).cast("long").as("h"),
+          col("value").as("actual"))
+      val states = Forecast.holt(train, alpha = 0.5, beta = 0.5, horizon = 1).toDF()
+        .select(col("key"), col("n").as("n_train"), col("level"), col("trend"))
+      test
+        .join(states, Seq("key"))
+        .select(
+          col("key"), col("n_train"), col("h"), col("actual"),
+          (col("level") + col("h") * col("trend")).as("fc"))
+        .groupBy(col("key"), col("n_train"))
+        .agg(
+          count(lit(1)).as("n_test"),
+          // per-row errors are bit-identical across engines; only the SUM
+          // order isn't — round each to 9 decimals and sum as exact
+          // decimals so a 7-value sum can't straddle the final round-6
+          round(
+            sum(round(abs(col("fc") - col("actual")), 9).cast("decimal(28,9)"))
+              .cast("double") / count(lit(1)),
+            6).as("mae"),
+          round(
+            sqrt(
+              sum(round((col("fc") - col("actual")) * (col("fc") - col("actual")), 9)
+                .cast("decimal(28,9)")).cast("double") / count(lit(1))),
+            6).as("rmse"))
+        .select(col("key"), col("n_train"), col("n_test"), col("mae"), col("rmse"))
+    }),
     // level-shift screen: trailing-vs-prior 7-day means over pooled stddev
     "m21_changepoint" -> ((s, dir) => {
       val dense = SeriesTable.resample(Tables.engagementSeries(s, dir), cfg.periodUnit, "zero")
@@ -736,6 +780,40 @@ object MappingQueries {
          |            ELSE 'lag_changed' END AS status,
          |       round(COALESCE(o.correlation, 0.0) - COALESCE(n.new_corr, 0.0), 6) AS corr_give_up
          |FROM best1 o FULL OUTER JOIN new1 n ON n.key = o.key""".stripMargin,
+    // m33's recursion bounded at the train frontier (n - 7 observations
+    // per key), then scored against the positional holdout
+    "m37_backtest" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, obs AS (
+         |  SELECT key, row_number() OVER (PARTITION BY key ORDER BY period) AS i, v1::DOUBLE AS x
+         |  FROM t1
+         |), nk AS (
+         |  SELECT key, MAX(i) AS n FROM obs GROUP BY key HAVING MAX(i) >= 9
+         |), rec AS (
+         |  SELECT o1.key, 2 AS i, o2.x AS level, o2.x - o1.x AS trend
+         |  FROM obs o1 JOIN obs o2 ON o2.key = o1.key AND o1.i = 1 AND o2.i = 2
+         |  JOIN nk ON nk.key = o1.key
+         |  UNION ALL
+         |  SELECT r.key, r.i + 1,
+         |         0.5 * o.x + 0.5 * (r.level + r.trend) AS level,
+         |         0.5 * ((0.5 * o.x + 0.5 * (r.level + r.trend)) - r.level) + 0.5 * r.trend AS trend
+         |  FROM rec r
+         |  JOIN obs o ON o.key = r.key AND o.i = r.i + 1
+         |  JOIN nk ON nk.key = r.key AND r.i + 1 <= nk.n - 7
+         |), fin AS (
+         |  SELECT r.key, nk.n - 7 AS n_train, r.level, r.trend
+         |  FROM rec r JOIN nk ON nk.key = r.key AND r.i = nk.n - 7
+         |), test AS (
+         |  SELECT o.key, (o.i - (nk.n - 7))::BIGINT AS h, o.x AS actual
+         |  FROM obs o JOIN nk ON nk.key = o.key AND o.i > nk.n - 7
+         |)
+         |SELECT t.key, f.n_train::BIGINT AS n_train, COUNT(*) AS n_test,
+         |       round(SUM(CAST(round(abs(f.level + t.h * f.trend - t.actual), 9) AS DECIMAL(28,9)))::DOUBLE
+         |             / COUNT(*), 6) AS mae,
+         |       round(sqrt(SUM(CAST(round((f.level + t.h * f.trend - t.actual)
+         |                    * (f.level + t.h * f.trend - t.actual), 9) AS DECIMAL(28,9)))::DOUBLE
+         |             / COUNT(*)), 6) AS rmse
+         |FROM test t JOIN fin f ON f.key = t.key
+         |GROUP BY t.key, f.n_train""".stripMargin,
     "m18_rolling_corr" ->
       s"""$seriesCte
          |SELECT key, CAST(period AS VARCHAR) AS period,
