@@ -613,6 +613,29 @@ object TextQueries {
             6).as("short_frac"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    // dedup threshold sensitivity: how many candidate pairs and affected
+    // docs each near-dup threshold would sweep in — the m36 pattern
+    // (config sensitivity from ONE computation) applied to d3's pairs
+    "d55_threshold_sweep" -> ((s, dir) => {
+      val ths = Seq(0.3, 0.5, 0.7, 0.9)
+      val swept = Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("ej"))
+        .select(
+          col("id_a"), col("id_b"), col("ej"),
+          explode(array(ths.map(lit(_)): _*)).as("threshold"))
+        .filter(col("ej") >= col("threshold"))
+      swept
+        .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy(col("threshold"))
+        .agg(countDistinct(col("id")).as("n_docs_affected"))
+        .join(
+          swept.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs")),
+          Seq("threshold"))
+        .select(
+          round(col("threshold"), 2).as("threshold"),
+          col("n_pairs"),
+          col("n_docs_affected"))
+    }),
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "x1_multimodal_meta" -> ((s, dir) => {
       Multimodal.withBinaryPayload(docs(s, dir), "text").select(
@@ -721,6 +744,44 @@ object TextQueries {
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.id_a
          |JOIN sigs sb ON sb.doc_id = p.id_b""".stripMargin
+    },
+    "d55_threshold_sweep" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(UNNEST(shingles)), 1, 7))::BIGINT AS h FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, $minList AS sig FROM hashed GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |         ${phash("array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '_')")} AS bucket
+         |  FROM sigs, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |), scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |         round(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 6) AS ej
+         |  FROM pairs p
+         |  JOIN sigs sa ON sa.doc_id = p.id_a
+         |  JOIN sigs sb ON sb.doc_id = p.id_b
+         |), swept AS (
+         |  SELECT s.id_a, s.id_b, s.ej, t.threshold
+         |  FROM scored s, (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]) AS threshold) t
+         |  WHERE s.ej >= t.threshold
+         |)
+         |, aff AS (
+         |  SELECT threshold, COUNT(DISTINCT id) AS n_docs_affected
+         |  FROM (SELECT threshold, UNNEST([id_a, id_b]) AS id FROM swept)
+         |  GROUP BY threshold
+         |), np AS (
+         |  SELECT threshold, COUNT(*) AS n_pairs FROM swept GROUP BY threshold
+         |)
+         |SELECT round(np.threshold, 2) AS threshold, np.n_pairs, aff.n_docs_affected
+         |FROM np JOIN aff USING (threshold)""".stripMargin
     },
     "d4_simhash" ->
       s"""WITH h AS (
