@@ -84,7 +84,11 @@ object MappingEngine {
       .select(col("key")).distinct()
       .join(simpleKeys, Seq("key"), "left_anti")
 
-    val simpleBest = best.join(broadcast(simpleKeys), Seq("key"), "left_semi")
+    // per-entity key lists broadcast only under cfg.broadcastSummaries —
+    // the same gate Pipeline.run routes through: at 1M+ entities a forced
+    // broadcast of the segment key set is exactly what the gate prevents
+    def gate(df: DataFrame): DataFrame = LagCorrelation.maybeBroadcast(df, cfg)
+    val simpleBest = best.join(gate(simpleKeys), Seq("key"), "left_semi")
     val corrPart = LagCorrelation.mapping(t1, t2, simpleBest, cfg)
     // DTW is per-key independent, so precomputed full-table summaries
     // restricted to the complex segment are identical to running the
@@ -93,10 +97,10 @@ object MappingEngine {
     val dtwPart = dtwSummaries match {
       case Some(s) =>
         DtwMapping.mappingFromSummaries(
-          s.join(broadcast(complexKeys), Seq("key"), "left_semi"))
+          s.join(gate(complexKeys), Seq("key"), "left_semi"))
       case None =>
         DtwMapping.mapping(
-          merged.join(broadcast(complexKeys), Seq("key"), "left_semi"), cfg)
+          merged.join(gate(complexKeys), Seq("key"), "left_semi"), cfg)
     }
     // Schema union across method-specific columns (mapping_engine.py:746).
     corrPart.unionByName(dtwPart, allowMissingColumns = true)

@@ -181,4 +181,25 @@ class MappingEngineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val result = MappingEngine.mapTables(t1, t2, "k", "t", "v", "v", cfg)
     assert(result.count() == 0)
   }
+
+  test("autoMapping broadcasts are gated: broadcastSummaries=false forces no hint") {
+    // the segment key lists route through the same maybeBroadcast gate as
+    // Pipeline.run — at 1M+ entities the per-entity key set is exactly
+    // the table the gate exists to keep off the driver
+    val (txn, rev) = simpleData(5, 8)
+    val t1 = SeriesTable.canonicalize(txn, "customer_id", "month", "amount", PeriodUnit.Month)
+    val t2 = SeriesTable.canonicalize(rev, "customer_id", "month", "rev", PeriodUnit.Month)
+    val merged = SeriesTable.merge(t1, t2)
+    def run(bcast: Boolean) = MappingEngine.autoMapping(
+      merged, t1, t2, cfg.copy(method = "auto", broadcastSummaries = bcast))
+    val gated = run(false)
+    assert(
+      !gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "broadcastSummaries=false must leave the strategy to Catalyst/AQE")
+    assert(run(true).queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // and the gate never changes answers
+    val a = gated.collect().map(_.toString).sorted
+    val b = run(true).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }

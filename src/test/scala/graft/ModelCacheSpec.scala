@@ -28,6 +28,47 @@ class ModelCacheSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!(a eq c) && c.length == 4)
   }
 
+  test("pq code cache never reuses codes across differing training params") {
+    // the encoded-codes StagingCache key must mirror the FULL pq_books
+    // suffix: a caller sharing cacheKey/nSub/kSub but differing in a
+    // TRAINING param (iters here) trains a different codebook, so its
+    // codes must be a fresh encode — reusing the other caller's codes
+    // would silently score against the wrong book
+    val qs = emb.filter(col("vec_id") < 3)
+    def run(iters: Int) =
+      Similarity.pqTopK(emb, qs, "vec_id", "embedding", 3,
+        nSub = 8, kSub = 8, shortlist = 20, iters = iters, sampleN = 500,
+        cacheKey = Some("modelcache-params")).count()
+    run(1)
+    run(2)
+    val codesKey = (it: Int) => s"pq_codes:modelcache-params:s=8:k=8:it=$it:n=500:u=true"
+    assert(
+      graft.sources.StagingCache.contains(spark, codesKey(1)) &&
+        graft.sources.StagingCache.contains(spark, codesKey(2)),
+      "varying a training param must produce a fresh encode under its own key")
+  }
+
+  test("ModelCache builds for different keys do not serialize") {
+    // per-key futures, not a value map under one lock: while key A's
+    // (distributed, slow) build is in flight, key B's build must proceed
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val tA = new Thread(() =>
+      ModelCache.getOrElseUpdate(spark, "mc-conc-a") { started.countDown(); gate.await(); 1 })
+    tA.start()
+    started.await()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tB = new Thread(() => {
+      ModelCache.getOrElseUpdate(spark, "mc-conc-b")(2); done.set(true)
+    })
+    tB.start()
+    tB.join(10000)
+    assert(done.get, "build for an unrelated key blocked behind an in-flight build")
+    gate.countDown()
+    tA.join(10000)
+    assert(ModelCache.contains(spark, "mc-conc-a") && ModelCache.contains(spark, "mc-conc-b"))
+  }
+
   test("shared models do not change answers: cached ivf-pq == uncached ivf-pq") {
     val qs = emb.filter(col("vec_id") < 5)
     def run(key: Option[String]) =
