@@ -48,8 +48,16 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
-      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
+      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture can truncate a 135-query line; persist the complete
+    // machine-readable map alongside so every per-query number survives
+    // the round (overwritten each run)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"bench_full.json write failed: $e") }
     spark.stop()
   }
 }

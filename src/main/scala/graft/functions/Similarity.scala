@@ -394,6 +394,22 @@ object Similarity {
     case None => trainIvfCentroidsNow(corpus, idCol, vecCol, nCentroids, iters, sampleN)
   }
 
+  /** Deterministic ~`sampleN`-row training draw: a portable-hash
+    * Bernoulli filter ([[Sampling.hashSample]]), NOT `orderBy(id)
+    * .limit(n)` — a TakeOrdered ranks the ENTIRE corpus to keep 100k
+    * rows, which at 100 TB is a full scan-and-sort for a kilobyte
+    * model. The hash draw is one map-side filter; the count() pre-pass
+    * that sizes the fraction reads parquet row-group metadata only.
+    * Same reproducibility contract: the sample is a pure function of
+    * row ids — partitioning-, retry-, and growth-independent. */
+  private def trainingDraw(
+      corpus: DataFrame, idCol: String, vecCol: String, sampleN: Int): DataFrame = {
+    val total = corpus.count()
+    val ided = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    if (total <= sampleN) ided
+    else Sampling.hashSample(ided, "id", sampleN.toDouble / total)
+  }
+
   private def trainIvfCentroidsNow(
       corpus: DataFrame,
       idCol: String,
@@ -402,11 +418,7 @@ object Similarity {
       iters: Int,
       sampleN: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    val sample = corpus
-      .orderBy(col(idCol).asc)
-      .limit(sampleN)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .cache()
+    val sample = trainingDraw(corpus, idCol, vecCol, sampleN).cache()
     try {
       // a corpus smaller than nCentroids under-fills the init: clamp k to
       // what the data provides instead of indexing past the model array
@@ -520,14 +532,15 @@ object Similarity {
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim must be divisible by nSub=$nSub")
     val subDim = dim / nSub
-    val sampled = corpus.orderBy(col(idCol).asc).limit(sampleN)
+    val sampled = trainingDraw(corpus, idCol, vecCol, sampleN)
     // every (row, subspace) subvector, exploded once and reused each iter
-    val subs = subvectors(sampled, idCol, vecCol, nSub, subDim, normalize).cache()
+    val subs = subvectors(sampled, "id", "vec", nSub, subDim, normalize).cache()
     try {
-      // deterministic init: subspace s seeds from the first kSub sampled rows
-      val rawCol = asDouble(col(vecCol))
+      // deterministic init: subspace s seeds from the kSub id-lowest
+      // sampled rows (a TakeOrdered over the ~sampleN-row draw, not the
+      // corpus)
       val seed = sampled
-        .select(col(idCol).as("id"), rawCol.as("raw"))
+        .select(col("id"), col("vec").as("raw"))
         .select(col("id"), (if (normalize) unitize("raw") else col("raw")).as("vec"))
         .orderBy(col("id").asc).limit(kSub).collect()
         .map(_.getSeq[Double](1).toArray)

@@ -184,7 +184,11 @@ object Temporal {
       minOverlap: Int,
       topK: Int): DataFrame = {
     val dim = nBits * nBands
-    val slotOf = (datediff(col("period"), to_date(lit(epoch))) / slotDays).cast("int")
+    // floor division, matching SQL's `//`: double-divide + cast(int)
+    // truncates toward zero, so a period one day BEFORE the epoch would
+    // land in slot 0 instead of slot -1 (dropped) — divergent sketches
+    // for pre-epoch data
+    val slotOf = floor(datediff(col("period"), to_date(lit(epoch))) / slotDays).cast("int")
     val slots = series
       .select(col("key"), slotOf.as("slot"), col("value"))
       .filter(col("slot") >= 0 && col("slot") < dim)
@@ -251,6 +255,88 @@ object Temporal {
       .withColumn("correlation", round(col("correlation"), 6))
       .orderBy(abs(col("correlation")).desc, col("key_a").asc, col("key_b").asc)
       .limit(topK)
+  }
+
+  /** The banded screen's sizing rule, shared with `ScaleBench paircorr`:
+    * bits per band scale with log₂(keys) so the canonical bucket space
+    * (2^(nBits−1)) keeps ~O(1) keys per bucket; bands fill whatever day
+    * span remains, floored at 2 for OR-amplification. ceil(log₂ n) is
+    * computed from the BIT LENGTH of n−1, not floating log — a float
+    * log₂ of an exact power of two can land at 10.0000000000002 and
+    * ceil one bit high, and the DuckDB oracle (LENGTH(BIN(n−1)))
+    * must agree bit-for-bit. */
+  def bandSizing(nKeys: Long, nDays: Int, maxBits: Int = 18): (Int, Int) = {
+    require(nKeys >= 2 && nDays >= 1, s"bandSizing($nKeys, $nDays)")
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(nKeys - 1)
+    val nBits = math.max(2, math.min(maxBits, ceilLog2 + 2))
+    val nBands = math.max(2, math.min(5, nDays / nBits))
+    (nBits, nBands)
+  }
+
+  /** [[pairCorrelationsBanded]] with the band geometry derived from the
+    * corpus itself. A fixed small-corpus band width inverts the win at
+    * scale (PERF.md: 3-bit bands at 5k keys run 12× SLOWER than the
+    * exact screen; 18-bit at 50k keys, 20 s vs ~2 h), so the bits must
+    * follow the corpus. Always banded — see [[pairCorrelationsAuto]]
+    * for the form that also decides WHETHER banding can work. */
+  def pairCorrelationsBandedAuto(
+      series: DataFrame,
+      epoch: String,
+      slotDays: Int,
+      minOverlap: Int,
+      topK: Int): DataFrame = {
+    val row = series
+      .agg(
+        countDistinct(col("key")).as("nk"),
+        datediff(max(col("period")), to_date(lit(epoch))).as("span"))
+      .head()
+    val (nBits, nBands) =
+      bandSizing(row.getLong(0), (row.getInt(1) + 1) / slotDays)
+    pairCorrelationsBanded(series, epoch, slotDays, nBits, nBands, minOverlap, topK)
+  }
+
+  /** The deployable co-movement screen: sizes the band geometry from the
+    * corpus AND decides whether the banded screen can work at all — the
+    * form to register. Three integer scalars from one pre-pass drive
+    * both decisions (|keys|, day span, observation count):
+    *
+    *   - geometry: [[bandSizing]] — bits follow log₂|keys|;
+    *   - regime: banded only if the AVERAGE per-key support fills the
+    *     slot grid (`present/|keys| ≥ nBits·nBands`). The sign sketch
+    *     reads one bit per calendar slot, so a corpus whose keys are
+    *     observed on a fraction of the grid has too little sign
+    *     information to discriminate at the selectivity |keys| demands —
+    *     measured: auto-sized bands on the sparse harness series
+    *     (~10-15 observed days of 31) recover 4% of the exact top-50,
+    *     while on dense series banding is the 50k-key win (PERF.md,
+    *     20 s vs ~2 h exact, recall 1.0). Sparse corpora get the exact
+    *     period-equi-join screen, which only pays for SHARED support.
+    *
+    * Every decision input is exact integer arithmetic so the DuckDB
+    * oracle replays the identical choice — no floating log, no
+    * estimator drift. At 100 TB the three scalars can come from
+    * `approx_count_distinct`/sampled counts instead; the decision only
+    * needs magnitudes. */
+  def pairCorrelationsAuto(
+      series: DataFrame,
+      epoch: String,
+      slotDays: Int,
+      minOverlap: Int,
+      topK: Int): DataFrame = {
+    val row = series
+      .agg(
+        countDistinct(col("key")).as("nk"),
+        datediff(max(col("period")), to_date(lit(epoch))).as("span"),
+        count(lit(1)).as("present"))
+      .head()
+    val nKeys = row.getLong(0)
+    val nDays = (row.getInt(1) + 1) / slotDays
+    val (nBits, nBands) = bandSizing(nKeys, nDays)
+    val avgSupport = row.getLong(2) / nKeys
+    if (avgSupport >= nBits.toLong * nBands)
+      pairCorrelationsBanded(series, epoch, slotDays, nBits, nBands, minOverlap, topK)
+    else
+      pairCorrelations(series, minOverlap, topK)
   }
 
   /** Per-key time-series feature vector — the bridge from the series

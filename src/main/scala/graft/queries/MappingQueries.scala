@@ -430,13 +430,18 @@ object MappingQueries {
         round(col("zero_frac"), 6).as("zero_frac"),
         round(col("peak_over_mean"), 6).as("peak_over_mean"))
     }),
-    // m32's scale path: banded sign-LSH candidates over centered shape
-    // sketches (corr = cosine of the centered series), exact corr ONLY
-    // on candidate pairs — |candidates| instead of |keys|² at 100 TB
-    "m35_pair_corr_banded" -> ((s, dir) => {
-      Temporal.pairCorrelationsBanded(
+    // m32's deployable form: the operator sizes the sign-LSH band
+    // geometry from the corpus (bits follow log₂|keys|) AND picks the
+    // regime — banded candidates when the per-key support can fill the
+    // slot grid, the exact period-equi-join screen when it can't (the
+    // sparse harness series carry too little sign information for ANY
+    // band width; measured in Temporal.pairCorrelationsAuto's doc).
+    // Three integer scalars drive both choices, so the oracle replays
+    // the identical decision.
+    "m35_pair_corr_auto" -> ((s, dir) => {
+      Temporal.pairCorrelationsAuto(
         Tables.engagementSeries(s, dir), epoch = "2024-01-01",
-        slotDays = 2, nBits = 3, nBands = 5, minOverlap = 10, topK = 50).select(
+        slotDays = 1, minOverlap = 10, topK = 50).select(
         col("key_a"),
         col("key_b"),
         col("correlation"),
@@ -713,40 +718,59 @@ object MappingQueries {
          |       round(zero_frac, 6) AS zero_frac,
          |       round(CASE WHEN mean <> 0.0 THEN vmax / mean END, 6) AS peak_over_mean
          |FROM ag""".stripMargin,
-    // Bands are replayed arithmetically: the raw bucket starts from all
-    // bits set (missing/above-mean slots both center >= 0) and clears
-    // the bit of every present slot BELOW the key mean — identical to
-    // signBandBuckets over the filled centered vector. Canonical fold
+    // Both regimes of the auto screen, replayed arithmetically; a
+    // boolean computed from the SAME three integer scalars the Spark
+    // operator collects (|keys|, day span, COUNT(*)) guards which branch
+    // emits rows. Banded branch: the raw bucket starts from all bits set
+    // (missing/above-mean slots both center >= 0) and clears the bit of
+    // every present slot BELOW the key mean — identical to
+    // signBandBuckets over the filled centered vector; canonical fold
     // (LEAST with the complement) and Hamming-1 probes mirror the Spark
-    // operator exactly.
-    "m35_pair_corr_banded" ->
-      s"""$seriesCte, slots AS (
-         |  SELECT key, ((period - DATE '2024-01-01') // 2)::INT AS slot, avg(v1) AS sv
+    // operator exactly. Geometry is AUTO-SIZED like Temporal.bandSizing:
+    // ceil(log2 nKeys) via LENGTH(BIN(nk-1)) — bit length, never
+    // floating log2, which can ceil one bit high on exact powers of two.
+    "m35_pair_corr_auto" ->
+      s"""$seriesCte, pz AS (
+         |  SELECT COUNT(DISTINCT key) AS nk,
+         |         ((MAX(period) - DATE '2024-01-01') + 1) AS ndays,
+         |         COUNT(*) AS present
          |  FROM t1
-         |  WHERE ((period - DATE '2024-01-01') // 2) >= 0
-         |    AND ((period - DATE '2024-01-01') // 2) < 15
+         |), params AS (
+         |  SELECT nbits, GREATEST(2, LEAST(5, ndays // nbits))::INT AS nbands,
+         |         (POWER(2.0, nbits)::BIGINT - 1) AS fullb,
+         |         (present // nk) >=
+         |           nbits * GREATEST(2, LEAST(5, ndays // nbits)) AS use_banded
+         |  FROM (SELECT GREATEST(2, LEAST(18, LENGTH(BIN(nk - 1)) + 2))::INT AS nbits,
+         |               ndays, present, nk
+         |        FROM pz)
+         |), slots AS (
+         |  SELECT key, (t1.period - DATE '2024-01-01')::INT AS slot, avg(v1) AS sv
+         |  FROM t1, params p
+         |  WHERE (t1.period - DATE '2024-01-01') >= 0
+         |    AND (t1.period - DATE '2024-01-01') < p.nbits * p.nbands
          |  GROUP BY 1, 2
          |), keymean AS (
          |  SELECT key, avg(sv) AS km FROM slots GROUP BY key
          |), neg AS (
-         |  SELECT s.key, (s.slot // 3) AS band,
+         |  SELECT s.key, (s.slot // p.nbits) AS band,
          |         SUM(CASE WHEN s.sv < m.km
-         |                  THEN POWER(2.0, s.slot % 3)::BIGINT ELSE 0 END) AS negbits
-         |  FROM slots s JOIN keymean m USING (key)
+         |                  THEN POWER(2.0, s.slot % p.nbits)::BIGINT ELSE 0 END) AS negbits
+         |  FROM slots s JOIN keymean m USING (key), params p
          |  GROUP BY 1, 2
          |), allb AS (
-         |  SELECT key, UNNEST(generate_series(0, 4)) AS band FROM keymean
+         |  SELECT key, UNNEST(generate_series(0, p.nbands - 1)) AS band
+         |  FROM keymean, params p
          |), buck AS (
          |  SELECT a.key, a.band,
-         |         LEAST(7 - COALESCE(n.negbits, 0), COALESCE(n.negbits, 0)) AS bucket
-         |  FROM allb a LEFT JOIN neg n ON n.key = a.key AND n.band = a.band
+         |         LEAST(p.fullb - COALESCE(n.negbits, 0), COALESCE(n.negbits, 0)) AS bucket
+         |  FROM allb a LEFT JOIN neg n ON n.key = a.key AND n.band = a.band, params p
          |), probes AS (
          |  SELECT key, band,
          |         UNNEST(list_distinct([bucket] || list_transform(
-         |           generate_series(0, 2), i ->
+         |           generate_series(0, p.nbits - 1), i ->
          |             LEAST(xor(bucket, POWER(2.0, i)::BIGINT),
-         |                   7 - xor(bucket, POWER(2.0, i)::BIGINT))))) AS bucket
-         |  FROM buck
+         |                   p.fullb - xor(bucket, POWER(2.0, i)::BIGINT))))) AS bucket
+         |  FROM buck, params p
          |), cand AS (
          |  SELECT DISTINCT x.key AS key_a, y.key AS key_b
          |  FROM probes x JOIN buck y
@@ -757,9 +781,19 @@ object MappingQueries {
          |  JOIN t1 a ON a.key = c.key_a
          |  JOIN t1 b ON b.key = c.key_b AND b.period = a.period
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+         |), pc_exact AS (
+         |  SELECT a.key AS key_a, b.key AS key_b,
+         |         corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap
+         |  FROM t1 a JOIN t1 b ON a.period = b.period AND a.key < b.key
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 10
+         |), unioned AS (
+         |  SELECT * FROM pc WHERE (SELECT use_banded FROM params)
+         |  UNION ALL
+         |  SELECT * FROM pc_exact WHERE NOT (SELECT use_banded FROM params)
          |)
          |SELECT key_a, key_b, round(correlation, 6) AS correlation, n_overlap
-         |FROM pc
+         |FROM unioned
          |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
          |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
          |LIMIT 50""".stripMargin,

@@ -490,7 +490,10 @@ object RelationalQueries {
             org.apache.spark.sql.types.StructField(
               "k", org.apache.spark.sql.types.LongType)))).getField("k").as("k"),
           col("value"))
-        .groupBy(col("event_type"), (col("k") - pmod(col("k"), lit(10))).as("k_bucket"))
+        // `%` (not pmod): the oracle's `k % 10` follows the dividend's
+        // sign, and so does Spark's `%` — pmod would bucket k=-5 as -10
+        // while DuckDB says 0
+        .groupBy(col("event_type"), (col("k") - (col("k") % lit(10))).as("k_bucket"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),

@@ -118,14 +118,30 @@ object StreamingForecast {
             .localCheckpoint(true)
           val untouched = sDf.join(updated.select("key"), Seq("key"), "left_anti")
           val newState = untouched.unionByName(updated).localCheckpoint(true)
-          newState.write.mode("overwrite").parquet(statePath)
-          updated
+          // OUTPUT FIRST, then state: if the batch dies between the two
+          // writes, a replay re-folds from the old state and re-emits the
+          // same forecasts (the reverse order would fold the frontier
+          // past the batch's points, dropping them as late — that
+          // batch's output would be unrecoverable). The append is made
+          // replay-IDEMPOTENT by dynamic-overwriting the batch_id
+          // partition: a replayed batch replaces its own partition
+          // instead of double-appending.
+          val forecasts = updated
             .filter(col("trend").isNotNull)
             .select(
               col("key"), col("n"), col("level"), col("trend"),
               (col("level") + col("trend") * horizon).as("forecast"),
               lit(batchId).as("batch_id"))
-            .write.mode("append").parquet(outPath)
+          // skip the write when no key has a trend yet: an empty
+          // partitioned write would leave a schema-less directory
+          // (updated is localCheckpoint'd, so isEmpty is a cheap probe)
+          if (!forecasts.isEmpty)
+            forecasts.write
+              .mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          newState.write.mode("overwrite").parquet(statePath)
         }
       }
     trigger.fold(writer)(writer.trigger).start()

@@ -667,8 +667,7 @@ object ScaleBench {
     // small-corpus bits at 5000 keys invert the win: 4 canonical buckets
     // put ~1250 keys in each, and the candidate join dwarfs the exact
     // screen. Bits are the knob, not the verdict.)
-    val nBits = math.min(18, (math.log(nKeys.toDouble) / math.log(2.0)).ceil.toInt + 2)
-    val nBands = math.max(2, math.min(5, nDays / nBits))
+    val (nBits, nBands) = Temporal.bandSizing(nKeys, nDays)
     val (exact, exactSec) =
       if (bandedOnly) (Array.empty[org.apache.spark.sql.Row], Double.NaN)
       else time(Temporal.pairCorrelations(series, minOverlap = 10, topK = topK).collect())
@@ -685,11 +684,15 @@ object ScaleBench {
         val exactSet = exact.map(r => (r.getString(0), r.getString(1))).toSet
         banded.count(r => exactSet((r.getString(0), r.getString(1))))
       }
+    // bandedOnly has no exact pass: emit JSON null, never NaN (NaN is
+    // not a JSON literal and breaks downstream parsers)
+    val exactJson = if (bandedOnly) "null" else exactSec.toString
+    val speedupJson = if (bandedOnly) "null" else (exactSec / bandedSec).toString
     println(
       s"""{"workload":{"keys":$nKeys,"days":$nDays,"input_rows":$inputRows,"top_k":$topK},
-         |"exact":{"sec":$exactSec,"pairs_considered":${nKeys * (nKeys - 1) / 2}},
+         |"exact":{"sec":$exactJson,"pairs_considered":${nKeys * (nKeys - 1) / 2}},
          |"banded":{"sec":$bandedSec,"recall_at_k":${hit.toDouble / topK}},
-         |"speedup":${exactSec / bandedSec}}""".stripMargin.replace("\n", ""))
+         |"speedup":$speedupJson}""".stripMargin.replace("\n", ""))
   }
 
   def main(args: Array[String]): Unit = {
