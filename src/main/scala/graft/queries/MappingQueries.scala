@@ -581,6 +581,104 @@ object MappingQueries {
       |  JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + CAST(v.optimal_lag AS INTEGER)
       |)""".stripMargin
 
+  /** The DTW kernel (graft.operators.Dtw) replayed in DuckDB SQL — the
+    * m33 recursive-CTE discipline applied to a 2-D DP. Appended after
+    * [[seriesCte]] (whose WITH must become WITH RECURSIVE).
+    *
+    *  - Normalization folds with `list_reduce` in the kernel's exact
+    *    operation order (sum→mean, then Σ(v−mean)² → population std;
+    *    std=0 degrades to mean-centering) — aggregate SUM would be free
+    *    to reorder the float additions.
+    *  - The DP walks ANTI-DIAGONALS: each recursion step carries the
+    *    previous two diagonals as lists (cell (i,j) needs (i−1,j) and
+    *    (i,j−1) from diagonal d−1 and (i−1,j−1) from d−2), so the
+    *    single recursive reference suffices and the whole matrix falls
+    *    out as the union of steps (`cells`).
+    *  - Backtrack is a second recursion from (n,n) with the kernel's
+    *    first-minimum preference up > left > diag; `inf <= inf` is TRUE
+    *    in both engines, so the border behavior matches.
+    *
+    * Consumers: m6 (path explode), m7 (auto split), m8 (cost + CASE
+    * model), m11 (pipeline segments). DuckDB prunes unreferenced CTEs,
+    * so cost-only consumers don't pay for the backtrack. */
+  val dtwCte: String =
+    """, obs AS (
+      |  SELECT key, row_number() OVER (PARTITION BY key ORDER BY period) AS i,
+      |         CAST(period AS VARCHAR) AS p, v1::DOUBLE AS x1, v2::DOUBLE AS x2
+      |  FROM merged
+      |), arr AS (
+      |  SELECT key, COUNT(*)::INT AS n,
+      |         list(x1 ORDER BY i) AS l1, list(x2 ORDER BY i) AS l2
+      |  FROM obs GROUP BY key
+      |), stats AS (
+      |  SELECT key, n, l1, l2,
+      |         list_reduce(l1, (a, b) -> a + b) / n AS m1,
+      |         list_reduce(l2, (a, b) -> a + b) / n AS m2
+      |  FROM arr
+      |), stats2 AS (
+      |  SELECT key, n, l1, l2, m1, m2,
+      |    sqrt(list_reduce(list_transform(l1, v -> (v - m1) * (v - m1)), (a, b) -> a + b) / n) AS s1,
+      |    sqrt(list_reduce(list_transform(l2, v -> (v - m2) * (v - m2)), (a, b) -> a + b) / n) AS s2
+      |  FROM stats
+      |), norm AS (
+      |  SELECT key, n,
+      |    CASE WHEN s1 = 0 OR isnan(s1) THEN list_transform(l1, v -> v - m1)
+      |         ELSE list_transform(l1, v -> (v - m1) / s1) END AS a,
+      |    CASE WHEN s2 = 0 OR isnan(s2) THEN list_transform(l2, v -> v - m2)
+      |         ELSE list_transform(l2, v -> (v - m2) / s2) END AS b
+      |  FROM stats2
+      |), dpr AS (
+      |  SELECT key, n, a, b, 0 AS d,
+      |         list_transform(generate_series(0, n),
+      |           i -> CASE WHEN i = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END) AS curr,
+      |         NULL::DOUBLE[] AS prev
+      |  FROM norm
+      |  UNION ALL
+      |  SELECT key, n, a, b, d + 1,
+      |         list_transform(generate_series(0, n), i ->
+      |           CASE
+      |             WHEN i = 0 OR (d + 1 - i) < 1 OR (d + 1 - i) > n THEN 'infinity'::DOUBLE
+      |             ELSE abs(a[i] - b[d + 1 - i]) +
+      |                  LEAST(
+      |                    curr[i],
+      |                    curr[i + 1],
+      |                    CASE WHEN prev IS NULL THEN 'infinity'::DOUBLE ELSE prev[i] END)
+      |           END) AS curr,
+      |         curr AS prev
+      |  FROM dpr
+      |  WHERE d < 2 * n
+      |), cells AS (
+      |  SELECT key, n, ii AS ci, d - ii AS cj, curr[ii + 1] AS c
+      |  FROM (SELECT key, n, d, curr, UNNEST(generate_series(0, n)) AS ii FROM dpr)
+      |  WHERE d - ii BETWEEN 0 AND n
+      |), bt AS (
+      |  SELECT key, n, n AS ci, n AS cj, 0 AS step FROM norm
+      |  UNION ALL
+      |  SELECT key, n, nci, ncj, step + 1 FROM (
+      |    SELECT b.key, b.n, b.step,
+      |      CASE WHEN cu.c <= cl.c AND cu.c <= cd.c THEN b.ci - 1
+      |           WHEN cl.c <= cd.c THEN b.ci
+      |           ELSE b.ci - 1 END AS nci,
+      |      CASE WHEN cu.c <= cl.c AND cu.c <= cd.c THEN b.cj
+      |           WHEN cl.c <= cd.c THEN b.cj - 1
+      |           ELSE b.cj - 1 END AS ncj
+      |    FROM bt b
+      |    JOIN cells cu ON cu.key = b.key AND cu.ci = b.ci - 1 AND cu.cj = b.cj
+      |    JOIN cells cl ON cl.key = b.key AND cl.ci = b.ci AND cl.cj = b.cj - 1
+      |    JOIN cells cd ON cd.key = b.key AND cd.ci = b.ci - 1 AND cd.cj = b.cj - 1
+      |  ) WHERE nci > 0 AND ncj > 0
+      |), total AS (
+      |  SELECT key, round(curr[n + 1], 6) AS dtw_cost FROM dpr WHERE d = 2 * n
+      |), dtwmap AS (
+      |  SELECT b.key, o1.p AS time1, round(o1.x1, 6) AS value1,
+      |         o2.p AS time2, round(o2.x2, 6) AS value2,
+      |         'dtw' AS method, tc.dtw_cost
+      |  FROM bt b
+      |  JOIN obs o1 ON o1.key = b.key AND o1.i = b.ci
+      |  JOIN obs o2 ON o2.key = b.key AND o2.i = b.cj
+      |  JOIN total tc ON tc.key = b.key
+      |)""".stripMargin
+
   // m30's finite-window EWMA terms, generated for both engines from the
   // same (alpha, span); alpha = 0.5 keeps every POWER exact in double
   private def ewmaTerms(span: Int): (String, String) = {
@@ -674,6 +772,94 @@ object MappingQueries {
          |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
          |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
          |LIMIT 50""".stripMargin,
+    // The DTW kernel replayed in SQL (shared CTE chain in dtwCte below) —
+    // bit-exact at sf0.01 AND sf0.1 (1,134 / 11,770 path rows).
+    "m6_dtw_mapping" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$dtwCte
+         |SELECT key, time1, value1, time2, value2, method, dtw_cost
+         |FROM dtwmap""".stripMargin,
+    // Auto mode replayed: keys with best corr >= 0.7 take the m5 mapping
+    // (filtered), every other MERGED key (including no-valid-corr keys)
+    // takes the DTW path explode — Spark's unionByName(allowMissing)
+    // nulls the method-specific columns, mirrored by typed NULLs.
+    "m7_auto_mapping" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$dtwCte, simple AS (
+         |  SELECT key FROM best1 WHERE correlation >= 0.7
+         |), complexk AS (
+         |  SELECT DISTINCT m.key FROM merged m LEFT JOIN simple s ON s.key = m.key
+         |  WHERE s.key IS NULL
+         |)
+         |SELECT key, time1, value1, time2, value2, lag_offset, method, correlation,
+         |       NULL::DOUBLE AS dtw_cost
+         |FROM mapping WHERE correlation >= 0.7
+         |UNION ALL
+         |SELECT d.key, d.time1, d.value1, d.time2, d.value2,
+         |       NULL::BIGINT AS lag_offset, d.method, NULL::DOUBLE AS correlation, d.dtw_cost
+         |FROM dtwmap d JOIN complexk c ON c.key = d.key""".stripMargin,
+    // The recommendation model replayed: DTW summary (every merged key)
+    // left-joined to the best-lag table, missing corr -> the reference
+    // UDF's -1 sentinel, then the reference's exact CASE thresholds
+    // (04_comparision.py:251-288). total_cost is the DP cost rounded 6
+    // BEFORE the threshold comparisons, as in Comparison.
+    "m8_recommendations" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$dtwCte, cmp AS (
+         |  SELECT t.key,
+         |         COALESCE(b.correlation, -1.0) AS correlation,
+         |         COALESCE(b.optimal_lag, 0) AS optimal_lag,
+         |         t.dtw_cost AS total_cost
+         |  FROM total t LEFT JOIN best1 b ON b.key = t.key
+         |)
+         |SELECT key, correlation, optimal_lag::BIGINT AS optimal_lag, total_cost,
+         |  CASE WHEN correlation >= 0.7 AND optimal_lag <= 2 THEN 'Correlation'
+         |       WHEN correlation >= 0.5 AND total_cost <= 10 THEN 'Either (prefer Correlation for simplicity)'
+         |       WHEN total_cost <= 15 THEN 'DTW'
+         |       ELSE 'Complex - Manual Review' END AS recommended_method,
+         |  CASE WHEN correlation >= 0.8 OR total_cost <= 5 THEN 'High'
+         |       WHEN correlation >= 0.5 OR total_cost <= 15 THEN 'Medium'
+         |       ELSE 'Low' END AS confidence,
+         |  CASE WHEN correlation >= 0.7 THEN 'High correlation with simple lag pattern'
+         |       WHEN total_cost <= 10 THEN 'Low DTW cost indicates good alignment'
+         |       WHEN correlation < 0.3 AND total_cost > 20 THEN 'Both methods show poor fit - investigate data quality'
+         |       ELSE 'Moderate fit - consider business context' END AS reason
+         |FROM cmp""".stripMargin,
+    // Pipeline.run replayed: the m8 model's CASE logic routes each input
+    // key — Correlation/Either reuse the STORED lag, DTW explodes the
+    // stored path (dtw_cost dropped), unknown keys (in t1, never merged)
+    // default to lag 1; Complex-Manual-Review keys emit nothing.
+    "m11_pipeline" ->
+      s"""${seriesCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$dtwCte, recsq AS (
+         |  SELECT t.key,
+         |         COALESCE(b.correlation, -1.0) AS correlation,
+         |         COALESCE(b.optimal_lag, 0) AS optimal_lag,
+         |         t.dtw_cost AS total_cost
+         |  FROM total t LEFT JOIN best1 b ON b.key = t.key
+         |), model AS (
+         |  SELECT key, optimal_lag,
+         |    CASE WHEN correlation >= 0.7 AND optimal_lag <= 2 THEN 'Correlation'
+         |         WHEN correlation >= 0.5 AND total_cost <= 10 THEN 'Either (prefer Correlation for simplicity)'
+         |         WHEN total_cost <= 15 THEN 'DTW'
+         |         ELSE 'Complex - Manual Review' END AS recommended_method
+         |  FROM recsq
+         |)
+         |SELECT t1.key, CAST(t1.period AS VARCHAR) AS time1, round(t1.v1, 6) AS value1,
+         |       CAST(t2.period AS VARCHAR) AS time2, round(t2.v2, 6) AS value2,
+         |       r.optimal_lag AS lag_offset, 'correlation' AS method
+         |FROM t1
+         |JOIN model r ON r.key = t1.key
+         |  AND r.recommended_method IN ('Correlation', 'Either (prefer Correlation for simplicity)')
+         |JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + CAST(r.optimal_lag AS INTEGER)
+         |UNION ALL
+         |SELECT d.key, d.time1, d.value1, d.time2, d.value2,
+         |       NULL::BIGINT AS lag_offset, d.method
+         |FROM dtwmap d JOIN model r ON r.key = d.key AND r.recommended_method = 'DTW'
+         |UNION ALL
+         |SELECT t1.key, CAST(t1.period AS VARCHAR) AS time1, round(t1.v1, 6) AS value1,
+         |       CAST(t2.period AS VARCHAR) AS time2, round(t2.v2, 6) AS value2,
+         |       1::BIGINT AS lag_offset, 'correlation' AS method
+         |FROM t1
+         |LEFT JOIN model r ON r.key = t1.key
+         |JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + 1
+         |WHERE r.key IS NULL""".stripMargin,
     // The recursion anchor is the kernel's seed (level₂ = x₂,
     // trend₂ = x₂ − x₁); each step spells the update in the SAME
     // operation order as Forecast.holt, so doubles agree bit-for-bit.
