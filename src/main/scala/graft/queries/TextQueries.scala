@@ -705,7 +705,96 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** The BPE trainer (functions.Bpe.train) replayed in DuckDB — all
+    * INTEGER arithmetic, so unlike the float kernels there is no
+    * operation-order risk. Single-row-state recursion: each step carries
+    * the entire word table as a list of (syms, n) structs plus the merge
+    * list; the recursive term UNNESTs the state, aggregates pair counts
+    * (DuckDB allows GROUP BY in the recursive term), picks the argmax
+    * pair via MIN over a (−count, l, r) struct — the trainer's exact
+    * (count desc, l asc, r asc) tie-break — and applies the merge with a
+    * list_reduce fold that replicates applyMerge's greedy left-to-right
+    * collapse (the merged symbol l||r can never equal l, so the fold
+    * cannot re-merge its own output, same invariant as the kernel's
+    * skip-2). Stops at 30 merges (the d42/d43 model) or when no pair
+    * occurs twice, exactly like the trainer's `exhausted`. */
+  private val bpeCte: String =
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT word, COUNT(*)::BIGINT AS n FROM (
+       |    SELECT UNNEST($toks) AS word FROM documents
+       |  ) WHERE length(word) > 0 GROUP BY word
+       |), winit AS (
+       |  SELECT word,
+       |         list_append(list_transform(generate_series(1, length(word)), i -> word[i]), '</w>') AS syms,
+       |         n
+       |  FROM w0
+       |), st AS (
+       |  SELECT 0 AS it,
+       |         (SELECT list(struct_pack(syms := syms, n := n)) FROM winit) AS ws,
+       |         []::STRUCT(rank BIGINT, l VARCHAR, r VARCHAR)[] AS ms
+       |  UNION ALL
+       |  SELECT it + 1,
+       |         list_transform(ws, w -> struct_pack(
+       |           syms := list_reduce(list_transform(w.syms, s -> [s]), (acc, x) ->
+       |             CASE WHEN len(acc) > 0 AND acc[-1] = bl AND x[1] = br
+       |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), bl || br)
+       |                  ELSE list_concat(acc, x) END),
+       |           n := w.n)),
+       |         list_append(ms, struct_pack(rank := it::BIGINT, l := bl, r := br))
+       |  FROM (
+       |    SELECT it, ws, ms,
+       |           MIN(struct_pack(nc := -c, l := l, r := r)).l AS bl,
+       |           MIN(struct_pack(nc := -c, l := l, r := r)).r AS br
+       |    FROM (
+       |      SELECT it, ws, ms, p.l AS l, p.r AS r, SUM(p.n)::BIGINT AS c
+       |      FROM (
+       |        SELECT it, ws, ms, UNNEST(flatten(list_transform(ws, w ->
+       |          list_transform(generate_series(1, len(w.syms) - 1), i ->
+       |            struct_pack(l := w.syms[i], r := w.syms[i + 1], n := w.n))))) AS p
+       |        FROM st
+       |        WHERE it < 30
+       |      )
+       |      GROUP BY it, ws, ms, p.l, p.r
+       |      HAVING SUM(p.n) >= 2
+       |    )
+       |    GROUP BY it, ws, ms
+       |  )
+       |), fin AS (
+       |  SELECT ms FROM st ORDER BY it DESC LIMIT 1
+       |), fm AS (
+       |  SELECT m.rank AS rank, m.l AS l, m.r AS r
+       |  FROM (SELECT UNNEST(ms) AS m FROM fin)
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // BPE family: trained-model queries with a full SQL replay of the
+    // trainer (bpeCte) — integer counts make these bit-exact, unlike the
+    // float-trained ANN family
+    "d42_bpe_merges" ->
+      s"""$bpeCte
+         |SELECT rank, l AS "left", r AS "right", l || r AS merged FROM fm""".stripMargin,
+    "d43_bpe_tokens" ->
+      s"""$bpeCte, enc AS (
+         |  SELECT word, syms, 0 AS k FROM winit
+         |  UNION ALL
+         |  SELECT e.word,
+         |         CASE WHEN len(e.syms) < 2 THEN e.syms ELSE
+         |           list_reduce(list_transform(e.syms, s -> [s]), (acc, x) ->
+         |             CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
+         |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), m.l || m.r)
+         |                  ELSE list_concat(acc, x) END) END,
+         |         e.k + 1
+         |  FROM enc e JOIN fm m ON m.rank = e.k
+         |), wordlens AS (
+         |  SELECT word, len(arg_max(syms, k))::BIGINT AS n_subtok
+         |  FROM enc GROUP BY word
+         |), stream AS (
+         |  SELECT doc_id, UNNEST($toks) AS word FROM documents
+         |)
+         |SELECT s.doc_id, COUNT(*)::BIGINT AS n_words, SUM(wl.n_subtok)::BIGINT AS n_bpe_tokens
+         |FROM stream s JOIN wordlens wl USING (word)
+         |WHERE length(s.word) > 0
+         |GROUP BY s.doc_id""".stripMargin,
     "d1_text_stats" ->
       s"""SELECT doc_id, lang,
          |  len($toks)::BIGINT AS n_tokens,
