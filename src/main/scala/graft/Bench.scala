@@ -19,7 +19,7 @@ object Bench {
     // run for targeted timing, in the GIVEN order (so staging-cache costs
     // can be attributed deliberately). The driver sets no env -> full
     // suite in sorted order.
-    val ordered = sys.env.get("SPARK_GRAFT_ONLY") match {
+    val ordered = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty) match {
       case Some(names) =>
         val toks = names.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val unknown = toks.filterNot(SparkEntry.queries.contains)

@@ -29,7 +29,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only: SPARK_GRAFT_ONLY=q1_agg,d33_pii restricts the dump for a
     // targeted tools/check.py run. The driver sets no env -> full dump.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // empty-but-set env means "no restriction", not "match nothing"
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
