@@ -437,12 +437,25 @@ object Similarity {
           .select(col("id"), col("vec"), col("cid"), round(cosineNative(sample, "vec", "centv"), 6).as("ccos"))
           .withColumn("crn", row_number().over(w))
           .filter(col("crn") === 1)
+        // mean via an ID-SORTED fold, not avg(): float addition is not
+        // associative, and avg's partial-aggregation order depends on
+        // partitioning — a sorted fold makes the trained model a pure
+        // function of the data, so the DuckDB oracle (list(x ORDER BY
+        // id) + list_reduce) replays training bit-for-bit. Per-cluster
+        // member lists are bounded by the sampleN training cap.
         val means = assigned
-          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .select(col("cid"), col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("x")).as("m"))
+          .agg(
+            aggregate(
+              array_sort(collect_list(struct(col("id"), col("x")))),
+              lit(0.0),
+              (acc, s) => acc + s.getField("x")).as("sum"),
+            count(lit(1)).as("cnt"))
           .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("centv"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), (col("sum") / col("cnt")).as("m")))),
+            s => s.getField("m")).as("centv"))
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
           .toMap
@@ -560,13 +573,21 @@ object Similarity {
           .agg(
             min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
             first(col("sv")).as("sv"))
+        // ID-SORTED fold instead of avg() — same bit-reproducibility
+        // contract as the IVF trainer above: the trained book is a pure
+        // function of the data, independent of partitioning
         val means = assigned
-          .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .select(col("s"), col("cid"), col("id"), posexplode(col("sv")).as(Seq("pos", "x")))
           .groupBy(col("s"), col("cid"), col("pos"))
-          .agg(avg(col("x")).as("m"))
+          .agg(
+            aggregate(
+              array_sort(collect_list(struct(col("id"), col("x")))),
+              lit(0.0),
+              (acc, p) => acc + p.getField("x")).as("sum"),
+            count(lit(1)).as("cnt"))
           .groupBy(col("s"), col("cid"))
           .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
+            array_sort(collect_list(struct(col("pos"), (col("sum") / col("cnt")).as("m")))),
             p => p.getField("m")).as("centv"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)

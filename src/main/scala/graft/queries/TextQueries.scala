@@ -766,7 +766,292 @@ object TextQueries {
        |  FROM (SELECT UNNEST(ms) AS m FROM fin)
        |)""".stripMargin
 
+  // ---- trained-ANN oracle fragments -------------------------------------
+  // The k-means trainers replayed in DuckDB. Made possible by the round-5
+  // trainer change: cluster means fold over ID-SORTED member lists (not
+  // avg()), so the trained model is a pure function of the data and the
+  // oracle's list(x ORDER BY id) + list_reduce reproduces it bit-for-bit.
+  // Every float reduction below is a 0-or-first-seeded SEQUENTIAL fold in
+  // a pinned order (element index for dot/l2, member id for means, s for
+  // the ADC sum) — matching the Scala kernels' loop order exactly; an
+  // aggregate SUM would be free to reorder the additions.
+  //
+  // Recursion shape: MULTI-ROW state (one row per centroid per iteration),
+  // not one row carrying the whole model — grouping by a 512-struct book
+  // list re-hashes kilobytes per input row and measured 100x slower. Each
+  // step groups the single recursive reference down to per-subspace rows
+  // carrying (a) the centroid list via any_value and (b) all assigned
+  // members as a list, then rebuilds every centroid with list ops (empty
+  // cluster -> previous centroid, like the trainer).
+
+  private def sqlFsum(l: String) = s"list_reduce($l, (p, q) -> p + q)"
+  private def sqlCos(a: String, b: String) =
+    s"(${sqlFsum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")}" +
+      s" / (sqrt(${sqlFsum(s"list_transform($a, x -> x * x)")})" +
+      s" * sqrt(${sqlFsum(s"list_transform($b, x -> x * x)")})))"
+  private def sqlL2sq(a: String, b: String) =
+    sqlFsum(s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+
+  /** Corpus + unit-normalized corpus + coarse spherical k-means (raw
+    * vectors, 32 lists, 3 iterations, first-32-by-id init) → `fcents`. */
+  private val annCoarseCte: String =
+    s"""WITH RECURSIVE c AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |), un AS (
+       |  SELECT id, v, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS uv
+       |  FROM (SELECT id, v, sqrt(${sqlFsum("list_transform(v, x -> x * x)")}) AS nrm FROM c)
+       |), cinit AS (
+       |  SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid, v AS centv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT 32)
+       |), ctr AS (
+       |  SELECT 0 AS it, cid, centv FROM cinit
+       |  UNION ALL
+       |  SELECT it + 1, cid,
+       |         CASE WHEN len(memb) = 0 THEN centv
+       |              ELSE list_transform(generate_series(1, 64), p ->
+       |                     ${sqlFsum("list_transform(memb, m -> m.v[p])")} / len(memb)) END
+       |  FROM (
+       |    SELECT it, u.cid AS cid, u.centv AS centv,
+       |           list_sort(list_filter(allm, m -> m.cid = u.cid)) AS memb
+       |    FROM (
+       |      SELECT it, any_value(allc) AS allc,
+       |             list(struct_pack(id := id, cid := mcid, v := v)) AS allm
+       |      FROM (
+       |        SELECT pc.it, cv.id, cv.v,
+       |               MIN(struct_pack(nc := -round(${sqlCos("cv.v", "pc.centv")}, 6), cid := pc.cid)).cid AS mcid,
+       |               list(struct_pack(cid := pc.cid, centv := pc.centv) ORDER BY pc.cid) AS allc
+       |        FROM ctr pc, c cv
+       |        WHERE pc.it < 3
+       |        GROUP BY pc.it, cv.id, cv.v
+       |      ) GROUP BY it
+       |    ), UNNEST(allc) AS t(u)
+       |  )
+       |), fcents AS (
+       |  SELECT cid, centv FROM ctr WHERE it = 3
+       |)""".stripMargin
+
+  /** PQ codebooks on the unit-normalized corpus (16 subspaces × 32 codes,
+    * 3 iterations, first-32-by-id seeds) → `book`, corpus `codes`, and
+    * per-query ADC `lut` (queries: vec_id < 10). */
+  private val annPqCte: String =
+    s""", ss AS (
+       |  SELECT UNNEST(generate_series(0, 15)) AS s
+       |), subs AS (
+       |  SELECT id, s, list_slice(uv, s * 4 + 1, s * 4 + 4) AS sv FROM un, ss
+       |), binit AS (
+       |  SELECT s, j AS cid, list_slice(uv, s * 4 + 1, s * 4 + 4) AS centv
+       |  FROM (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS j, uv
+       |        FROM (SELECT id, uv FROM un ORDER BY id LIMIT 32)), ss
+       |), ptr AS (
+       |  SELECT 0 AS it, s, cid, centv FROM binit
+       |  UNION ALL
+       |  SELECT it + 1, s, cid,
+       |         CASE WHEN len(memb) = 0 THEN oldv
+       |              ELSE list_transform(generate_series(1, 4), p ->
+       |                     ${sqlFsum("list_transform(memb, m -> m.sv[p])")} / len(memb)) END
+       |  FROM (
+       |    SELECT it, s, u.cid AS cid, u.centv AS oldv,
+       |           list_sort(list_filter(allm, m -> m.cid = u.cid)) AS memb
+       |    FROM (
+       |      SELECT it, s, any_value(allc) AS allc,
+       |             list(struct_pack(id := id, cid := mcid, sv := sv)) AS allm
+       |      FROM (
+       |        SELECT pc.it, sb.id, sb.s, sb.sv,
+       |               MIN(struct_pack(d2 := round(${sqlL2sq("sb.sv", "pc.centv")}, 9), cid := pc.cid)).cid AS mcid,
+       |               list(struct_pack(cid := pc.cid, centv := pc.centv) ORDER BY pc.cid) AS allc
+       |        FROM ptr pc JOIN subs sb ON sb.s = pc.s
+       |        WHERE pc.it < 3
+       |        GROUP BY pc.it, sb.id, sb.s, sb.sv
+       |      )
+       |      GROUP BY it, s
+       |    ), UNNEST(allc) AS t(u)
+       |  )
+       |), book AS (
+       |  SELECT s, cid, centv FROM ptr WHERE it = 3
+       |), codes AS (
+       |  SELECT id, list(cid ORDER BY s) AS codes
+       |  FROM (
+       |    SELECT sb.id, sb.s,
+       |           MIN(struct_pack(d2 := round(${sqlL2sq("sb.sv", "b.centv")}, 9), cid := b.cid)).cid AS cid
+       |    FROM subs sb JOIN book b USING (s)
+       |    GROUP BY sb.id, sb.s
+       |  )
+       |  GROUP BY id
+       |), lut AS (
+       |  SELECT q.id AS query_id, q.s, b.cid, ${sqlL2sq("q.sv", "b.centv")} AS d2
+       |  FROM (SELECT id, s, sv FROM subs WHERE id < 10) q JOIN book b USING (s)
+       |)""".stripMargin
+
+  /** Shared exact-re-rank tail over a `short`(query_id, corpus_id) CTE —
+    * raw-vector cosine, round-6, id tie-break, top-5. */
+  private val annRerank: String =
+    s"""
+       |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim
+       |FROM (
+       |  SELECT s.query_id, s.corpus_id,
+       |         round(${sqlCos("cc.v", "qq.v")}, 6) AS cos_sim,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY round(${sqlCos("cc.v", "qq.v")}, 6) DESC, s.corpus_id ASC) AS rank
+       |  FROM short s
+       |  JOIN c cc ON cc.id = s.corpus_id
+       |  JOIN c qq ON qq.id = s.query_id
+       |) WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Trained-ANN family: full SQL replays of the (now bit-reproducible)
+    // k-means trainers + index/query chains — see the fragment doc above
+    "d15_embed_ivf_trained" ->
+      s"""$annCoarseCte, cass AS (
+         |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket,
+         |         any_value(v) AS v
+         |  FROM c cv, fcents f
+         |  GROUP BY id
+         |), qprob AS (
+         |  SELECT id AS query_id, v AS qvec, cid AS bucket
+         |  FROM (
+         |    SELECT cv.id, cv.v, f.cid,
+         |           row_number() OVER (PARTITION BY cv.id
+         |             ORDER BY round(${sqlCos("cv.v", "f.centv")}, 6) DESC, f.cid ASC) AS rn
+         |    FROM c cv, fcents f WHERE cv.id < 10
+         |  ) WHERE rn <= 12
+         |), scored AS (
+         |  SELECT DISTINCT q.query_id, a.id AS corpus_id, round(${sqlCos("a.v", "q.qvec")}, 6) AS cos_sim
+         |  FROM cass a JOIN qprob q USING (bucket)
+         |  WHERE a.id <> q.query_id
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, corpus_id, cos_sim
+         |FROM (
+         |  SELECT query_id, corpus_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin,
+    "d26_pq_topk" ->
+      s"""$annCoarseCte$annPqCte, adc AS (
+         |  SELECT cd.id AS corpus_id, l.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
+         |  FROM codes cd JOIN lut l ON l.cid = cd.codes[l.s + 1]
+         |  WHERE cd.id <> l.query_id
+         |  GROUP BY cd.id, l.query_id
+         |), short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, corpus_id ASC) AS srn
+         |    FROM adc
+         |  ) WHERE srn <= 100
+         |)$annRerank""".stripMargin,
+    "d27_ivf_pq" ->
+      s"""$annCoarseCte$annPqCte, cass AS (
+         |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket
+         |  FROM c cv, fcents f
+         |  GROUP BY id
+         |), qprob AS (
+         |  SELECT id AS query_id, cid AS bucket
+         |  FROM (
+         |    SELECT cv.id, f.cid,
+         |           row_number() OVER (PARTITION BY cv.id
+         |             ORDER BY round(${sqlCos("cv.v", "f.centv")}, 6) DESC, f.cid ASC) AS rn
+         |    FROM c cv, fcents f WHERE cv.id < 10
+         |  ) WHERE rn <= 12
+         |), adc AS (
+         |  SELECT a.id AS corpus_id, q.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
+         |  FROM cass a
+         |  JOIN qprob q USING (bucket)
+         |  JOIN codes cd ON cd.id = a.id
+         |  JOIN lut l ON l.query_id = q.query_id AND l.cid = cd.codes[l.s + 1]
+         |  WHERE a.id <> q.query_id
+         |  GROUP BY a.id, q.query_id
+         |), short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, corpus_id ASC) AS srn
+         |    FROM adc
+         |  ) WHERE srn <= 100
+         |)$annRerank""".stripMargin,
+    "d31_ivf_pq_residual" ->
+      s"""$annCoarseCte, rcass AS (
+         |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cu.uv", "f.centv")}, 6), cid := f.cid)).cid AS bucket,
+         |         any_value(uv) AS uv
+         |  FROM un cu, fcents f
+         |  GROUP BY id
+         |), resid AS (
+         |  SELECT r.id, r.bucket,
+         |         list_transform(generate_series(1, 64), p -> r.uv[p] - f.centv[p]) AS rv
+         |  FROM rcass r JOIN fcents f ON f.cid = r.bucket
+         |), ss AS (
+         |  SELECT UNNEST(generate_series(0, 15)) AS s
+         |), rsubs AS (
+         |  SELECT id, s, list_slice(rv, s * 4 + 1, s * 4 + 4) AS sv FROM resid, ss
+         |), rbinit AS (
+         |  SELECT s, j AS cid, list_slice(rv, s * 4 + 1, s * 4 + 4) AS centv
+         |  FROM (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS j, rv
+         |        FROM (SELECT id, rv FROM resid ORDER BY id LIMIT 32)), ss
+         |), rptr AS (
+         |  SELECT 0 AS it, s, cid, centv FROM rbinit
+         |  UNION ALL
+         |  SELECT it + 1, s, cid,
+         |         CASE WHEN len(memb) = 0 THEN oldv
+         |              ELSE list_transform(generate_series(1, 4), p ->
+         |                     ${sqlFsum("list_transform(memb, m -> m.sv[p])")} / len(memb)) END
+         |  FROM (
+         |    SELECT it, s, u.cid AS cid, u.centv AS oldv,
+         |           list_sort(list_filter(allm, m -> m.cid = u.cid)) AS memb
+         |    FROM (
+         |      SELECT it, s, any_value(allc) AS allc,
+         |             list(struct_pack(id := id, cid := mcid, sv := sv)) AS allm
+         |      FROM (
+         |        SELECT pc.it, sb.id, sb.s, sb.sv,
+         |               MIN(struct_pack(d2 := round(${sqlL2sq("sb.sv", "pc.centv")}, 9), cid := pc.cid)).cid AS mcid,
+         |               list(struct_pack(cid := pc.cid, centv := pc.centv) ORDER BY pc.cid) AS allc
+         |        FROM rptr pc JOIN rsubs sb ON sb.s = pc.s
+         |        WHERE pc.it < 3
+         |        GROUP BY pc.it, sb.id, sb.s, sb.sv
+         |      )
+         |      GROUP BY it, s
+         |    ), UNNEST(allc) AS t(u)
+         |  )
+         |), rbook AS (
+         |  SELECT s, cid, centv FROM rptr WHERE it = 3
+         |), rcodes AS (
+         |  SELECT id, list(cid ORDER BY s) AS codes
+         |  FROM (
+         |    SELECT sb.id, sb.s,
+         |           MIN(struct_pack(d2 := round(${sqlL2sq("sb.sv", "b.centv")}, 9), cid := b.cid)).cid AS cid
+         |    FROM rsubs sb JOIN rbook b USING (s)
+         |    GROUP BY sb.id, sb.s
+         |  )
+         |  GROUP BY id
+         |), qprob AS (
+         |  SELECT id AS query_id, cid AS bucket
+         |  FROM (
+         |    SELECT cu.id, f.cid,
+         |           row_number() OVER (PARTITION BY cu.id
+         |             ORDER BY round(${sqlCos("cu.uv", "f.centv")}, 6) DESC, f.cid ASC) AS rn
+         |    FROM un cu, fcents f WHERE cu.id < 10
+         |  ) WHERE rn <= 12
+         |), qresid AS (
+         |  SELECT q.query_id, q.bucket,
+         |         list_transform(generate_series(1, 64), p -> cu.uv[p] - f.centv[p]) AS qrv
+         |  FROM qprob q
+         |  JOIN un cu ON cu.id = q.query_id
+         |  JOIN fcents f ON f.cid = q.bucket
+         |), rlut AS (
+         |  SELECT q.query_id, q.bucket, s.s, b.cid,
+         |         ${sqlL2sq("list_slice(q.qrv, s.s * 4 + 1, s.s * 4 + 4)", "b.centv")} AS d2
+         |  FROM qresid q, ss s
+         |  JOIN rbook b ON b.s = s.s
+         |), adc AS (
+         |  SELECT a.id AS corpus_id, l.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
+         |  FROM rcass a
+         |  JOIN rcodes cd ON cd.id = a.id
+         |  JOIN rlut l ON l.bucket = a.bucket AND l.cid = cd.codes[l.s + 1]
+         |  WHERE a.id <> l.query_id
+         |  GROUP BY a.id, l.query_id
+         |), short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, corpus_id ASC) AS srn
+         |    FROM adc
+         |  ) WHERE srn <= 100
+         |)$annRerank""".stripMargin,
     // BPE family: trained-model queries with a full SQL replay of the
     // trainer (bpeCte) — integer counts make these bit-exact, unlike the
     // float-trained ANN family
