@@ -869,6 +869,46 @@ object Similarity {
     rerankExact(short, corpus, queries, idCol, vecCol, k)
   }
 
+  /** Incremental IVF-PQ index maintenance: route and encode a FRESH
+    * batch under the EXISTING model (coarse centroids + PQ codebooks
+    * trained on the BASE corpus) — the daily-ingest path at 100 TB.
+    * Assignment and encoding are per-row broadcast-join scans of the
+    * fresh batch only: nothing retrains, nothing re-touches the base
+    * index, and the cost scales with the batch, not the corpus. Returns
+    * (id, bucket, codes) in the base index's exact schema, so the
+    * append is a parquet-partition add. Because routing and encoding
+    * are per-row, the appended rows are IDENTICAL to what a full
+    * rebuild under the same model would produce (IndexAppendSpec locks
+    * this) — model STALENESS, not correctness, is the retrain-cadence
+    * decision a deployment makes. */
+  def ivfPqIndexAppend(
+      base: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 32,
+      nSub: Int = 16,
+      kSub: Int = 32,
+      iters: Int = 3,
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = base.sparkSession
+    val coarse = trainIvfCentroids(base, idCol, vecCol, nLists, iters, sampleN, cacheKey)
+    val coarseDf = spark
+      .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cid", "centv")
+      .select(col("cid"), col("centv").cast("array<double>").as("centv"))
+    val cbArr = trainPqCodebooks(base, idCol, vecCol, nSub, kSub, iters, sampleN,
+      normalize = true, cacheKey = cacheKey)
+    val assigned = nearestCentroids(
+      fresh.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cvec")),
+      coarseDf, "id", "cvec", 1)
+      .select(col("id"), col("bucket"))
+    assigned.join(
+      pqEncode(fresh, idCol, vecCol, cbArr, normalize = true).select(col("id"), col("codes")),
+      Seq("id"))
+  }
+
   /** IVF-PQ with RESIDUAL encoding — IVFADC proper (Jégou et al. 2011
     * §IV.A): PQ codes quantize (vector − its list's coarse centroid)
     * instead of the raw vector. Residuals concentrate near zero with far

@@ -112,6 +112,22 @@ object TextQueries {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
+    // incremental index maintenance: route + encode a FRESH batch under
+    // the model trained on the BASE split only — the daily-ingest path
+    // (per-row scans of the batch; nothing retrains, nothing re-touches
+    // the base index). Oracle replays base-split training + fresh encode.
+    "d56_index_append" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqIndexAppend(
+        e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", cacheKey = Some(dir + ":base400"))
+        .select(
+          col("id"),
+          col("bucket"),
+          // serialized codes: the compare gate sorts rows by every
+          // column, and array cells aren't orderable there
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"))
+    }),
     // IVFADC proper: PQ over residuals (vec − coarse centroid), per-list
     // query LUTs (rows-only like d27; recall gated in AnnRecallSpec)
     "d31_ivf_pq_residual" -> ((s, dir) => {
@@ -793,10 +809,12 @@ object TextQueries {
     sqlFsum(s"list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
 
   /** Corpus + unit-normalized corpus + coarse spherical k-means (raw
-    * vectors, 32 lists, 3 iterations, first-32-by-id init) → `fcents`. */
-  private val annCoarseCte: String =
+    * vectors, 32 lists, 3 iterations, first-32-by-id init) → `fcents`.
+    * `corpusWhere` restricts the TRAINING corpus (d56 trains on the
+    * base split only). */
+  private def annCoarseCte(corpusWhere: String = ""): String =
     s"""WITH RECURSIVE c AS (
-       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings $corpusWhere
        |), un AS (
        |  SELECT id, v, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS uv
        |  FROM (SELECT id, v, sqrt(${sqlFsum("list_transform(v, x -> x * x)")}) AS nrm FROM c)
@@ -901,7 +919,7 @@ object TextQueries {
     // Trained-ANN family: full SQL replays of the (now bit-reproducible)
     // k-means trainers + index/query chains — see the fragment doc above
     "d15_embed_ivf_trained" ->
-      s"""$annCoarseCte, cass AS (
+      s"""${annCoarseCte()}, cass AS (
          |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket,
          |         any_value(v) AS v
          |  FROM c cv, fcents f
@@ -926,7 +944,7 @@ object TextQueries {
          |  FROM scored
          |) WHERE rank <= 5""".stripMargin,
     "d26_pq_topk" ->
-      s"""$annCoarseCte$annPqCte, adc AS (
+      s"""${annCoarseCte()}$annPqCte, adc AS (
          |  SELECT cd.id AS corpus_id, l.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
          |  FROM codes cd JOIN lut l ON l.cid = cd.codes[l.s + 1]
          |  WHERE cd.id <> l.query_id
@@ -939,7 +957,7 @@ object TextQueries {
          |  ) WHERE srn <= 100
          |)$annRerank""".stripMargin,
     "d27_ivf_pq" ->
-      s"""$annCoarseCte$annPqCte, cass AS (
+      s"""${annCoarseCte()}$annPqCte, cass AS (
          |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket
          |  FROM c cv, fcents f
          |  GROUP BY id
@@ -967,7 +985,7 @@ object TextQueries {
          |  ) WHERE srn <= 100
          |)$annRerank""".stripMargin,
     "d31_ivf_pq_residual" ->
-      s"""$annCoarseCte, rcass AS (
+      s"""${annCoarseCte()}, rcass AS (
          |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cu.uv", "f.centv")}, 6), cid := f.cid)).cid AS bucket,
          |         any_value(uv) AS uv
          |  FROM un cu, fcents f
@@ -1052,6 +1070,33 @@ object TextQueries {
          |    FROM adc
          |  ) WHERE srn <= 100
          |)$annRerank""".stripMargin,
+    // incremental append: the model trains on the BASE split; the fresh
+    // split is routed (top-1 coarse cosine) and PQ-encoded under it —
+    // per-row arithmetic, so the replay shares every fragment above
+    "d56_index_append" ->
+      s"""${annCoarseCte("WHERE vec_id < 400")}$annPqCte, freshc AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 400
+         |), fun AS (
+         |  SELECT id, v, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS uv
+         |  FROM (SELECT id, v, sqrt(${sqlFsum("list_transform(v, x -> x * x)")}) AS nrm FROM freshc)
+         |), fsubs AS (
+         |  SELECT id, s, list_slice(uv, s * 4 + 1, s * 4 + 4) AS sv FROM fun, ss
+         |), fass AS (
+         |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("fv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket
+         |  FROM freshc fv, fcents f
+         |  GROUP BY id
+         |), fcodes AS (
+         |  SELECT id, list(cid ORDER BY s) AS codes
+         |  FROM (
+         |    SELECT sb.id, sb.s,
+         |           MIN(struct_pack(d2 := round(${sqlL2sq("sb.sv", "b.centv")}, 9), cid := b.cid)).cid AS cid
+         |    FROM fsubs sb JOIN book b USING (s)
+         |    GROUP BY sb.id, sb.s
+         |  )
+         |  GROUP BY id
+         |)
+         |SELECT a.id, a.bucket, array_to_string(c.codes, ',') AS codes
+         |FROM fass a JOIN fcodes c USING (id)""".stripMargin,
     // BPE family: trained-model queries with a full SQL replay of the
     // trainer (bpeCte) — integer counts make these bit-exact, unlike the
     // float-trained ANN family
