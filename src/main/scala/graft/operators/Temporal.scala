@@ -330,7 +330,12 @@ object Temporal {
         count(lit(1)).as("present"))
       .head()
     val nKeys = row.getLong(0)
+    // degenerate corpora (zero or one key) have no pairs; the exact
+    // screen returns empty without tripping bandSizing's preconditions
+    if (nKeys < 2 || row.isNullAt(1))
+      return pairCorrelations(series, minOverlap, topK)
     val nDays = (row.getInt(1) + 1) / slotDays
+    if (nDays < 1) return pairCorrelations(series, minOverlap, topK)
     val (nBits, nBands) = bandSizing(nKeys, nDays)
     val avgSupport = row.getLong(2) / nKeys
     if (avgSupport >= nBits.toLong * nBands)

@@ -24,6 +24,13 @@ for name, sql in sorted(oracle.items()):
     duck_df = con.sql(sql).df()
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        # list/array cells aren't orderable; stringify them so the row
+        # sort (and value compare) still works for array-valued queries
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: str(list(v)) if isinstance(v, (list, np.ndarray)) else str(v))
         return df.sort_values(by=list(df.columns), ignore_index=True)
     s, d = norm(spark_df), norm(duck_df)
     status = []
