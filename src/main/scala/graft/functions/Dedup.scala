@@ -190,16 +190,28 @@ object Dedup {
     val prefix = ranked.select(
       col("id"),
       col("s"),
-      explode(slice(
+      posexplode(slice(
         col("rtoks"),
         lit(1),
-        (col("s") - ceil(col("s") * minJaccard) + 1).cast("int"))).as("tokStruct"))
-      .select(col("id"), col("s"), col("tokStruct.g").as("tok"))
+        (col("s") - ceil(col("s") * minJaccard) + 1).cast("int"))).as(Seq("pos0", "tokStruct")))
+      .select(
+        col("id"), col("s"), (col("pos0") + 1).as("pos"), col("tokStruct.g").as("tok"))
+    // PPJoin's POSITIONAL filter on top of prefix + length (Xiao et al.
+    // 2008, public paper): a token match at prefix positions (i, j) can
+    // contribute at most 1 + min(s_a−i, s_b−j) to the overlap (both
+    // prefixes are in the same global (df, g) order, so every LATER
+    // shared token sits after i AND after j), and J ≥ t needs overlap
+    // ≥ ⌈t/(1+t)·(s_a+s_b)⌉. A true pair's FIRST shared prefix token
+    // always passes its own bound, so pruning matches that fail it is
+    // lossless — it only drops candidate pairs whose every prefix
+    // collision sits too deep to reach the threshold.
+    val alpha = ceil((col("a.s") + col("b.s")) * (minJaccard / (1.0 + minJaccard)))
     val candidates = prefix.as("a")
       .join(
         prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.s") * minJaccard <= col("a.s") && col("a.s") * minJaccard <= col("b.s"))
+          col("b.s") * minJaccard <= col("a.s") && col("a.s") * minJaccard <= col("b.s") &&
+          lit(1) + least(col("a.s") - col("a.pos"), col("b.s") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates
