@@ -335,6 +335,64 @@ object ScaleBench {
     * clusters with 10% noise, generated distributed. Reports wall time +
     * recall@5 of banded LSH and trained IVF vs brute force on the same
     * query set. Usage: runMain graft.tools.ScaleBench ann [nVecs] */
+  /** Incremental index maintenance A/B: one-time model training on the
+    * base corpus, then route+encode of a fresh batch
+    * (Similarity.ivfPqIndexAppend) vs a full re-encode of base+fresh
+    * under the same model. The append path's cost must scale with the
+    * BATCH — the whole point of d56's operator at a daily-ingest 100 TB
+    * deployment. Usage: runMain graft.tools.ScaleBench append [nBase] [nFresh] */
+  def appendMain(spark: SparkSession, nBase: Long, nFresh: Long, nClusters: Int = 200): Unit = {
+    import graft.functions.Similarity
+    val dim = 64
+    val all = spark.range(nBase + nFresh).select(
+      col("id").as("vec_id"),
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        j =>
+          (pmod(hash(col("id") % nClusters, j), lit(2000)).cast("double") - 1000.0) / 1000.0 +
+            (pmod(hash(col("id"), j), lit(2000)).cast("double") - 1000.0) / 10000.0)
+        .as("embedding")).cache()
+    all.count()
+    val base = all.filter(col("vec_id") < nBase)
+    val fresh = all.filter(col("vec_id") >= nBase)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val key = Some("scale-append")
+    // JIT/codegen warm-up on a slice (untimed): the first heavy
+    // vector-expression pass otherwise pays whole-stage compilation +
+    // interpreter time and pollutes every number after it
+    Similarity.ivfPqIndexAppend(
+      base.limit(2000), fresh.limit(1000), "vec_id", "embedding",
+      cacheKey = Some("scale-append-warm")).count()
+    // one-time: train the model on the base corpus (memoized under key)
+    val (_, trainSec) = time {
+      Similarity.trainIvfCentroids(base, "vec_id", "embedding", 32,
+        iters = 3, sampleN = 100000, cacheKey = key)
+      Similarity.trainPqCodebooks(base, "vec_id", "embedding", 16, 32,
+        iters = 3, sampleN = 100000, cacheKey = key)
+    }
+    // recurring: append the fresh batch (models hit the cache); twice —
+    // min is the steady per-batch cost a daily ingest pays
+    val (freshRows, appendSec1) = time {
+      Similarity.ivfPqIndexAppend(base, fresh, "vec_id", "embedding", cacheKey = key).count()
+    }
+    val (_, appendSec2) = time {
+      Similarity.ivfPqIndexAppend(base, fresh, "vec_id", "embedding", cacheKey = key).count()
+    }
+    val appendSec = math.min(appendSec1, appendSec2)
+    // the alternative a naive deployment pays: re-encode EVERYTHING
+    val (allRows, rebuildSec) = time {
+      Similarity.ivfPqIndexAppend(base, all, "vec_id", "embedding", cacheKey = key).count()
+    }
+    println(
+      s"""{"workload":{"base":$nBase,"fresh":$nFresh,"dim":$dim},
+         |"train_once":{"sec":$trainSec},
+         |"append":{"sec":$appendSec,"rows":$freshRows},
+         |"full_reencode":{"sec":$rebuildSec,"rows":$allRows},
+         |"speedup":${rebuildSec / appendSec}}""".stripMargin.replace("\n", ""))
+  }
+
   def annMain(spark: SparkSession, nVecs: Long, nClusters: Int = 200): Unit = {
     import graft.functions.Similarity
     val dim = 64
@@ -769,6 +827,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       annMain(spark, nVecs)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("append")) {
+      val nBase = if (args.length > 1) args(1).toLong else 1000000L
+      val nFresh = if (args.length > 2) args(2).toLong else 100000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      appendMain(spark, nBase, nFresh)
       spark.stop()
       return
     }
