@@ -79,6 +79,23 @@ object StreamingForecast {
     val writer = series.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, statePath, outPath, alpha, beta, horizon)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One micro-batch fold — package-private so StreamingForecastSpec can
+    * REPLAY a batch directly (the crash-between-writes path foreachBatch
+    * retries): the replay must re-emit the identical forecast rows, not
+    * duplicate or drop them. */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      outPath: String,
+      alpha: Double,
+      beta: Double,
+      horizon: Int): Unit = {
         val spark = batch.sparkSession
         import spark.implicits._
         val batchRows = batch.select(col("key"), col("period"), col("value"))
@@ -143,7 +160,5 @@ object StreamingForecast {
               .parquet(outPath)
           newState.write.mode("overwrite").parquet(statePath)
         }
-      }
-    trigger.fold(writer)(writer.trigger).start()
   }
 }

@@ -56,6 +56,58 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.filter($"key" === "K2").count() == 2) // K2 absent from batch 2
   }
 
+  test("a replayed batch re-emits identical forecasts (crash between output and state)") {
+    // the failure window the write ordering defends: output written,
+    // state NOT yet overwritten, batch retried. The replay re-folds from
+    // the OLD state and dynamic-overwrites its own batch_id partition —
+    // output and state must end exactly as a single clean run's.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fc3").toString
+    def copyTree(from: String, to: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(from)
+      val walk = java.nio.file.Files.walk(src)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.foreach { p =>
+        val t = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t)
+        }
+      }
+    }
+    def rmTree(path: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    def run(rows: Seq[(String, Int, Double)], batchId: Long): Unit =
+      StreamingForecast.processBatch(
+        toSeries(rows.toDF("key", "d", "value")), batchId,
+        s"$dir/state", s"$dir/out", 0.5, 0.5, 7)
+
+    run(Seq(("K1", 0, 10.0), ("K1", 1, 12.0), ("K2", 0, 5.0)), 0L)
+    copyTree(s"$dir/state", s"$dir/state_before_b1")
+    run(Seq(("K1", 2, 14.0), ("K2", 1, 6.0)), 1L)
+    def snap(path: String) = spark.read.parquet(path)
+      .select($"key", $"n", $"level", $"trend", $"forecast", $"batch_id".cast("long"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    def snapState() = spark.read.parquet(s"$dir/state")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val outOnce = snap(s"$dir/out")
+    val stateOnce = snapState()
+    // crash simulation: b1's output survived, its state write did not
+    rmTree(s"$dir/state")
+    copyTree(s"$dir/state_before_b1", s"$dir/state")
+    run(Seq(("K1", 2, 14.0), ("K2", 1, 6.0)), 1L) // the retry
+    assert(snap(s"$dir/out").sameElements(outOnce), "replay changed the output table")
+    assert(snapState().sameElements(stateOnce), "replay changed the folded state")
+  }
+
   test("late points are dropped; a lone first point emits no forecast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fc2").toString
     val in = mkStream()
