@@ -564,4 +564,103 @@ object Dedup {
       .withColumn("dedup_fraction",
         round(lit(1.0) - col("n_kept").cast("double") / col("n_passages"), 6))
   }
+
+  /** Span-level exact-substring dedup APPLY (the ExactSubstr operator of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — public paper), at word-`k`-gram granularity: every maximal
+    * duplicated run of >= k consecutive tokens is removed wherever it is
+    * NOT the corpus-wide first occurrence (lowest `(doc_id, pos)`).
+    * Unlike [[passageDedupApply]]'s fixed disjoint chunks, spans here
+    * start at ANY token offset — sliding k-grams — so a phrase repeated
+    * mid-sentence is caught regardless of passage alignment, and
+    * overlapping duplicated grams merge into one maximal span
+    * (gaps-and-islands over their `[pos, pos+k-1]` covers; contiguous
+    * spans merge too).
+    *
+    * Scale shape (100 TB): the paper builds a monolithic suffix array —
+    * inherently single-machine. The relational equivalent: (1) sliding
+    * k-grams with positions (one explode, ~n_tokens rows/doc); (2) first
+    * occurrence per gram via `min(struct(id, pos))` — a PARTIAL-AGGREGATED
+    * hash agg, deliberately NOT a `row_number` window: a boilerplate gram
+    * repeated 10M times would pile one window partition 10M rows deep,
+    * while map-side `min` combines it away; (3) join grams back to the
+    * duplicated-gram dictionary (skew-safe: per-gram state is one row);
+    * (4) per-DOC windows to merge islands (bounded by doc length);
+    * (5) anti-join token positions against covered positions. Five
+    * shuffles, each keyed to avoid hot partitions. */
+  def spanDedupApply(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val base = df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+    // sliding k-grams with 0-based start positions; docs shorter than k
+    // emit none (Spark's sequence(0, negative) would count DOWN — guard it)
+    val gramArr = when(
+      size(col("tk")) >= k,
+      transform(
+        sequence(lit(0), size(col("tk")) - k),
+        p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
+    // corpus-wide first occurrence per duplicated gram: min(struct) orders
+    // lexicographically by (id, pos) — exactly ORDER BY doc_id, pos
+    val firstOcc = grams
+      .groupBy(col("gram"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gram"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+    val dupStarts = grams
+      .join(firstOcc, Seq("gram"))
+      .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
+      .select(col("id"), col("pos"))
+    // merge overlapping/contiguous [pos, pos+k-1] covers into maximal spans
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = dupStarts
+      .withColumn("e", col("pos") + (k - 1))
+      .withColumn(
+        "prev_end",
+        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("new_island")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+    val spanStats = spans
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("removed_tokens"))
+    // covered token positions (spans are disjoint by construction) mark
+    // removals; one group-back rebuilds the cleaned text in position order
+    val covered = spans.select(
+      col("id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"),
+      lit(1).as("cov"))
+    base
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .join(covered, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("cleaned_text"))
+      .join(spanStats, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        round(
+          coalesce(col("removed_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("removed_fraction"),
+        col("cleaned_text"))
+  }
 }

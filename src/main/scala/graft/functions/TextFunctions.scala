@@ -444,4 +444,72 @@ object TextFunctions {
     val noPhone = regexp_replace(noEmail, piiPhone, "<PHONE>")
     regexp_replace(noPhone, piiIpv4, "<IP>")
   }
+
+  /** DIMSUM-sampled term-term co-occurrence cosine (Zadeh & Goel 2013,
+    * "Dimension Independent Similarity Computation" — public paper; the
+    * public reference implementation is Spark MLlib's
+    * `RowMatrix.columnSimilarities(threshold)`). The doc-term matrix is
+    * the canonical tall-skinny case: billions of doc rows, a bounded
+    * vocab of columns. Exact all-pairs pays a per-doc pair fan-out
+    * dominated by hot terms; DIMSUM keeps each (doc, term) entry with
+    * probability `pmin_t = min(1, sqrtGamma / ||c_t||)` — hot columns
+    * sampled DOWN by their norm — and reweights by `1/pmin`, making the
+    * sampled dot product an unbiased estimator whose total emission count
+    * is O(γ · vocab) regardless of stopword density (the independent-
+    * coin variant of the paper's DIMSUMv2).
+    *
+    * Determinism/oracle design: the coin is the portable md5 hash of
+    * `doc:term` (replayable in SQL — no RNG state), and the sampled dot
+    * is an INTEGER sum of tf products, so the only float arithmetic is a
+    * fixed per-pair expression over integer sums and per-term norms —
+    * no accumulation-order sensitivity between engines. The exact
+    * cosine rides along as the verifier column (at production scale you
+    * drop it; here it gates the estimate). Output per co-occurring pair
+    * (term_a < term_b): exact `cos`, sampled `est_cos`, `abs_err`. */
+  def dimsumTermSimilarity(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      sqrtGamma: Double = 30.0): org.apache.spark.sql.DataFrame = {
+    val two60 = 1.152921504606846976e18 // 2^60, exactly representable
+    val e = df
+      .select(col(idCol).cast("string").as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val p = e
+      .groupBy(col("term"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+      .withColumn("pmin", least(lit(1.0), lit(sqrtGamma) / col("nrm")))
+    // vocab is the model-sized side (bounded; millions of terms at most)
+    val ep = e.join(broadcast(p.select(col("term"), col("pmin"))), Seq("term"))
+    val s = ep
+      .filter(
+        portableHash(concat(col("doc"), lit(":"), col("term"))).cast("double") / two60
+          < col("pmin"))
+      .select(col("doc"), col("term"), col("tf"))
+    def pairDots(entries: org.apache.spark.sql.DataFrame, out: String) =
+      entries.as("a")
+        .join(entries.as("b"), col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as(out))
+    val exact = pairDots(e, "dot")
+    val est = pairDots(s, "sdot")
+    exact
+      .join(est, Seq("term_a", "term_b"), "left")
+      .join(
+        broadcast(p.select(col("term").as("term_a"), col("nrm").as("na"), col("pmin").as("pa"))),
+        Seq("term_a"))
+      .join(
+        broadcast(p.select(col("term").as("term_b"), col("nrm").as("nb"), col("pmin").as("pb"))),
+        Seq("term_b"))
+      .select(
+        col("term_a"),
+        col("term_b"),
+        col("dot"),
+        round(col("dot").cast("double") / (col("na") * col("nb")), 6).as("cos"),
+        round(
+          coalesce(col("sdot").cast("double") / (col("pa") * col("pb")), lit(0.0))
+            / (col("na") * col("nb")), 6).as("est_cos"))
+      .withColumn("abs_err", round(abs(col("est_cos") - col("cos")), 6))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.{Dedup, Sampling, Similarity, TextFunctions => TF}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over the `documents` and `embeddings`
@@ -463,6 +463,59 @@ object TextQueries {
         .select(
           col("id").as("doc_id"), col("n_passages"), col("n_kept"),
           col("dedup_fraction"), col("cleaned_text"))
+    }),
+    // span-level exact-substring dedup APPLY (ExactSubstr, Lee et al.
+    // 2022): maximal duplicated runs of >= 8 tokens removed at ANY
+    // offset, first corpus occurrence kept. d38's passages only catch
+    // chunk-aligned repeats; this is the sliding-gram upgrade, with the
+    // suffix array replaced by a partial-aggregated first-occurrence
+    // min — the distributable form of the paper's single-machine index.
+    "d57_span_dedup_apply" -> ((s, dir) => {
+      graft.functions.Dedup.spanDedupApply(docs(s, dir), "text", "doc_id", 8)
+    }),
+    // split leakage audit: hash-splitting by doc_id (the naive scheme)
+    // puts members of one near-dup cluster on both sides of the
+    // train/eval fence; keying the same salted hash by the cluster's
+    // group_id pins every cluster to one split. The audit quantifies
+    // both schemes over the staged d23 group table — n_leaking_groups
+    // and n_contaminated_eval_docs must be 0 for by_group, and the
+    // oracle replays the full assignment. Scale shape: two hash
+    // aggregates over the dedup index (already built), no new scans.
+    "d58_split_leakage" -> ((s, dir) => {
+      import graft.functions.TrainingExport
+      val g = stagedNearDupGroups(s, dir).select(col("doc_id"), col("group_id"))
+      val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      def audit(scheme: String, key: Column): DataFrame = {
+        val assigned = TrainingExport
+          .assignSplits(g.withColumn("skey", key), "skey", weights)
+          .select(col("doc_id"), col("group_id"), col("split"))
+        val perGroup = assigned
+          .groupBy(col("group_id"))
+          .agg(
+            count(lit(1)).as("sz"),
+            countDistinct(col("split")).as("n_splits"),
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+        val groupStats = perGroup.agg(
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_multi_groups"),
+          sum(when(col("sz") > 1 && col("n_splits") > 1, 1L).otherwise(0L))
+            .as("n_leaking_groups"))
+        val docStats = assigned
+          .join(perGroup.select(col("group_id"), col("n_train")), Seq("group_id"))
+          .agg(
+            sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval_docs"),
+            sum(when(col("split") =!= "train" && col("n_train") > 0, 1L).otherwise(0L))
+              .as("n_contaminated_eval_docs"))
+        groupStats.crossJoin(docStats).select(lit(scheme).as("scheme"), col("*"))
+      }
+      audit("by_doc", col("doc_id")).unionByName(audit("by_group", col("group_id")))
+    }),
+    // DIMSUM-sampled term-term cosine over the doc-term matrix: hot
+    // columns down-sampled by norm (deterministic md5 coins), integer
+    // sampled dot reweighted per pair, exact cosine riding along as the
+    // verifier. sqrtGamma=30 vs term norms ~53 → hot terms kept at
+    // p≈0.56 — the estimator is genuinely sampling here, not pass-through.
+    "d59_dimsum_terms" -> ((s, dir) => {
+      TF.dimsumTermSimilarity(docs(s, dir), "text", "doc_id", sqrtGamma = 30.0)
     }),
     // deterministic train/val/test split + global-shuffle keys for the
     // training-data export (TrainingExport): every value is a pure
@@ -2067,6 +2120,126 @@ object TextQueries {
          |         AS dedup_fraction,
          |       COALESCE(string_agg(passage, ' ' ORDER BY pos) FILTER (WHERE keep), '')
          |         AS cleaned_text
-         |FROM k GROUP BY doc_id""".stripMargin
+         |FROM k GROUP BY doc_id""".stripMargin,
+    "d57_span_dedup_apply" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toks AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, i AS pos, array_to_string(tk[i + 1 : i + 8], ' ') AS gram
+         |  FROM w, UNNEST(generate_series(0, len(tk) - 8)) AS u(i)
+         |  WHERE len(tk) >= 8
+         |), dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+         |    FROM g)
+         |  WHERE rk > 1
+         |), isl AS (
+         |  SELECT doc_id, pos, pos + 7 AS e,
+         |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM dup
+         |), isl2 AS (
+         |  SELECT doc_id, pos, e,
+         |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+         |  FROM isl2 GROUP BY doc_id, island
+         |), st AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(e - s + 1)::BIGINT AS removed
+         |  FROM spans GROUP BY doc_id
+         |), cov AS (
+         |  SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM spans
+         |), tokpos AS (
+         |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+         |  FROM w, UNNEST(generate_series(1, len(tk))) AS u(i)
+         |), kept AS (
+         |  SELECT t.doc_id,
+         |         COUNT(*)::BIGINT AS n_tokens,
+         |         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+         |                    FILTER (WHERE c.pos IS NULL), '') AS cleaned_text
+         |  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT k.doc_id, k.n_tokens,
+         |       COALESCE(st.n_spans, 0)::BIGINT AS n_spans,
+         |       COALESCE(st.removed, 0)::BIGINT AS removed_tokens,
+         |       round(COALESCE(st.removed, 0)::DOUBLE / k.n_tokens, 6) AS removed_fraction,
+         |       k.cleaned_text
+         |FROM kept k LEFT JOIN st USING (doc_id)""".stripMargin,
+    "d58_split_leakage" ->
+      s"""$dedupClosureCtes, a AS (
+         |  SELECT doc_id, group_id, 'by_doc' AS scheme,
+         |         ${phash("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS hs
+         |  FROM g
+         |  UNION ALL
+         |  SELECT doc_id, group_id, 'by_group',
+         |         ${phash("'split:' || CAST(group_id AS VARCHAR)")} % 10000
+         |  FROM g
+         |), sp AS (
+         |  SELECT scheme, doc_id, group_id,
+         |         CASE WHEN hs < 9000 THEN 'train'
+         |              WHEN hs < 9500 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM a
+         |), pg AS (
+         |  SELECT scheme, group_id, COUNT(*) AS sz,
+         |         COUNT(DISTINCT split) AS n_splits,
+         |         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train
+         |  FROM sp GROUP BY scheme, group_id
+         |), gs AS (
+         |  SELECT scheme,
+         |         SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_groups,
+         |         SUM(CASE WHEN sz > 1 AND n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_leaking_groups
+         |  FROM pg GROUP BY scheme
+         |), ds AS (
+         |  SELECT sp.scheme,
+         |         SUM(CASE WHEN sp.split <> 'train' THEN 1 ELSE 0 END)::BIGINT AS n_eval_docs,
+         |         SUM(CASE WHEN sp.split <> 'train' AND pg.n_train > 0 THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_contaminated_eval_docs
+         |  FROM sp JOIN pg ON pg.scheme = sp.scheme AND pg.group_id = sp.group_id
+         |  GROUP BY sp.scheme
+         |)
+         |SELECT gs.scheme, gs.n_multi_groups, gs.n_leaking_groups,
+         |       ds.n_eval_docs, ds.n_contaminated_eval_docs
+         |FROM gs JOIN ds USING (scheme)""".stripMargin,
+    "d59_dimsum_terms" ->
+      s"""WITH e AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc, tok AS term, COUNT(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, UNNEST($toks) AS tok FROM documents)
+         |  GROUP BY doc, tok
+         |), p AS (
+         |  SELECT term, sqrt(SUM(tf * tf)::DOUBLE) AS nrm,
+         |         least(1.0, 30.0 / sqrt(SUM(tf * tf)::DOUBLE)) AS pmin
+         |  FROM e GROUP BY term
+         |), smp AS (
+         |  SELECT e.doc, e.term, e.tf
+         |  FROM e JOIN p USING (term)
+         |  WHERE ${phash("e.doc || ':' || e.term")}::DOUBLE
+         |          / 1152921504606846976.0 < p.pmin
+         |), ex AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, SUM(a.tf * b.tf)::BIGINT AS dot
+         |  FROM e a JOIN e b ON a.doc = b.doc AND a.term < b.term
+         |  GROUP BY term_a, term_b
+         |), est AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, SUM(a.tf * b.tf)::BIGINT AS sdot
+         |  FROM smp a JOIN smp b ON a.doc = b.doc AND a.term < b.term
+         |  GROUP BY term_a, term_b
+         |), j AS (
+         |  SELECT ex.term_a, ex.term_b, ex.dot,
+         |         round(ex.dot::DOUBLE / (pa.nrm * pb.nrm), 6) AS cos,
+         |         round(COALESCE(est.sdot::DOUBLE / (pa.pmin * pb.pmin), 0.0)
+         |                 / (pa.nrm * pb.nrm), 6) AS est_cos
+         |  FROM ex
+         |  LEFT JOIN est ON est.term_a = ex.term_a AND est.term_b = ex.term_b
+         |  JOIN p pa ON pa.term = ex.term_a
+         |  JOIN p pb ON pb.term = ex.term_b
+         |)
+         |SELECT term_a, term_b, dot, cos, est_cos,
+         |       round(abs(est_cos - cos), 6) AS abs_err
+         |FROM j""".stripMargin
   )
 }
