@@ -586,8 +586,10 @@ object Dedup {
     * while map-side `min` combines it away; (3) join grams back to the
     * duplicated-gram dictionary (skew-safe: per-gram state is one row);
     * (4) per-DOC windows to merge islands (bounded by doc length);
-    * (5) anti-join token positions against covered positions. Five
-    * shuffles, each keyed to avoid hot partitions. */
+    * (5) the cleaned text is rebuilt IN-ROW — span lists join back to
+    * the token arrays and an indexed filter lambda drops covered
+    * positions — so no token-level explode or shuffle ever happens;
+    * only docs that contain duplicated spans join anything. */
   def spanDedupApply(
       df: DataFrame,
       textCol: String,
@@ -603,16 +605,23 @@ object Dedup {
         sequence(lit(0), size(col("tk")) - k),
         p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val grams = base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
+    // the gram STRING never shuffles: a 64-bit fingerprint is the agg and
+    // join key (8 bytes vs ~8 words of text — the NgramLm narrow-key
+    // lesson). Collision odds at B distinct grams are ~B²/2^65 (~1e-4 at
+    // 100M grams), the same fingerprint-equivalence ExactSubstr systems
+    // accept; a collision can only over-remove one span.
+    val grams = base
+      .select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("fp"))
     // corpus-wide first occurrence per duplicated gram: min(struct) orders
     // lexicographically by (id, pos) — exactly ORDER BY doc_id, pos
     val firstOcc = grams
-      .groupBy(col("gram"))
+      .groupBy(col("fp"))
       .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("gram"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+      .select(col("fp"), col("f.id").as("fid"), col("f.pos").as("fpos"))
     val dupStarts = grams
-      .join(firstOcc, Seq("gram"))
+      .join(firstOcc, Seq("fp"))
       .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
       .select(col("id"), col("pos"))
     // merge overlapping/contiguous [pos, pos+k-1] covers into maximal spans
@@ -630,37 +639,34 @@ object Dedup {
         sum(col("new_island")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("island"))
       .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
-    val spanStats = spans
+    // per-doc span list (few rows per affected doc) joined back to the
+    // token ARRAYS: the cleaned text is rebuilt by an indexed filter
+    // lambda per row — codegen'd, NO token-level explode or shuffle.
+    // Only docs that actually contain duplicated spans join anything.
+    val spansPerDoc = spans
       .groupBy(col("id"))
       .agg(
+        collect_list(struct(col("span_start"), col("span_end"))).as("sp"),
         count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("removed_tokens"))
-    // covered token positions (spans are disjoint by construction) mark
-    // removals; one group-back rebuilds the cleaned text in position order
-    val covered = spans.select(
-      col("id"),
-      explode(sequence(col("span_start"), col("span_end"))).as("pos"),
-      lit(1).as("cov"))
     base
-      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .join(covered, Seq("id", "pos"), "left")
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("cov").isNull, struct(col("pos"), col("tok"))))),
-            s => s.getField("tok")),
-          " ").as("cleaned_text"))
-      .join(spanStats, Seq("id"), "left")
+      .join(spansPerDoc, Seq("id"), "left")
       .select(
         col("id").as(idCol),
-        col("n_tokens"),
+        size(col("tk")).cast("long").as("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
         round(
-          coalesce(col("removed_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          coalesce(col("removed_tokens"), lit(0L)).cast("double") / size(col("tk")), 6)
           .as("removed_fraction"),
-        col("cleaned_text"))
+        array_join(
+          when(col("sp").isNull, col("tk")).otherwise(
+            filter(
+              col("tk"),
+              (_, i) =>
+                !exists(
+                  col("sp"),
+                  s => i >= s.getField("span_start") && i <= s.getField("span_end")))),
+          " ").as("cleaned_text"))
   }
 }

@@ -248,6 +248,47 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Span-dedup stress: ExactSubstr apply (Dedup.spanDedupApply) over
+    * `nDocs` synthetic 40-token documents — 10% carry a shared 10-token
+    * boilerplate passage mid-document (the partial-overlap case passage
+    * chunking misses) and the last 1% are exact copies. Expected shape:
+    * boilerplate docs lose exactly the 10 planted tokens (span [10,19]),
+    * exact copies lose all 40. The k-gram explode is ~33 rows/doc; the
+    * first-occurrence aggregate partial-combines the hot boilerplate
+    * grams map-side. Usage: runMain graft.tools.ScaleBench spandedup [nDocs] */
+  def spanDedupMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.Dedup
+    def tok(id: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+      if (j >= 10 && j < 20)
+        // docs with id%10==7 share the boilerplate passage at tokens 10-19
+        when(pmod(id, lit(10)) === 7, lit(s"b$j"))
+          .otherwise(concat(lit("w"), pmod(hash(id, lit(j)), lit(100000000))))
+      else concat(lit("w"), pmod(hash(id, lit(j)), lit(100000000)))
+    val dups = math.max(1L, nDocs / 100)
+    val srcId = when(col("id") >= nDocs, col("id") - nDocs + (nDocs - dups)).otherwise(col("id"))
+    val docs = spark.range(nDocs + dups).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(j => tok(srcId, j)): _*).as("text")).cache()
+    val total = docs.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.spanDedupApply(docs, "text", "doc_id", k = 8)
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("n_spans")).as("spans"),
+        sum(col("removed_tokens")).as("removed"),
+        sum(length(col("cleaned_text"))).as("cleaned_chars"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"workload":{"docs":$total,"tokens_per_doc":40,"boilerplate_share":0.1,"exact_dup_share":0.01},
+         |"apply":{"sec":$sec,"docs_hit":${out.getAs[Long]("docs_hit")},
+         |"spans":${out.getAs[Long]("spans")},"tokens_removed":${out.getAs[Long]("removed")}},
+         |"docs_per_sec":${(total / sec).toLong}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -783,6 +824,21 @@ object ScaleBench {
       spark.sparkContext.setLogLevel("ERROR")
       graft.core.GraftSession.tune(spark)
       temporalMain(spark, nKeys, nDays)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("spandedup")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      spanDedupMain(spark, nDocs)
       spark.stop()
       return
     }
