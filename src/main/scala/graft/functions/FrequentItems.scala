@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra–Gries frequent-items sketch as a typed `Aggregator` — the
+  * heavy-hitters companion to q28's HLL / approx-percentile sketches:
+  * constant memory (`capacity` counters) per group regardless of stream
+  * length or key cardinality, with partial buffers Catalyst merges like
+  * any built-in aggregate.
+  *
+  * Guarantees (Misra & Gries 1982; merge rule and its proof from
+  * Agarwal et al. 2012, "Mergeable Summaries" — both public papers),
+  * with n = stream length, c = capacity:
+  *   - every estimate UNDERCOUNTS: est <= true;
+  *   - the undercount is bounded: true - est <= n/(c+1);
+  *   - hence any item with true count > n/(c+1) is present in the sketch.
+  * The merge subtracts the (c+1)-th largest combined count from every
+  * counter (keeping positives), which preserves the n/(c+1) bound over
+  * arbitrary merge trees — exactly the property a distributed partial
+  * aggregate needs. Individual ESTIMATES may vary with merge order
+  * (task scheduling), so queries gate on the guaranteed properties, not
+  * the raw estimates — the q28 sketch-gate convention.
+  *
+  * At 100 TB: the alternative exact top-k is a full groupBy over the key
+  * (a shuffle of every distinct key); this sketch reduces each partition
+  * to <= c counters map-side, shuffling O(c · partitions) rows total. */
+object FrequentItems {
+
+  final case class Buf(items: Map[String, Long])
+  final case class ItemCount(item: String, est: Long)
+
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, Buf, Seq[ItemCount]] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    override def zero: Buf = Buf(Map.empty)
+
+    override def reduce(b: Buf, item: String): Buf = {
+      val m = b.items
+      m.get(item) match {
+        case Some(n) => Buf(m.updated(item, n + 1))
+        case None if m.size < capacity => Buf(m.updated(item, 1L))
+        case None =>
+          // classic MG decrement: all counters down one, zeros evicted
+          Buf(m.collect { case (k, n) if n > 1 => k -> (n - 1) })
+      }
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      val summed = b2.items.foldLeft(b1.items) { case (acc, (k, n)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+      if (summed.size <= capacity) Buf(summed)
+      else {
+        // subtract the (c+1)-th largest count, keep positives (Agarwal
+        // et al. merge rule — preserves the n/(c+1) error bound)
+        val d = summed.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        Buf(summed.collect { case (k, n) if n > d => k -> (n - d) })
+      }
+    }
+
+    override def finish(b: Buf): Seq[ItemCount] =
+      b.items.toSeq.map { case (k, n) => ItemCount(k, n) }
+        .sortBy(ic => (-ic.est, ic.item))
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[ItemCount]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ItemCount]]()
+  }
+
+  /** SQL/DataFrame-callable form:
+    * `df.agg(FrequentItems.udafFor(64)(col("k")))`. */
+  def udafFor(capacity: Int) = udaf(new MisraGries(capacity))
+}

@@ -393,6 +393,51 @@ object RelationalQueries {
             abs(col("approx_median") - col("exact_median_raw")) / col("exact_median_raw"), 0.01)
             .as("median_within_1pct"))
     }),
+    // Misra–Gries heavy-hitters sketch (functions.FrequentItems: 64
+    // counters, constant memory per group, mergeable partial buffers)
+    // gated against the exact top-5. Harness keys are near-uniform, so
+    // hot keys are synthesized in-query (the d33 convention): half the
+    // lineitem rows collapse onto 5 hot keys (~6k each at sf0.01),
+    // far above the n/(c+1) ≈ 923 presence threshold. The gates are the
+    // THEORY guarantees — presence, underestimate, n/(c+1) bound —
+    // which hold for ANY partial-merge order; raw estimates are
+    // sketch-internal, like q28's HLL innards.
+    "q43_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.FrequentItems
+      val capacity = 64
+      val keyed = t(s, dir, "lineitem").select(
+        when(
+          col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_partkey").cast("string"))).as("k"))
+      val sketch = keyed
+        .agg(
+          FrequentItems.udafFor(capacity)(col("k")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("n"), explode(col("sk")).as("e"))
+        .select(col("n"), col("e.item").as("k"), col("e.est").as("est"))
+      val top5 = keyed
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("k").asc)
+        .limit(5)
+      top5
+        .join(sketch, Seq("k"), "left")
+        .select(
+          col("k"),
+          col("exact_n"),
+          when(col("est").isNotNull, lit("ok")).otherwise(lit("missing")).as("in_sketch"),
+          when(coalesce(col("est"), lit(0L)) <= col("exact_n"), lit("ok"))
+            .otherwise(concat(lit("over_by="), (col("est") - col("exact_n")).cast("string")))
+            .as("underestimate"),
+          when(
+            col("exact_n") - coalesce(col("est"), lit(0L))
+              <= floor(col("n") / (capacity + 1)), lit("ok"))
+            .otherwise(
+              concat(lit("err="), (col("exact_n") - coalesce(col("est"), lit(0L))).cast("string")))
+            .as("within_bound"))
+        .orderBy(col("exact_n").desc, col("k").asc)
+    }),
     // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
     // hash left-anti / left-semi aggregates — no sort, one shuffle each)
     "q29_setops" -> ((s, dir) => {
@@ -1054,6 +1099,19 @@ object RelationalQueries {
         |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS exact_median,
         |       'ok' AS median_within_1pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q43_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 5
+        |              THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS k
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT k, COUNT(*)::BIGINT AS exact_n
+        |  FROM k GROUP BY k ORDER BY exact_n DESC, k LIMIT 5
+        |)
+        |SELECT k, exact_n, 'ok' AS in_sketch, 'ok' AS underestimate,
+        |       'ok' AS within_bound
+        |FROM e ORDER BY exact_n DESC, k""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

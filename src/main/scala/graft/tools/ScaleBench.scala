@@ -289,6 +289,43 @@ object ScaleBench {
     docs.unpersist()
   }
 
+  /** Heavy-hitters stress: Misra–Gries sketch (capacity 64) vs the exact
+    * groupBy top-5 over `nRows` with 5 hot keys (50% of rows) in a sea of
+    * nRows/10 distinct cold keys. The exact path shuffles every distinct
+    * key; the sketch shuffles <= 64 counters per partition. Usage:
+    * runMain graft.tools.ScaleBench heavyhitters [nRows] */
+  def heavyHittersMain(spark: SparkSession, nRows: Long): Unit = {
+    import graft.functions.FrequentItems
+    val keyed = spark.range(nRows).select(
+      when(pmod(col("id"), lit(10)) < 5, concat(lit("hot"), pmod(col("id"), lit(5))))
+        .otherwise(concat(lit("cold"), pmod(hash(col("id")), lit(nRows / 10))))
+        .as("k")).cache()
+    keyed.count() // materialize: both branches read the same cached input
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // JIT warmup for both plans before the timed A/B
+    keyed.limit(1000000).groupBy(col("k")).agg(count(lit(1))).orderBy(col("count(1)").desc).limit(5).collect()
+    keyed.limit(1000000).agg(FrequentItems.udafFor(64)(col("k"))).collect()
+    val (exactTop, exactSec) = time {
+      keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc).limit(5).collect()
+    }
+    val (sketchRow, sketchSec) = time {
+      keyed.agg(FrequentItems.udafFor(64)(col("k")).as("sk")).collect()(0)
+    }
+    val sketchItems = sketchRow.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)).toSet
+    val exactKeys = exactTop.map(_.getString(0)).toSet
+    val allFound = exactKeys.subsetOf(sketchItems)
+    println(
+      s"""{"workload":{"rows":$nRows,"hot_keys":5,"cold_keys":${nRows / 10}},
+         |"exact_groupby":{"sec":$exactSec},
+         |"mg_sketch":{"sec":$sketchSec,"capacity":64,"top5_found":$allFound},
+         |"speedup":${exactSec / sketchSec}}"""
+        .stripMargin.replace("\n", ""))
+    keyed.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -824,6 +861,21 @@ object ScaleBench {
       spark.sparkContext.setLogLevel("ERROR")
       graft.core.GraftSession.tune(spark)
       temporalMain(spark, nKeys, nDays)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("heavyhitters")) {
+      val nRows = if (args.length > 1) args(1).toLong else 50000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      heavyHittersMain(spark, nRows)
       spark.stop()
       return
     }
