@@ -565,6 +565,72 @@ object Dedup {
         round(lit(1.0) - col("n_kept").cast("double") / col("n_passages"), 6))
   }
 
+  /** Cross-group corpus overlap (source ↔ source): for every pair of
+    * groups, the exact Jaccard of their distinct-shingle sets alongside
+    * the MinHash-signature estimate — the "how much does source A repeat
+    * source B" matrix that decides dedup ordering and mixture weights in
+    * a multi-source corpus.
+    *
+    * Scale shape: the per-group signature is `numHashes` longs of
+    * MERGEABLE aggregate state (one hash agg over the distinct gram
+    * table) — at 100 TB that is the production path, 16 longs per source
+    * regardless of corpus size. The exact intersection self-joins the
+    * (group, gram) table on the gram: a gram fans out only to the groups
+    * containing it (<= |groups|, never |docs|), so the join is bounded by
+    * vocabulary × groups; it rides along here as the estimate's verifier
+    * (same split as d6 / m32). */
+  def groupOverlap(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
+    val grams = df
+      .select(
+        col(groupCol).as("grp"),
+        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
+      .distinct()
+    val hashed = grams.select(col("grp"), col("s"), baseHash(col("s")).as("h"))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % minhashPrime).as(s"m$i")
+    } :+ count(lit(1)).as("n_grams")
+    val sigs = hashed
+      .groupBy(col("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("grp"),
+        array(coeffs.indices.map(i => col(s"m$i")): _*).as("sig"),
+        col("n_grams"))
+    val inter = grams.as("a")
+      .join(grams.as("b"), col("a.s") === col("b.s") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, e) => acc + e)
+    inter
+      .join(
+        sigs.select(
+          col("grp").as("grp_a"), col("sig").as("sig_a"), col("n_grams").as("n_grams_a")),
+        Seq("grp_a"))
+      .join(
+        sigs.select(
+          col("grp").as("grp_b"), col("sig").as("sig_b"), col("n_grams").as("n_grams_b")),
+        Seq("grp_b"))
+      .select(
+        col("grp_a"),
+        col("grp_b"),
+        col("n_grams_a"),
+        col("n_grams_b"),
+        col("n_common"),
+        round(
+          col("n_common").cast("double")
+            / (col("n_grams_a") + col("n_grams_b") - col("n_common")), 6).as("jaccard"),
+        round(matches.cast("double") / numHashes, 6).as("est_jaccard"))
+  }
+
   /** Span-level exact-substring dedup APPLY (the ExactSubstr operator of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better" — public paper), at word-`k`-gram granularity: every maximal

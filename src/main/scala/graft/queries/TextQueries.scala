@@ -509,6 +509,13 @@ object TextQueries {
       }
       audit("by_doc", col("doc_id")).unionByName(audit("by_group", col("group_id")))
     }),
+    // cross-source overlap matrix: exact shingle-set Jaccard per source
+    // pair + the 16-long mergeable MinHash signature estimate riding as
+    // the production path (the matrix that orders dedup passes and sets
+    // mixture weights across corpus sources)
+    "d60_source_overlap" -> ((s, dir) => {
+      Dedup.groupOverlap(docs(s, dir), "text", "source")
+    }),
     // DIMSUM-sampled term-term cosine over the doc-term matrix: hot
     // columns down-sampled by norm (deterministic md5 coins), integer
     // sampled dot reweighted per pair, exact cosine riding along as the
@@ -2206,6 +2213,34 @@ object TextQueries {
          |SELECT gs.scheme, gs.n_multi_groups, gs.n_leaking_groups,
          |       ds.n_eval_docs, ds.n_contaminated_eval_docs
          |FROM gs JOIN ds USING (scheme)""".stripMargin,
+    "d60_source_overlap" -> {
+      val p = graft.functions.Dedup.minhashPrime
+      val minList = graft.functions.Dedup
+        .minhashCoeffs(16)
+        .map { case (a, b) => s"MIN((h * $a + $b) % $p)" }
+        .mkString("[", ", ", "]")
+      s"""$shingleCte, g AS (
+         |  SELECT DISTINCT source AS grp, UNNEST(shingles) AS s FROM sh
+         |), hh AS (
+         |  SELECT grp, s, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM g
+         |), sigs AS (
+         |  SELECT grp, $minList AS sig, COUNT(*)::BIGINT AS n_grams FROM hh GROUP BY grp
+         |), inter AS (
+         |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*)::BIGINT AS n_common
+         |  FROM g a JOIN g b ON a.s = b.s AND a.grp < b.grp
+         |  GROUP BY grp_a, grp_b
+         |)
+         |SELECT i.grp_a, i.grp_b, sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+         |       i.n_common,
+         |       round(i.n_common::DOUBLE / (sa.n_grams + sb.n_grams - i.n_common), 6)
+         |         AS jaccard,
+         |       round(len(list_filter(generate_series(1, 16),
+         |                             x -> sa.sig[x] = sb.sig[x]))::DOUBLE / 16, 6)
+         |         AS est_jaccard
+         |FROM inter i
+         |JOIN sigs sa ON sa.grp = i.grp_a
+         |JOIN sigs sb ON sb.grp = i.grp_b""".stripMargin
+    },
     "d59_dimsum_terms" ->
       s"""WITH e AS (
          |  SELECT CAST(doc_id AS VARCHAR) AS doc, tok AS term, COUNT(*)::BIGINT AS tf

@@ -289,6 +289,60 @@ object ScaleBench {
     docs.unpersist()
   }
 
+  /** DIMSUM stress: sampled vs exact term-term co-occurrence dots over a
+    * skewed doc-term matrix (`nDocs` docs × 40 slots, half the slots
+    * drawn from 100 hot stopword-like terms, half from a 20k cold vocab).
+    * The exact path emits every within-doc term pair; DIMSUM keeps each
+    * (doc, term) entry w.p. min(1, sqrtGamma/||term||), so hot columns —
+    * which dominate the pair fan-out — are sampled down by their norm.
+    * Usage: runMain graft.tools.ScaleBench dimsum [nDocs] [sqrtGamma] */
+  def dimsumMain(spark: SparkSession, nDocs: Long, sqrtGamma: Double): Unit = {
+    val slots = spark.range(nDocs * 40).select(
+      (col("id") / 40).cast("long").as("doc"),
+      pmod(col("id"), lit(40)).as("slot"))
+    val entries = slots.select(
+      col("doc"),
+      when(col("slot") < 20, pmod(hash(col("doc"), col("slot")), lit(100)))
+        .otherwise(lit(100) + pmod(hash(col("doc"), col("slot"), lit(7)), lit(20000)))
+        .as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val nEntries = entries.count()
+    val norms = entries
+      .groupBy(col("term"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+      .withColumn("pmin", least(lit(1.0), lit(sqrtGamma) / col("nrm")))
+      .cache()
+    norms.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pairCount(e: org.apache.spark.sql.DataFrame): Long =
+      e.as("a")
+        .join(e.as("b"), col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("ta"), col("b.term").as("tb"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+        .count()
+    val (exactPairs, exactSec) = time(pairCount(entries))
+    val sampled = entries
+      .join(broadcast(norms.select(col("term"), col("pmin"))), Seq("term"))
+      .filter(
+        (hash(col("doc"), col("term")).cast("long").bitwiseAND(lit(Int.MaxValue.toLong)))
+          .cast("double") / Int.MaxValue.toDouble < col("pmin"))
+      .select(col("doc"), col("term"), col("tf"))
+    val (sampledPairs, sampledSec) = time(pairCount(sampled))
+    val keptFrac = sampled.count().toDouble / nEntries
+    println(
+      s"""{"workload":{"docs":$nDocs,"entries":$nEntries,"hot_terms":100,"cold_terms":20000,
+         |"sqrt_gamma":$sqrtGamma},
+         |"exact":{"sec":$exactSec,"pairs":$exactPairs},
+         |"dimsum":{"sec":$sampledSec,"pairs":$sampledPairs,"entries_kept_frac":$keptFrac},
+         |"speedup":${exactSec / sampledSec}}"""
+        .stripMargin.replace("\n", ""))
+    entries.unpersist(); norms.unpersist()
+  }
+
   /** Heavy-hitters stress: Misra–Gries sketch (capacity 64) vs the exact
     * groupBy top-5 over `nRows` with 5 hot keys (50% of rows) in a sea of
     * nRows/10 distinct cold keys. The exact path shuffles every distinct
@@ -861,6 +915,22 @@ object ScaleBench {
       spark.sparkContext.setLogLevel("ERROR")
       graft.core.GraftSession.tune(spark)
       temporalMain(spark, nKeys, nDays)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dimsum")) {
+      val nDocs = if (args.length > 1) args(1).toLong else 500000L
+      val sqrtGamma = if (args.length > 2) args(2).toDouble else 50.0
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      dimsumMain(spark, nDocs, sqrtGamma)
       spark.stop()
       return
     }
