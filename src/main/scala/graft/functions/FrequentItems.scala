@@ -48,18 +48,8 @@ object FrequentItems {
       }
     }
 
-    override def merge(b1: Buf, b2: Buf): Buf = {
-      val summed = b2.items.foldLeft(b1.items) { case (acc, (k, n)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + n)
-      }
-      if (summed.size <= capacity) Buf(summed)
-      else {
-        // subtract the (c+1)-th largest count, keep positives (Agarwal
-        // et al. merge rule — preserves the n/(c+1) error bound)
-        val d = summed.valuesIterator.toArray.sortBy(-_).apply(capacity)
-        Buf(summed.collect { case (k, n) if n > d => k -> (n - d) })
-      }
-    }
+    override def merge(b1: Buf, b2: Buf): Buf =
+      Buf(mergeCounts(b1.items, b2.items, capacity))
 
     override def finish(b: Buf): Seq[ItemCount] =
       b.items.toSeq.map { case (k, n) => ItemCount(k, n) }
@@ -68,6 +58,25 @@ object FrequentItems {
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Seq[ItemCount]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ItemCount]]()
+  }
+
+  /** Merge two MG counter maps at `capacity` (Agarwal et al. merge rule:
+    * sum, then subtract the (c+1)-th largest combined count and keep
+    * positives — preserves the n/(c+1) error bound over arbitrary merge
+    * trees). Shared by the Aggregator's partial-buffer merge and the
+    * streaming state fold ([[graft.streaming.StreamingTopK]]). */
+  def mergeCounts(
+      m1: Map[String, Long],
+      m2: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val summed = m2.foldLeft(m1) { case (acc, (k, n)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + n)
+    }
+    if (summed.size <= capacity) summed
+    else {
+      val d = summed.valuesIterator.toArray.sortBy(-_).apply(capacity)
+      summed.collect { case (k, n) if n > d => k -> (n - d) }
+    }
   }
 
   /** SQL/DataFrame-callable form:

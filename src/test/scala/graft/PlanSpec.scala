@@ -117,6 +117,29 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("d57: span dedup explodes exactly once (grams); the text rebuild stays in-row") {
+    val p = plan("d57_span_dedup_apply")
+    // TWO Generates = the gram posexplode once per consumer (the
+    // first-occurrence aggregate and the join-back) — recomputing grams
+    // is the memory-safe choice at corpus scale. A THIRD would mean the
+    // token rebuild regressed to the explode + anti-join + collect_list
+    // shape instead of the in-row indexed filter.
+    assert(p.split("Generate").length - 1 == 2, p)
+    // first-occurrence min(struct) must partial-aggregate map-side
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("q43: the MG sketch runs as a partial-buffered object aggregate") {
+    val p = plan("q43_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("d59: the vocab-side joins broadcast; pair dots partial-aggregate") {
+    val p = plan("d59_dimsum_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)
