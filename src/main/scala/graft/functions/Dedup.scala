@@ -43,7 +43,9 @@ object Dedup {
 
   /** 28-bit portable base hash (first 7 hex chars of md5). */
   def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    // fused digest→long (≡ conv(substring(md5(c), 1, 7), 16, 10) bit-
+    // for-bit, locked by Md5PrefixLongSpec) — no hex/conv string stages
+    graft.functions.expressions.Md5PrefixLong.col(c.cast("string"), 7)
 
   /** Per-document MinHash signatures via explode + ONE hash aggregate:
     * rows (id, shingle) → base hash → groupBy(id) with numHashes `min`

@@ -89,7 +89,9 @@ object TextFunctions {
 
   /** Portable 60-bit hash of a string expression (see object doc). */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // fused digest→long (≡ conv(substring(md5(c), 1, 15), 16, 10) bit-
+    // for-bit, locked by Md5PrefixLongSpec) — no hex/conv string stages
+    graft.functions.expressions.Md5PrefixLong.col(c.cast("string"), 15)
 
   /** TF-IDF top terms per document, fully relational: explode tokens →
     * per-(doc, term) counts → document frequency (one small aggregate,
