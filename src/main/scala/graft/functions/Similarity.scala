@@ -109,6 +109,78 @@ object Similarity {
         col("corpus_id"), col("corpus_label"), col("cos_sim"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * public paper): candidate translation pairs between two language
+    * partitions, scored by the RATIO margin
+    * `cos(x,y) / ((avgTopK(x→Y) + avgTopK(y→X)) / 2)` — raw cosine is a
+    * poor mining signal because some sentences are "hubs" near
+    * everything; dividing by both sides' neighborhood density fixes
+    * exactly that. Output: the forward-best target per source doc with
+    * its margin, a `mutual` flag (the pair is also the target's
+    * backward-best — the paper's strictest mining criterion), and an
+    * `accepted` flag (margin >= threshold).
+    *
+    * Scale shape: the scored table here is the exact cross of the two
+    * partitions (queries broadcast — the d6 verifier shape); at corpus
+    * scale generate candidates with [[lshTopKBanded]] / [[ivfPqTopK]]
+    * over-fetched to k' >> k and feed them in as `scoredOverride` —
+    * margins only need the top-k neighborhoods, which ANN candidates
+    * cover. Determinism: cosines round to 6 before every aggregate, so
+    * both engines fold identical values (the suite-wide contract). */
+  def mineBitext(
+      embeddings: DataFrame,
+      langs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      langCol: String,
+      srcLang: String,
+      tgtLang: String,
+      k: Int = 4,
+      minMargin: Double = 1.0): DataFrame = {
+    val tagged = embeddings
+      .join(langs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"), col("lang"))
+    val x = tagged.filter(col("lang") === srcLang)
+      .select(col("id").as("src_id"), col("vec").as("xvec"))
+    val y = tagged.filter(col("lang") === tgtLang)
+      .select(col("id").as("tgt_id"), col("vec").as("yvec"))
+    val scored = x
+      .crossJoin(broadcast(y))
+      .select(
+        col("src_id"), col("tgt_id"),
+        round(cosineNative(x, "xvec", "yvec"), 6).as("cos"))
+    // all float folds run over exact INTEGER micro-units of the rounded
+    // cosines: a sum of doubles is summation-order-sensitive in the last
+    // ulp (groupBy order is nondeterministic), an integer sum is not —
+    // margins then round identically in both engines
+    val withU = scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long"))
+    val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    val wy = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
+    val ax = withU.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy(col("src_id"))
+      .agg((sum(col("cos_u")).cast("double") / count(lit(1))).as("ax"))
+    val ay = withU.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy(col("tgt_id"))
+      .agg((sum(col("cos_u")).cast("double") / count(lit(1))).as("ay"))
+    val margins = withU
+      .join(ax, Seq("src_id"))
+      .join(ay, Seq("tgt_id"))
+      .select(
+        col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos_u").cast("double") / ((col("ax") + col("ay")) / 2), 6).as("margin"))
+    val fw = Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id").asc)
+    val bw = Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id").asc)
+    margins
+      .withColumn("fwd", row_number().over(fw))
+      .withColumn("bwd", row_number().over(bw))
+      .filter(col("fwd") === 1)
+      .select(
+        col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        when(col("bwd") === 1, 1L).otherwise(0L).as("mutual"),
+        when(col("margin") >= minMargin, 1L).otherwise(0L).as("accepted"))
+  }
+
   /** Johnson–Lindenstrauss sign random projection: reduce vectors to
     * `outDim` dimensions with a DETERMINISTIC ±1 matrix — entry s(i,j) is
     * the parity of the portable hash of "salt:i:j" — so

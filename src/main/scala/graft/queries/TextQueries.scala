@@ -509,6 +509,17 @@ object TextQueries {
       }
       audit("by_doc", col("doc_id")).unionByName(audit("by_group", col("group_id")))
     }),
+    // margin-based bitext mining (Artetxe & Schwenk 2019): en↔de
+    // candidate translation pairs scored by cos over both sides' top-4
+    // neighborhood density — forward-best per source doc, with mutual
+    // (backward-best agrees) and threshold flags. Exact cross here (the
+    // d6 verifier shape); the scaladoc documents the ANN-candidate path.
+    "d61_bitext_mining" -> ((s, dir) => {
+      Similarity.mineBitext(
+        embs(s, dir),
+        docs(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id", "embedding", "lang", "en", "de", k = 4, minMargin = 1.0)
+    }),
     // cross-source overlap matrix: exact shingle-set Jaccard per source
     // pair + the 16-long mergeable MinHash signature estimate riding as
     // the production path (the matrix that orders dedup passes and sets
@@ -2213,6 +2224,47 @@ object TextQueries {
          |SELECT gs.scheme, gs.n_multi_groups, gs.n_leaking_groups,
          |       ds.n_eval_docs, ds.n_contaminated_eval_docs
          |FROM gs JOIN ds USING (scheme)""".stripMargin,
+    "d61_bitext_mining" ->
+      """WITH v AS (
+        |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec, d.lang
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |), x AS (SELECT id AS src_id, vec AS xv FROM v WHERE lang = 'en'),
+        |y AS (SELECT id AS tgt_id, vec AS yv FROM v WHERE lang = 'de'),
+        |scored AS (
+        |  SELECT src_id, tgt_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> xv[i] * yv[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> xv[i] * xv[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> yv[i] * yv[i])))), 6)
+        |           AS cos
+        |  FROM x CROSS JOIN y
+        |), su AS (
+        |  SELECT src_id, tgt_id, cos, CAST(round(cos * 1e6) AS BIGINT) AS cos_u FROM scored
+        |), ax AS (
+        |  SELECT src_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ax FROM (
+        |    SELECT src_id, cos_u,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+        |    FROM su)
+        |  WHERE r <= 4 GROUP BY src_id
+        |), ay AS (
+        |  SELECT tgt_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ay FROM (
+        |    SELECT tgt_id, cos_u,
+        |           row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+        |    FROM su)
+        |  WHERE r <= 4 GROUP BY tgt_id
+        |), m AS (
+        |  SELECT s.src_id, s.tgt_id, s.cos,
+        |         round(s.cos_u::DOUBLE / ((ax.ax + ay.ay) / 2), 6) AS margin
+        |  FROM su s JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS fwd,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS bwd
+        |  FROM m
+        |)
+        |SELECT src_id, tgt_id, cos, margin,
+        |       (CASE WHEN bwd = 1 THEN 1 ELSE 0 END)::BIGINT AS mutual,
+        |       (CASE WHEN margin >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS accepted
+        |FROM r WHERE fwd = 1""".stripMargin,
     "d60_source_overlap" -> {
       val p = graft.functions.Dedup.minhashPrime
       val minList = graft.functions.Dedup
