@@ -124,10 +124,12 @@ object Similarity {
     * Scale shape: the scored table here is the exact cross of the two
     * partitions (queries broadcast — the d6 verifier shape); at corpus
     * scale generate candidates with [[lshTopKBanded]] / [[ivfPqTopK]]
-    * over-fetched to k' >> k and feed them in as `scoredOverride` —
-    * margins only need the top-k neighborhoods, which ANN candidates
-    * cover. Determinism: cosines round to 6 before every aggregate, so
-    * both engines fold identical values (the suite-wide contract). */
+    * over-fetched to k' >> k and pass them as `scoredOverride` (columns
+    * `src_id, tgt_id, cos` with cos pre-rounded to 6) — margins only
+    * need the top-k neighborhoods, which ANN candidates cover (measured:
+    * ScaleBench `bitext`). Determinism: cosines round to 6 before every
+    * aggregate, and neighborhood averages fold exact integer micro-units
+    * of those rounded values, so both engines agree bit-for-bit. */
   def mineBitext(
       embeddings: DataFrame,
       langs: DataFrame,
@@ -137,19 +139,21 @@ object Similarity {
       srcLang: String,
       tgtLang: String,
       k: Int = 4,
-      minMargin: Double = 1.0): DataFrame = {
-    val tagged = embeddings
-      .join(langs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"), col("lang"))
-    val x = tagged.filter(col("lang") === srcLang)
-      .select(col("id").as("src_id"), col("vec").as("xvec"))
-    val y = tagged.filter(col("lang") === tgtLang)
-      .select(col("id").as("tgt_id"), col("vec").as("yvec"))
-    val scored = x
-      .crossJoin(broadcast(y))
-      .select(
-        col("src_id"), col("tgt_id"),
-        round(cosineNative(x, "xvec", "yvec"), 6).as("cos"))
+      minMargin: Double = 1.0,
+      scoredOverride: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredOverride.getOrElse {
+      val tagged = embeddings
+        .join(langs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"), col("lang"))
+      val x = tagged.filter(col("lang") === srcLang)
+        .select(col("id").as("src_id"), col("vec").as("xvec"))
+      val y = tagged.filter(col("lang") === tgtLang)
+        .select(col("id").as("tgt_id"), col("vec").as("yvec"))
+      x.crossJoin(broadcast(y))
+        .select(
+          col("src_id"), col("tgt_id"),
+          round(cosineNative(x, "xvec", "yvec"), 6).as("cos"))
+    }
     // all float folds run over exact INTEGER micro-units of the rounded
     // cosines: a sum of doubles is summation-order-sensitive in the last
     // ulp (groupBy order is nondeterministic), an integer sum is not —

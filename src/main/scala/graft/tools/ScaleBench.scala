@@ -289,6 +289,70 @@ object ScaleBench {
     docs.unpersist()
   }
 
+  /** Bitext-mining stress: margin mining over ANN candidates at a scale
+    * where the exact cross (nSrc × nTgt cosines) is not runnable. Two
+    * clustered vector sets; the first `nPlanted` target vectors are
+    * near-copies of their source twins (the planted translations). LSH
+    * banded candidates (over-fetched top-16) feed mineBitext's
+    * scoredOverride; reported recall counts planted pairs mined as
+    * forward-best accepted. Usage:
+    * runMain graft.tools.ScaleBench bitext [nSrc] [nTgt] [nPlanted] */
+  def bitextMain(spark: SparkSession, nSrc: Long, nTgt: Long, nPlanted: Long): Unit = {
+    import graft.functions.Similarity
+    val dim = 64
+    // sign-LSH buckets collapse to ~one per cluster on clustered data, so
+    // candidate volume ≈ nTgt/nClusters per query — size clusters so that
+    // stays bounded (the paircorr band-sizing lesson, cluster edition)
+    val nClusters = 2000
+    def clusterVec(center: org.apache.spark.sql.Column, noiseKey: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        j =>
+          (pmod(hash(center, j), lit(2000)).cast("double") - 1000.0) / 1000.0 +
+            (pmod(hash(noiseKey, j), lit(2000)).cast("double") - 1000.0) / 10000.0)
+    val tgtBase = 1000000000L
+    val src = spark.range(nSrc).select(
+      col("id").as("vec_id"),
+      clusterVec(col("id") % nClusters, col("id")).as("embedding")).cache()
+    // planted targets reuse the SOURCE's noise key (same vector) plus a
+    // 1% twin-specific perturbation; the rest are fresh cluster draws
+    val tgt = spark.range(nTgt).select(
+      (col("id") + tgtBase).as("vec_id"),
+      when(
+        col("id") < nPlanted,
+        zip_with(
+          clusterVec(col("id") % nClusters, col("id")),
+          sequence(lit(0), lit(dim - 1)),
+          (v, j) => v + (pmod(hash(col("id") + tgtBase, j), lit(2000)).cast("double") - 1000.0) / 100000.0))
+        .otherwise(clusterVec(col("id") % nClusters, col("id") + tgtBase))
+        .as("embedding")).cache()
+    src.count(); tgt.count()
+    val t0 = System.nanoTime()
+    val candidates = Similarity
+      .lshTopKBanded(tgt, src, "vec_id", "embedding", k = 16,
+        nBits = 16, nBands = 4, multiProbe = false)
+      .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        col("cos_sim").as("cos"))
+    val mined = Similarity
+      .mineBitext(
+        spark.emptyDataFrame, spark.emptyDataFrame, "vec_id", "embedding", "lang",
+        "src", "tgt", k = 4, minMargin = 1.0, scoredOverride = Some(candidates))
+      .filter(col("accepted") === 1L)
+      .select(col("src_id"), col("tgt_id"), col("mutual"))
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val minedPairs = mined.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until nPlanted).map(i => (i, i + tgtBase)).toSet
+    val recall = (planted & minedPairs).size.toDouble / planted.size
+    println(
+      s"""{"workload":{"src":$nSrc,"tgt":$nTgt,"planted":$nPlanted,"exact_pairs_avoided":${nSrc * nTgt}},
+         |"mine":{"sec":$sec,"accepted":${mined.length},
+         |"mutual":${mined.count(_.getLong(2) == 1L)},
+         |"planted_recall":$recall}}"""
+        .stripMargin.replace("\n", ""))
+    src.unpersist(); tgt.unpersist()
+  }
+
   /** DIMSUM stress: sampled vs exact term-term co-occurrence dots over a
     * skewed doc-term matrix (`nDocs` docs × 40 slots, half the slots
     * drawn from 100 hot stopword-like terms, half from a 20k cold vocab).
@@ -915,6 +979,23 @@ object ScaleBench {
       spark.sparkContext.setLogLevel("ERROR")
       graft.core.GraftSession.tune(spark)
       temporalMain(spark, nKeys, nDays)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bitext")) {
+      val nSrc = if (args.length > 1) args(1).toLong else 200000L
+      val nTgt = if (args.length > 2) args(2).toLong else 200000L
+      val nPlanted = if (args.length > 3) args(3).toLong else 20000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.core.GraftSession.tune(spark)
+      bitextMain(spark, nSrc, nTgt, nPlanted)
       spark.stop()
       return
     }
