@@ -58,19 +58,31 @@ object Dedup {
       idCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val coeffs = minhashCoeffs(numHashes)
     val hashed = df
       .select(
         col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
       .select(col("id"), baseHash(col("s")).as("h"))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+    sigFromHashed(hashed, "id", numHashes, countAs = None)
+  }
+
+  /** Shared MinHash signature tail: per-key `sig` array (and optional
+    * row count) from base-hashed shingle rows — the ONE place the
+    * signature contract (coeffs × prime over `h`) is spelled out, so the
+    * d3/d23 doc-level family and d60's group-level signatures cannot
+    * silently diverge. */
+  private def sigFromHashed(
+      hashed: DataFrame,
+      keyCol: String,
+      numHashes: Int,
+      countAs: Option[String]): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % minhashPrime).as(s"m$i")
-    }
-    hashed
-      .groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array(coeffs.indices.map(i => col(s"m$i")): _*).as("sig"))
+    } ++ countAs.map(n => count(lit(1)).as(n)).toSeq
+    val out = Seq(col(keyCol), array(coeffs.indices.map(i => col(s"m$i")): _*).as("sig")) ++
+      countAs.map(col).toSeq
+    hashed.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).select(out: _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -587,23 +599,14 @@ object Dedup {
       groupCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16): DataFrame = {
-    val coeffs = minhashCoeffs(numHashes)
     val grams = df
       .select(
         col(groupCol).as("grp"),
         explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
       .distinct()
-    val hashed = grams.select(col("grp"), col("s"), baseHash(col("s")).as("h"))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % minhashPrime).as(s"m$i")
-    } :+ count(lit(1)).as("n_grams")
-    val sigs = hashed
-      .groupBy(col("grp"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("grp"),
-        array(coeffs.indices.map(i => col(s"m$i")): _*).as("sig"),
-        col("n_grams"))
+    val sigs = sigFromHashed(
+      grams.select(col("grp"), baseHash(col("s")).as("h")),
+      "grp", numHashes, countAs = Some("n_grams"))
     val inter = grams.as("a")
       .join(grams.as("b"), col("a.s") === col("b.s") && col("a.grp") < col("b.grp"))
       .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))

@@ -38,6 +38,7 @@ object FrequentItems {
     override def zero: Buf = Buf(Map.empty)
 
     override def reduce(b: Buf, item: String): Buf = {
+      if (item == null) return b // null keys carry no frequency signal
       val m = b.items
       m.get(item) match {
         case Some(n) => Buf(m.updated(item, n + 1))

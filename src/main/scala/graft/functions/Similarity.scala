@@ -157,8 +157,11 @@ object Similarity {
     // all float folds run over exact INTEGER micro-units of the rounded
     // cosines: a sum of doubles is summation-order-sensitive in the last
     // ulp (groupBy order is nondeterministic), an integer sum is not —
-    // margins then round identically in both engines
-    val withU = scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long"))
+    // margins then round identically in both engines. Cached: three
+    // consumers (ax, ay, margins) would otherwise recompute the whole
+    // scoring/candidate subtree (the minhashLshPairs convention; the
+    // table is bounded — candidates are top-k' per source doc).
+    val withU = scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long")).cache()
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
     val wy = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
     val ax = withU.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
@@ -167,12 +170,20 @@ object Similarity {
     val ay = withU.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
       .groupBy(col("tgt_id"))
       .agg((sum(col("cos_u")).cast("double") / count(lit(1))).as("ay"))
+    // margin is only meaningful over a POSITIVE neighborhood denominator:
+    // ax+ay <= 0 (all-negative/zero cosines) would yield NaN (0/0 —
+    // and Spark sorts NaN ABOVE every double, so it would win the
+    // forward window and pass >= minMargin), +Infinity, or a
+    // sign-flipped ranking. Such pairs get margin 0 — never accepted.
     val margins = withU
       .join(ax, Seq("src_id"))
       .join(ay, Seq("tgt_id"))
       .select(
         col("src_id"), col("tgt_id"), col("cos"),
-        round(col("cos_u").cast("double") / ((col("ax") + col("ay")) / 2), 6).as("margin"))
+        when(
+          col("ax") + col("ay") > 0,
+          round(col("cos_u").cast("double") / ((col("ax") + col("ay")) / 2), 6))
+          .otherwise(lit(0.0)).as("margin"))
     val fw = Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id").asc)
     val bw = Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id").asc)
     margins

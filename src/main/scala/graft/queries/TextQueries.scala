@@ -2253,7 +2253,9 @@ object TextQueries {
         |  WHERE r <= 4 GROUP BY tgt_id
         |), m AS (
         |  SELECT s.src_id, s.tgt_id, s.cos,
-        |         round(s.cos_u::DOUBLE / ((ax.ax + ay.ay) / 2), 6) AS margin
+        |         CASE WHEN ax.ax + ay.ay > 0
+        |              THEN round(s.cos_u::DOUBLE / ((ax.ax + ay.ay) / 2), 6)
+        |              ELSE 0.0 END AS margin
         |  FROM su s JOIN ax USING (src_id) JOIN ay USING (tgt_id)
         |), r AS (
         |  SELECT *,

@@ -42,8 +42,12 @@ object StreamingTopK {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null keys are dropped AND excluded from n: they carry no
+        // frequency signal, and a null counter row would collide with
+        // the empty-sketch sentinel in the state table
         val agg = batch
           .select(keyCol.cast("string").as("k"))
+          .filter(col("k").isNotNull)
           .agg(
             FrequentItems.udafFor(capacity)(col("k")).as("sk"),
             count(lit(1)).as("n"))

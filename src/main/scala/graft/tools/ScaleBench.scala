@@ -949,280 +949,10 @@ object ScaleBench {
          |"speedup":$speedupJson}""".stripMargin.replace("\n", ""))
   }
 
-  def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("paircorr")) {
-      val nKeys = if (args.length > 1) args(1).toLong else 5000L
-      val nDays = if (args.length > 2) args(2).toInt else 60
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      pairCorrMain(spark, nKeys, nDays, bandedOnly = args.contains("bandedOnly"))
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("temporal")) {
-      val nKeys = if (args.length > 1) args(1).toLong else 1000000L
-      val nDays = if (args.length > 2) args(2).toInt else 60
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      temporalMain(spark, nKeys, nDays)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("bitext")) {
-      val nSrc = if (args.length > 1) args(1).toLong else 200000L
-      val nTgt = if (args.length > 2) args(2).toLong else 200000L
-      val nPlanted = if (args.length > 3) args(3).toLong else 20000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      bitextMain(spark, nSrc, nTgt, nPlanted)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("dimsum")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 500000L
-      val sqrtGamma = if (args.length > 2) args(2).toDouble else 50.0
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      dimsumMain(spark, nDocs, sqrtGamma)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("heavyhitters")) {
-      val nRows = if (args.length > 1) args(1).toLong else 50000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      heavyHittersMain(spark, nRows)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("spandedup")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.core.GraftSession.tune(spark)
-      spanDedupMain(spark, nDocs)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("zorder")) {
-      val nRows = if (args.length > 1) args(1).toLong else 20000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      zorderMain(spark, nRows)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("asof")) {
-      val nLeft = if (args.length > 1) args(1).toLong else 20000000L
-      val nRight = if (args.length > 2) args(2).toLong else 20000000L
-      val nKeys = if (args.length > 3) args(3).toLong else 100000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      asofMain(spark, nLeft, nRight, nKeys)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("ann")) {
-      val nVecs = if (args.length > 1) args(1).toLong else 200000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      annMain(spark, nVecs)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("append")) {
-      val nBase = if (args.length > 1) args(1).toLong else 1000000L
-      val nFresh = if (args.length > 2) args(2).toLong else 100000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      appendMain(spark, nBase, nFresh)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("skew")) {
-      val nFact = if (args.length > 1) args(1).toLong else 50000000L
-      val hotTenths = if (args.length > 2) args(2).toInt else 3
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      skewMain(spark, nFact, hotTenths)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("cc")) {
-      val chainLen = if (args.length > 1) args(1).toLong else 100000L
-      val nGroups = if (args.length > 2) args(2).toLong else 300000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      ccMain(spark, chainLen, nGroups)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("curation")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      curationMain(spark, nDocs)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("dedup")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 1000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      dedupMain(spark, nDocs)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("incr")) {
-      val nCorpus = if (args.length > 1) args(1).toLong else 1000000L
-      val nBatch = if (args.length > 2) args(2).toLong else 100000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      incrMain(spark, nCorpus, nBatch)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("upsert")) {
-      val nRows = if (args.length > 1) args(1).toLong else 20000000L
-      val nParts = if (args.length > 2) args(2).toInt else 200
-      val kParts = if (args.length > 3) args(3).toInt else 3
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      upsertMain(spark, nRows, nParts, kParts)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("lm")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      lmMain(spark, nDocs)
-      spark.stop()
-      return
-    }
-    if (args.headOption.contains("pii")) {
-      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      piiMain(spark, nDocs)
-      spark.stop()
-      return
-    }
-    val nKeys = if (args.nonEmpty) args(0).toLong else 200000L
-    val nPeriods = if (args.length > 1) args(1).toInt else 30
+  /** One bootstrap for every mode: local[SPARK_GRAFT_CPUS] with the
+    * bench session shape. `tuned` preserves each mode's historical
+    * GraftSession.tune status so recorded numbers stay comparable. */
+  private def withSession(tuned: Boolean)(f: SparkSession => Unit): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1231,8 +961,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.core.GraftSession.tune(spark)
+    if (tuned) graft.core.GraftSession.tune(spark)
+    try f(spark)
+    finally spark.stop()
+  }
 
+  /** Default mode: the lag-corr + DTW mapping kernels vs the reference
+    * baseline tiers. */
+  private def mappingMain(spark: SparkSession, nKeys: Long, nPeriods: Int): Unit = {
     // at >=1M entities the per-entity summary is too big to force-broadcast
     val cfg = MappingConfig(
       periodUnit = PeriodUnit.Month,
@@ -1262,6 +998,44 @@ object ScaleBench {
          |"dtw":{"sec":$dtwSec,"mapping_rows":$dtwRows,"input_rec_per_sec":${(inputRows / dtwSec).toLong}},
          |"baseline":{"correlation_rec_per_sec":"1000-3000 (large tier)","dtw_rec_per_sec":"100-300 (large tier)"}}"""
         .stripMargin.replace("\n", ""))
-    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    def argL(i: Int, d: Long): Long = if (args.length > i) args(i).toLong else d
+    def argI(i: Int, d: Int): Int = if (args.length > i) args(i).toInt else d
+    def argD(i: Int, d: Double): Double = if (args.length > i) args(i).toDouble else d
+    args.headOption match {
+      case Some("paircorr") => withSession(tuned = true)(s =>
+        pairCorrMain(s, argL(1, 5000L), argI(2, 60), bandedOnly = args.contains("bandedOnly")))
+      case Some("temporal") => withSession(tuned = true)(s =>
+        temporalMain(s, argL(1, 1000000L), argI(2, 60)))
+      case Some("bitext") => withSession(tuned = true)(s =>
+        bitextMain(s, argL(1, 200000L), argL(2, 200000L), argL(3, 20000L)))
+      case Some("dimsum") => withSession(tuned = true)(s =>
+        dimsumMain(s, argL(1, 500000L), argD(2, 50.0)))
+      case Some("heavyhitters") => withSession(tuned = true)(s =>
+        heavyHittersMain(s, argL(1, 50000000L)))
+      case Some("spandedup") => withSession(tuned = true)(s =>
+        spanDedupMain(s, argL(1, 2000000L)))
+      case Some("zorder") => withSession(tuned = false)(s => zorderMain(s, argL(1, 20000000L)))
+      case Some("asof") => withSession(tuned = false)(s =>
+        asofMain(s, argL(1, 20000000L), argL(2, 20000000L), argL(3, 100000L)))
+      case Some("ann") => withSession(tuned = false)(s => annMain(s, argL(1, 200000L)))
+      case Some("append") => withSession(tuned = false)(s =>
+        appendMain(s, argL(1, 1000000L), argL(2, 100000L)))
+      case Some("skew") => withSession(tuned = false)(s =>
+        skewMain(s, argL(1, 50000000L), argI(2, 3)))
+      case Some("cc") => withSession(tuned = false)(s =>
+        ccMain(s, argL(1, 100000L), argL(2, 300000L)))
+      case Some("curation") => withSession(tuned = false)(s => curationMain(s, argL(1, 2000000L)))
+      case Some("dedup") => withSession(tuned = false)(s => dedupMain(s, argL(1, 1000000L)))
+      case Some("incr") => withSession(tuned = false)(s =>
+        incrMain(s, argL(1, 1000000L), argL(2, 100000L)))
+      case Some("upsert") => withSession(tuned = false)(s =>
+        upsertMain(s, argL(1, 20000000L), argI(2, 200), argI(3, 3)))
+      case Some("lm") => withSession(tuned = false)(s => lmMain(s, argL(1, 2000000L)))
+      case Some("pii") => withSession(tuned = false)(s => piiMain(s, argL(1, 2000000L)))
+      case _ => withSession(tuned = true)(s => mappingMain(s, argL(0, 200000L), argI(1, 30)))
+    }
   }
 }
