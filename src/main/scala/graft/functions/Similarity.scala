@@ -157,11 +157,19 @@ object Similarity {
     // all float folds run over exact INTEGER micro-units of the rounded
     // cosines: a sum of doubles is summation-order-sensitive in the last
     // ulp (groupBy order is nondeterministic), an integer sum is not —
-    // margins then round identically in both engines. Cached: three
-    // consumers (ax, ay, margins) would otherwise recompute the whole
-    // scoring/candidate subtree (the minhashLshPairs convention; the
-    // table is bounded — candidates are top-k' per source doc).
-    val withU = scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long")).cache()
+    // margins then round identically in both engines. Cached THROUGH
+    // StagingCache (not an anonymous .cache()): three consumers (ax, ay,
+    // margins) would otherwise recompute the whole scoring/candidate
+    // subtree, and the registry is what lets `StagingCache.clear()` sweep
+    // the table instead of pinning it in executor memory for the session.
+    // The key folds in the candidate plan's semantic hash so exact-cross
+    // and ANN-candidate invocations (or different inputs) never collide.
+    val withU = StagingCache.getOrElseUpdate(
+      scored.sparkSession,
+      s"mineBitext:$srcLang->$tgtLang:" +
+        s"plan=${scored.queryExecution.analyzed.semanticHash()}") {
+      scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long"))
+    }
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
     val wy = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
     val ax = withU.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
@@ -194,6 +202,48 @@ object Similarity {
         col("src_id"), col("tgt_id"), col("cos"), col("margin"),
         when(col("bwd") === 1, 1L).otherwise(0L).as("mutual"),
         when(col("margin") >= minMargin, 1L).otherwise(0L).as("accepted"))
+  }
+
+  /** ANN-candidate bitext mining — the DEPLOYABLE form of [[mineBitext]]:
+    * candidate pairs come from [[lshTopKBanded]] over-fetched to
+    * `kCand >> k`, then the same margin pipeline runs over that candidate
+    * set via `scoredOverride`. The sign-LSH bands are deterministic
+    * (sign bits of fixed dimensions, no randomness to ship), so the
+    * whole candidate set — and therefore every margin — is replayable in
+    * oracle SQL; what the exact-cross form trades away is only recall of
+    * pairs no band ever co-buckets. No cross join anywhere: at two real
+    * language partitions the exact cross is O(|src|·|tgt|) cosines (40B
+    * at 200k×200k), while this is a banded equi-join whose cost tracks
+    * candidates. Neither side is broadcast (`broadcastProbes = false`) —
+    * both language partitions are corpus-sized in real bitext mining. */
+  def mineBitextAnn(
+      embeddings: DataFrame,
+      langs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      langCol: String,
+      srcLang: String,
+      tgtLang: String,
+      k: Int = 4,
+      minMargin: Double = 1.0,
+      kCand: Int = 16,
+      nBits: Int = 6,
+      nBands: Int = 10): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must over-fetch the margin k ($k)")
+    val tagged = embeddings
+      .join(langs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val x = tagged.filter(col("lang") === srcLang).select(col(idCol), col(vecCol))
+    val y = tagged.filter(col("lang") === tgtLang).select(col(idCol), col(vecCol))
+    val cand = lshTopKBanded(
+      y, x, idCol, vecCol, kCand, nBits, nBands,
+      multiProbe = true, broadcastProbes = false)
+      .select(
+        col("query_id").as("src_id"),
+        col("corpus_id").as("tgt_id"),
+        col("cos_sim").as("cos"))
+    mineBitext(
+      embeddings, langs, idCol, vecCol, langCol, srcLang, tgtLang,
+      k, minMargin, scoredOverride = Some(cand))
   }
 
   /** Johnson–Lindenstrauss sign random projection: reduce vectors to
@@ -318,7 +368,13 @@ object Similarity {
     * still found by the other bands — and multi-probe flips each bit of
     * the query's own bucket for another recall boost at fixed storage.
     * Defaults hit recall@5 >= 0.9 vs [[bruteForceTopK]] on the harness
-    * embeddings (AnnRecallSpec locks that). */
+    * embeddings (AnnRecallSpec locks that).
+    *
+    * `broadcastProbes = false` drops the broadcast hints and lets the
+    * candidate/score joins shuffle both sides — for callers whose probe
+    * set is itself corpus-sized (bitext mining probes one whole language
+    * partition against the other; broadcasting it would OOM the
+    * executors long before 100 TB). */
   def lshTopKBanded(
       corpus: DataFrame,
       queries: DataFrame,
@@ -327,7 +383,8 @@ object Similarity {
       k: Int,
       nBits: Int = 6,
       nBands: Int = 10,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      broadcastProbes: Boolean = true): DataFrame = {
     val c = corpus.select(
       col(idCol).as("corpus_id"),
       explode(signBandBuckets(asDouble(col(vecCol)), nBits, nBands)).as("bb"))
@@ -338,8 +395,9 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("query_id"), explode(qBuckets).as("bb"))
       .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    def maybeBcast(df: DataFrame): DataFrame = if (broadcastProbes) broadcast(df) else df
     val pairs = c
-      .join(broadcast(q), Seq("band", "bucket"))
+      .join(maybeBcast(q), Seq("band", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"))
       .distinct()
@@ -347,7 +405,7 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
     val scored = pairs
       .join(cv, Seq("corpus_id"))
-      .join(broadcast(qv), Seq("query_id"))
+      .join(maybeBcast(qv), Seq("query_id"))
       .select(
         col("query_id"),
         col("corpus_id"),

@@ -520,6 +520,18 @@ object TextQueries {
         docs(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
         "vec_id", "embedding", "lang", "en", "de", k = 4, minMargin = 1.0)
     }),
+    // the DEPLOYABLE bitext form: same margin pipeline, candidates from
+    // banded sign-LSH over-fetched to 16 per src doc (deterministic
+    // portable bands — the oracle replays candidates AND margins), no
+    // cross join and no broadcast of either language partition. d61's
+    // exact cross stays registered as this plan's recall verifier.
+    "d62_bitext_ann" -> ((s, dir) => {
+      Similarity.mineBitextAnn(
+        embs(s, dir),
+        docs(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id", "embedding", "lang", "en", "de",
+        k = 4, minMargin = 1.0, kCand = 16)
+    }),
     // cross-source overlap matrix: exact shingle-set Jaccard per source
     // pair + the 16-long mergeable MinHash signature estimate riding as
     // the production path (the matrix that orders dedup passes and sets
@@ -2239,6 +2251,73 @@ object TextQueries {
         |  FROM x CROSS JOIN y
         |), su AS (
         |  SELECT src_id, tgt_id, cos, CAST(round(cos * 1e6) AS BIGINT) AS cos_u FROM scored
+        |), ax AS (
+        |  SELECT src_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ax FROM (
+        |    SELECT src_id, cos_u,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+        |    FROM su)
+        |  WHERE r <= 4 GROUP BY src_id
+        |), ay AS (
+        |  SELECT tgt_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ay FROM (
+        |    SELECT tgt_id, cos_u,
+        |           row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+        |    FROM su)
+        |  WHERE r <= 4 GROUP BY tgt_id
+        |), m AS (
+        |  SELECT s.src_id, s.tgt_id, s.cos,
+        |         CASE WHEN ax.ax + ay.ay > 0
+        |              THEN round(s.cos_u::DOUBLE / ((ax.ax + ay.ay) / 2), 6)
+        |              ELSE 0.0 END AS margin
+        |  FROM su s JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS fwd,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS bwd
+        |  FROM m
+        |)
+        |SELECT src_id, tgt_id, cos, margin,
+        |       (CASE WHEN bwd = 1 THEN 1 ELSE 0 END)::BIGINT AS mutual,
+        |       (CASE WHEN margin >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS accepted
+        |FROM r WHERE fwd = 1""".stripMargin,
+    // d62: the d14 banded-LSH candidate replay (10 bands x 6 sign bits,
+    // 1-bit-flip multi-probe on the src side) feeding the d61 margin
+    // pipeline over the top-16 candidates per src doc
+    "d62_bitext_ann" ->
+      """WITH v AS (
+        |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec, d.lang
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |), x AS (SELECT id AS src_id, vec AS xv FROM v WHERE lang = 'en'),
+        |y AS (SELECT id AS tgt_id, vec AS yv FROM v WHERE lang = 'de'),
+        |cb AS (
+        |  SELECT tgt_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 5),
+        |           i -> CASE WHEN yv[b.band * 6 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM y, (SELECT UNNEST(generate_series(0, 9)) AS band) b
+        |), qb0 AS (
+        |  SELECT src_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 5),
+        |           i -> CASE WHEN xv[b.band * 6 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM x, (SELECT UNNEST(generate_series(0, 9)) AS band) b
+        |), qb AS (
+        |  SELECT src_id, band,
+        |         UNNEST(list_concat([bucket],
+        |           list_transform(generate_series(0, 5), i -> xor(bucket, 1::BIGINT << i)))) AS bucket
+        |  FROM qb0
+        |), pairs AS (
+        |  SELECT DISTINCT q.src_id, c.tgt_id
+        |  FROM cb c JOIN qb q ON c.band = q.band AND c.bucket = q.bucket
+        |  WHERE c.tgt_id <> q.src_id
+        |), cscored AS (
+        |  SELECT p.src_id, p.tgt_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> xv.xv[i] * yv.yv[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> xv.xv[i] * xv.xv[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> yv.yv[i] * yv.yv[i])))), 6)
+        |           AS cos
+        |  FROM pairs p JOIN x xv ON xv.src_id = p.src_id JOIN y yv ON yv.tgt_id = p.tgt_id
+        |), su AS (
+        |  SELECT src_id, tgt_id, cos, CAST(round(cos * 1e6) AS BIGINT) AS cos_u FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+        |    FROM cscored) WHERE r <= 16
         |), ax AS (
         |  SELECT src_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ax FROM (
         |    SELECT src_id, cos_u,

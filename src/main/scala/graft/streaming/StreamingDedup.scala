@@ -73,7 +73,7 @@ object StreamingDedup {
         val sc = spark.sparkContext
         val persistedBefore = sc.getPersistentRDDs.keySet
         val streamIdx =
-          if (new java.io.File(streamIdxPath).exists())
+          if (StateStore.exists(spark, streamIdxPath))
             spark.read.parquet(streamIdxPath)
           else spark.emptyDataFrame.select(lit(0L).as("fp")).limit(0)
         val idx = static.unionByName(streamIdx.select(col("fp")))

@@ -56,7 +56,7 @@ object StreamingRollup {
             .collect().map(_.getString(0)).toSet
           if (touched.nonEmpty) {
             val existing =
-              if (new java.io.File(statePath).exists())
+              if (StateStore.exists(spark, statePath))
                 spark.read.parquet(statePath)
                   .filter(col("slice").isin(touched.toSeq: _*))
               else batchStates.limit(0).withColumn("batch_id", lit(0L)).filter(lit(false))

@@ -23,9 +23,10 @@ import graft.functions.FrequentItems
   * bound and the presence guarantee for items above it hold at every
   * point in the stream (same theory as the batch aggregate; gates in
   * StreamingTopKSpec). Exactly-once: state rows carry the last applied
-  * `batch_id`; a replayed batch sees its own stamp and skips (single
-  * atomic-enough overwrite of a tiny table — the StreamingShift
-  * convention). */
+  * `batch_id`; a replayed batch sees its own stamp and skips. State
+  * persistence goes through [[StateStore]] — versioned commit-marked
+  * writes (a crash mid-write leaves the previous version current) and
+  * Hadoop-FS existence, correct on HDFS/S3, not just local disk. */
 object StreamingTopK {
 
   /** Start maintaining the sketch at `statePath` from `events`.
@@ -83,23 +84,31 @@ object StreamingTopK {
     }
   }
 
-  /** Current sketch: (item, est, n, batch_id) — <= capacity rows. */
+  /** Current sketch: (item, est, n, batch_id) — <= capacity rows, read
+    * from the latest committed state version. */
   def snapshot(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath)
+    StateStore.readLatest(spark, statePath).getOrElse(
+      spark.emptyDataFrame
+        .select(
+          lit(null).cast("string").as("item"), lit(0L).as("est"),
+          lit(0L).as("n"), lit(0L).as("batch_id"))
+        .limit(0))
 
   private def readState(
       spark: SparkSession,
       statePath: String): (Map[String, Long], Long, Option[Long]) =
-    if (new java.io.File(statePath).exists()) {
-      val rows = spark.read.parquet(statePath).collect()
-      val m = rows
-        .filter(_.getAs[String]("item") != null)
-        .map(r => r.getAs[String]("item") -> r.getAs[Long]("est"))
-        .toMap
-      val n = rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)
-      val b = rows.headOption.map(_.getAs[Long]("batch_id"))
-      (m, n, b)
-    } else (Map.empty, 0L, None)
+    StateStore.readLatest(spark, statePath) match {
+      case Some(state) =>
+        val rows = state.collect()
+        val m = rows
+          .filter(_.getAs[String]("item") != null)
+          .map(r => r.getAs[String]("item") -> r.getAs[Long]("est"))
+          .toMap
+        val n = rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)
+        val b = rows.headOption.map(_.getAs[Long]("batch_id"))
+        (m, n, b)
+      case None => (Map.empty, 0L, None)
+    }
 
   private def writeState(
       spark: SparkSession,
@@ -111,10 +120,11 @@ object StreamingTopK {
     // a legally zeroed-out sketch (all counters hit the subtraction
     // level) still must persist n/batch_id: a null-item sentinel row
     val rows = if (sketch.isEmpty) Seq((null: String, 0L)) else sketch.toSeq
-    rows.toDF("item", "est")
-      .withColumn("n", lit(n))
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    StateStore.writeVersion(
+      rows.toDF("item", "est")
+        .withColumn("n", lit(n))
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1),
+      statePath, batchId)
   }
 }

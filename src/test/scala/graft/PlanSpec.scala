@@ -49,6 +49,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("d62: ANN bitext plans no cross join — unlike the d61 verifier") {
+    // the deployable bitext artifact: candidates are a banded equi-join
+    // with NEITHER language partition broadcast (both are corpus-sized
+    // at real scale), margins ride the candidate set
+    val p = plan("d62_bitext_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q23: describe is ONE aggregate pass (no per-column re-scan)") {
     val p = plan("q23_describe")
     // one scan of lineitem feeding one aggregate; a per-column union of

@@ -66,4 +66,30 @@ class StreamingTopKSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.map(r => r.getString(0) -> r.getLong(1)).toMap
       === Map("x" -> 10L, "y" -> 5L))
   }
+
+  test("a torn state write (no _SUCCESS) is invisible; recovery commits over it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stk3").toString
+    val state = s"$dir/state"
+    StreamingTopK.foldBatch(spark, state, capacity = 8, Map("x" -> 3L), 3L, batchId = 0L)
+    StreamingTopK.foldBatch(spark, state, capacity = 8, Map("x" -> 2L), 2L, batchId = 1L)
+    // simulate a crash mid-write of batch 2: the version dir exists with
+    // partial data but never got its _SUCCESS commit marker
+    val torn = new java.io.File(state, "v" + "%019d".format(2L))
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn.toString, "part-00000.parquet"), Array[Byte](1, 2, 3))
+    val snap = StreamingTopK.snapshot(spark, state)
+      .filter(col("item").isNotNull).collect()
+    assert(snap.head.getAs[Long]("n") === 5L, "torn version must not be read")
+    assert(snap.head.getAs[Long]("batch_id") === 1L)
+    // the checkpoint replays batch 2: the fold overwrites the torn dir,
+    // commits it, and prunes to (new version + one predecessor)
+    StreamingTopK.foldBatch(spark, state, capacity = 8, Map("y" -> 1L), 1L, batchId = 2L)
+    val after = StreamingTopK.snapshot(spark, state)
+      .filter(col("item").isNotNull).collect()
+    assert(after.head.getAs[Long]("n") === 6L)
+    assert(after.head.getAs[Long]("batch_id") === 2L)
+    val versions = new java.io.File(state).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(versions.length <= 2 && versions.max === "v" + "%019d".format(2L), versions.toSeq)
+  }
 }
