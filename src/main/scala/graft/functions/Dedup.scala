@@ -676,23 +676,29 @@ object Dedup {
         sequence(lit(0), size(col("tk")) - k),
         p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    // the gram STRING never shuffles: a 64-bit fingerprint is the agg and
-    // join key (8 bytes vs ~8 words of text — the NgramLm narrow-key
-    // lesson). Collision odds at B distinct grams are ~B²/2^65 (~1e-4 at
-    // 100M grams), the same fingerprint-equivalence ExactSubstr systems
-    // accept; a collision can only over-remove one span.
+    // the gram STRING never shuffles: a 128-bit fingerprint — two
+    // independently-seeded xxhash64 values — is the agg and join key
+    // (16 bytes vs ~8 words of text — the NgramLm narrow-key lesson).
+    // One 64-bit hash would collide with odds ~B²/2^65 (~1e-4 at 100M
+    // distinct grams) and a collision silently over-removes a span,
+    // breaking the bit-exactness contract with the oracle (which groups
+    // by the gram TEXT); at 128 bits the odds are ~B²/2^129 (~1e-23 at
+    // 100M grams) — unobservable at any corpus size.
     val grams = base
       .select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), xxhash64(col("gram")).as("fp"))
+      .select(
+        col("id"), col("pos"),
+        xxhash64(col("gram")).as("fp"),
+        xxhash64(lit("graft.span.fp2"), col("gram")).as("fp2"))
     // corpus-wide first occurrence per duplicated gram: min(struct) orders
     // lexicographically by (id, pos) — exactly ORDER BY doc_id, pos
     val firstOcc = grams
-      .groupBy(col("fp"))
+      .groupBy(col("fp"), col("fp2"))
       .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("fp"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+      .select(col("fp"), col("fp2"), col("f.id").as("fid"), col("f.pos").as("fpos"))
     val dupStarts = grams
-      .join(firstOcc, Seq("fp"))
+      .join(firstOcc, Seq("fp", "fp2"))
       .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
       .select(col("id"), col("pos"))
     // merge overlapping/contiguous [pos, pos+k-1] covers into maximal spans

@@ -289,6 +289,45 @@ object ScaleBench {
     docs.unpersist()
   }
 
+  /** Span-dedup ADVERSARIAL density: every document is the SAME 40-token
+    * boilerplate text, so every doc but the corpus-wide first is one
+    * maximal duplicated run — the regime where dupStarts is ~n_tokens
+    * rows per doc (33 k-gram starts at k=8) instead of a few. The
+    * structures that must stay bounded: the islands window partitions
+    * per DOC (33 rows each — never by gram, where every partition would
+    * be nDocs deep), and the first-occurrence aggregate partial-combines
+    * the 33 white-hot grams map-side (33 reduce rows total). Expected
+    * output: nDocs-1 docs hit, one span each, 40 tokens removed per hit,
+    * empty cleaned text. Throughput should track the friendly-corpus
+    * run within a small constant — degrading linearly with rows, not
+    * quadratically with duplication. Usage:
+    * runMain graft.tools.ScaleBench spandedup-worst [nDocs] */
+  def spanDedupWorstMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.Dedup
+    val boiler = (0 until 40).map(j => s"b$j").mkString(" ")
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), lit(boiler).as("text")).cache()
+    val total = docs.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.spanDedupApply(docs, "text", "doc_id", k = 8)
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("n_spans")).as("spans"),
+        sum(col("removed_tokens")).as("removed"),
+        max(col("n_spans")).as("max_spans_per_doc"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"workload":{"docs":$total,"tokens_per_doc":40,"boilerplate_share":1.0},
+         |"apply":{"sec":$sec,"docs_hit":${out.getAs[Long]("docs_hit")},
+         |"spans":${out.getAs[Long]("spans")},"tokens_removed":${out.getAs[Long]("removed")},
+         |"max_spans_per_doc":${out.getAs[Long]("max_spans_per_doc")}},
+         |"docs_per_sec":${(total / sec).toLong}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist()
+  }
+
   /** Bitext-mining stress: margin mining over ANN candidates at a scale
     * where the exact cross (nSrc × nTgt cosines) is not runnable. Two
     * clustered vector sets; the first `nPlanted` target vectors are
@@ -1017,6 +1056,8 @@ object ScaleBench {
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>
         spanDedupMain(s, argL(1, 2000000L)))
+      case Some("spandedup-worst") => withSession(tuned = true)(s =>
+        spanDedupWorstMain(s, argL(1, 2000000L)))
       case Some("zorder") => withSession(tuned = false)(s => zorderMain(s, argL(1, 20000000L)))
       case Some("asof") => withSession(tuned = false)(s =>
         asofMain(s, argL(1, 20000000L), argL(2, 20000000L), argL(3, 100000L)))
