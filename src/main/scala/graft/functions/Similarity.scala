@@ -164,11 +164,19 @@ object Similarity {
     // the table instead of pinning it in executor memory for the session.
     // The key folds in the candidate plan's semantic hash so exact-cross
     // and ANN-candidate invocations (or different inputs) never collide.
+    // NaN cosines (a zero-norm vector on either side) fold as 0
+    // micro-units: they carry no similarity signal, and under ANSI mode
+    // the bare cast would THROW CAST_OVERFLOW and kill the whole job —
+    // one degenerate embedding must not abort a corpus-scale mining run
+    // (found by the BitextSpec all-nonpositive-corpus property).
     val withU = StagingCache.getOrElseUpdate(
       scored.sparkSession,
       s"mineBitext:$srcLang->$tgtLang:" +
         s"plan=${scored.queryExecution.analyzed.semanticHash()}") {
-      scored.withColumn("cos_u", round(col("cos") * 1e6).cast("long"))
+      scored.withColumn(
+        "cos_u",
+        when(isnan(col("cos")), lit(0L))
+          .otherwise(round(col("cos") * 1e6).cast("long")))
     }
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
     val wy = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)

@@ -2250,7 +2250,9 @@ object TextQueries {
         |           AS cos
         |  FROM x CROSS JOIN y
         |), su AS (
-        |  SELECT src_id, tgt_id, cos, CAST(round(cos * 1e6) AS BIGINT) AS cos_u FROM scored
+        |  SELECT src_id, tgt_id, cos,
+        |         CASE WHEN isnan(cos) THEN 0
+        |              ELSE CAST(round(cos * 1e6) AS BIGINT) END AS cos_u FROM scored
         |), ax AS (
         |  SELECT src_id, SUM(cos_u)::DOUBLE / COUNT(*) AS ax FROM (
         |    SELECT src_id, cos_u,
@@ -2315,7 +2317,9 @@ object TextQueries {
         |           AS cos
         |  FROM pairs p JOIN x xv ON xv.src_id = p.src_id JOIN y yv ON yv.tgt_id = p.tgt_id
         |), su AS (
-        |  SELECT src_id, tgt_id, cos, CAST(round(cos * 1e6) AS BIGINT) AS cos_u FROM (
+        |  SELECT src_id, tgt_id, cos,
+        |         CASE WHEN isnan(cos) THEN 0
+        |              ELSE CAST(round(cos * 1e6) AS BIGINT) END AS cos_u FROM (
         |    SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
         |    FROM cscored) WHERE r <= 16
         |), ax AS (

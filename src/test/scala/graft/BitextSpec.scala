@@ -45,4 +45,40 @@ class BitextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // every src doc got exactly one forward-best row
     assert(rows.keySet === Set(0L, 1L, 2L, 3L))
   }
+
+  test("property: all-nonpositive-cosine corpora never surface margin or accepted") {
+    // the guard at the margin computation is correctness-bearing: with
+    // ax+ay <= 0 the raw ratio is NaN (0/0 — and Spark sorts NaN ABOVE
+    // every double, so it would win the forward window and pass any
+    // threshold), +Infinity, or sign-flipped. Property: for corpora
+    // where every cross-language cosine is <= 0 or undefined (zero
+    // vectors), every mined row has margin exactly 0 and accepted 0 —
+    // even against a permissive threshold.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nonneg = Gen.chooseNum(0.0, 5.0)
+    val vecGen = Gen.frequency(
+      4 -> Gen.listOfN(4, nonneg),
+      1 -> Gen.const(List.fill(4)(0.0))) // zero vector: cosine is NaN
+    val corpusGen = for {
+      nx <- Gen.chooseNum(2, 5)
+      ny <- Gen.chooseNum(2, 5)
+      xs <- Gen.listOfN(nx, vecGen)
+      ys <- Gen.listOfN(ny, vecGen)
+    } yield (xs, ys.map(_.map(v => -v))) // src orthant+, tgt orthant- => dot <= 0
+    val prop = Prop.forAll(corpusGen) { case (xs, ys) =>
+      val vecs = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, "en") } ++
+        ys.zipWithIndex.map { case (v, i) => ((100 + i).toLong, v, "de") }
+      val emb = vecs.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+      val langs = vecs.map { case (id, _, l) => (id, l) }.toDF("vec_id", "lang")
+      val rows = Similarity
+        .mineBitext(emb, langs, "vec_id", "embedding", "lang", "en", "de",
+          k = 2, minMargin = 0.5)
+        .collect()
+      rows.nonEmpty &&
+        rows.forall(r => r.getAs[Double]("margin") == 0.0 &&
+          r.getAs[Long]("accepted") === 0L)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
