@@ -433,6 +433,16 @@ object TextQueries {
           col("id").as("doc_id"), col("predicted_source"), col("source"),
           col("confidence"), (col("predicted") === col("y")).as("agrees"))
     }),
+    // nearest-centroid source classifier — the ORACLE-GATED classifier:
+    // one-aggregation-pass training (per-class mean hashed-token-count
+    // vectors in integer micro-units), exact-integer scoring, so the
+    // full train→predict chain replays bit-for-bit in DuckDB — the
+    // contract d36's softmax cannot offer (exp/log has no cross-engine
+    // bit guarantee; see COVERAGE.md)
+    "d63_centroid_classifier" -> ((s, dir) => {
+      graft.functions.QualityClassifier
+        .centroidClassifier(docs(s, dir), "text", "doc_id", "source", numBuckets = 1024)
+    }),
     // data-mixture drift monitor: token-distribution shift of src0 vs
     // the rest — per-token KL contributions (top 20) + corpus-level KL
     // and total-variation totals on every row
@@ -2350,6 +2360,48 @@ object TextQueries {
         |       (CASE WHEN bwd = 1 THEN 1 ELSE 0 END)::BIGINT AS mutual,
         |       (CASE WHEN margin >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS accepted
         |FROM r WHERE fwd = 1""".stripMargin,
+    // d63: full train→predict replay of the Hellinger nearest-centroid
+    // classifier — per-doc √frequency vectors and per-class means in
+    // integer micro-units (only correctly-rounded ops: ÷, sqrt, round),
+    // scores exact integer folds, so DuckDB reproduces every prediction
+    // bit-for-bit
+    "d63_centroid_classifier" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, UNNEST($toks) AS term FROM documents
+         |), cnt AS (
+         |  SELECT doc_id, source, (${phash("term")} % 1024)::INT AS bucket,
+         |         COUNT(*)::BIGINT AS c
+         |  FROM tk GROUP BY 1, 2, 3
+         |), tot AS (
+         |  SELECT doc_id, SUM(c)::BIGINT AS n FROM cnt GROUP BY 1
+         |), xu AS (
+         |  SELECT c0.doc_id, c0.source, c0.bucket,
+         |         CAST(round(sqrt(c0.c::DOUBLE / t.n) * 1e6) AS BIGINT) AS xu
+         |  FROM cnt c0 JOIN tot t USING (doc_id)
+         |), cls AS (
+         |  SELECT source AS label, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+         |), cenu AS (
+         |  SELECT label, bucket, CAST(round(s::DOUBLE / n_docs) AS BIGINT) AS cu
+         |  FROM (SELECT source AS label, bucket, SUM(xu)::BIGINT AS s FROM xu GROUP BY 1, 2)
+         |  JOIN cls USING (label)
+         |), nrm AS (
+         |  SELECT label, SUM(cu * cu)::BIGINT AS norm2 FROM cenu GROUP BY 1
+         |), dots AS (
+         |  SELECT x.doc_id, u.label, SUM(x.xu * u.cu)::BIGINT AS dot
+         |  FROM xu x JOIN cenu u USING (bucket) GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT d.doc_id, d.source, c.label FROM documents d CROSS JOIN cls c
+         |), best AS (
+         |  SELECT g.doc_id, g.source, g.label,
+         |         row_number() OVER (PARTITION BY g.doc_id ORDER BY
+         |           2 * COALESCE(dt.dot, 0) - n.norm2 DESC, g.label ASC) AS r
+         |  FROM grid g
+         |  LEFT JOIN dots dt ON dt.doc_id = g.doc_id AND dt.label = g.label
+         |  JOIN nrm n ON n.label = g.label
+         |)
+         |SELECT doc_id, source, label AS predicted_source,
+         |       (CASE WHEN label = source THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM best WHERE r = 1""".stripMargin,
     "d60_source_overlap" -> {
       val p = graft.functions.Dedup.minhashPrime
       val minList = graft.functions.Dedup

@@ -105,4 +105,39 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("centroid classifier separates disjoint-vocab classes perfectly") {
+    // three classes with disjoint vocabularies: Hellinger nearest
+    // centroid must recover every label, including for docs whose token
+    // MIX differs from their class centroid
+    val docs3 = Seq(
+      (0L, "apple pear plum apple", "fruit"),
+      (1L, "pear pear plum", "fruit"),
+      (2L, "plum apple", "fruit"),
+      (10L, "iron zinc gold gold", "metal"),
+      (11L, "gold iron", "metal"),
+      (12L, "zinc zinc iron gold", "metal"),
+      (20L, "oak elm fir", "tree"),
+      (21L, "fir oak oak oak", "tree"),
+      (22L, "elm fir", "tree")).toDF("doc_id", "text", "source")
+    val out = QualityClassifier
+      .centroidClassifier(docs3, "text", "doc_id", "source", numBuckets = 64)
+    assert(out.count() === 9L)
+    assert(out.agg(org.apache.spark.sql.functions.sum($"correct")).head.getLong(0) === 9L)
+  }
+
+  test("centroid classifier beats random on the harness mixture signal") {
+    // the generative model's honest ceiling on the harness corpus is
+    // well below d36's discriminative softmax (that's the price of its
+    // bit-exact oracle contract) but must stay a clear multiple of the
+    // 1/20 random baseline
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = QualityClassifier.centroidClassifier(d, "text", "doc_id", "source")
+    val (n, ok) = out
+      .agg(org.apache.spark.sql.functions.count($"correct"),
+        org.apache.spark.sql.functions.sum($"correct"))
+      .as[(Long, Long)].head()
+    val acc = ok.toDouble / n
+    assert(acc >= 2.5 / 20.0, s"accuracy $acc not a clear multiple of random (0.05)")
+  }
 }
