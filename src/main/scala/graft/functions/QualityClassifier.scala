@@ -322,12 +322,21 @@ object QualityClassifier {
     val totals = cnt.groupBy(col("id")).agg(sum(col("c")).as("n"))
     // √frequency in integer micro-units: c/n is one correctly-rounded
     // division, sqrt is correctly rounded by IEEE mandate, and the final
-    // round lands on the same long in every conforming engine
-    val xu = cnt
-      .join(totals, Seq("id"))
-      .select(
-        col("id"), col("actual"), col("bucket"),
-        round(sqrt(col("c").cast("double") / col("n")) * 1e6).cast("long").as("xu"))
+    // round lands on the same long in every conforming engine. Cached
+    // through StagingCache (semantic-hash keyed, the mineBitext
+    // convention): centroid training AND doc scoring both consume this
+    // table, and uncached each would recompute the tokenize→explode→
+    // count subtree — the dominant cost of the whole classifier.
+    val xu = graft.sources.StagingCache.getOrElseUpdate(
+      df.sparkSession,
+      s"centroidClf:D=$numBuckets:" +
+        s"plan=${cnt.queryExecution.analyzed.semanticHash()}") {
+      cnt
+        .join(totals, Seq("id"))
+        .select(
+          col("id"), col("actual"), col("bucket"),
+          round(sqrt(col("c").cast("double") / col("n")) * 1e6).cast("long").as("xu"))
+    }
     val cls = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
     val cenu = xu
       .groupBy(col("actual").as("label"), col("bucket"))
