@@ -109,6 +109,46 @@ object Similarity {
         col("corpus_id"), col("corpus_label"), col("cos_sim"))
   }
 
+  /** ANN-candidate hard-negative mining — the DEPLOYABLE form of
+    * [[hardNegatives]] (the same exact-verifier/ANN-deployable split as
+    * [[mineBitextAnn]] vs [[mineBitext]]): over-fetch [[lshTopKBanded]]
+    * top-`kCand` per query, drop same-label candidates, re-rank, keep k.
+    * The sign-LSH candidates are deterministic, so the whole chain —
+    * candidates, label filter, re-rank — replays in oracle SQL (d64);
+    * the exact cross (d41) rides as its recall verifier. Over-fetching
+    * matters here more than for plain top-k: the label filter discards
+    * candidates AFTER generation, so kCand must cover k plus however
+    * many same-label near neighbors a query typically has. */
+  def hardNegativesAnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      kCand: Int = 20,
+      nBits: Int = 6,
+      nBands: Int = 10,
+      broadcastProbes: Boolean = true): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must over-fetch the negative k ($k)")
+    val cand = lshTopKBanded(
+      corpus, queries, idCol, vecCol, kCand, nBits, nBands,
+      multiProbe = true, broadcastProbes = broadcastProbes)
+    val cl = corpus.select(col(idCol).as("corpus_id"), col(labelCol).as("corpus_label"))
+    val ql = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"))
+    val negatives = cand
+      .join(cl, Seq("corpus_id"))
+      .join(broadcast(ql), Seq("query_id"))
+      .filter(col("corpus_label") =!= col("query_label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    negatives
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(
+        col("query_id"), col("query_label"), col("neg_rank").cast("long").as("rank"),
+        col("corpus_id"), col("corpus_label"), col("cos_sim"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
     * public paper): candidate translation pairs between two language

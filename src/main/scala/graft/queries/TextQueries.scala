@@ -153,6 +153,15 @@ object TextQueries {
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", 5)
     }),
+    // the DEPLOYABLE hard-negative miner: banded sign-LSH candidates
+    // over-fetched to 20, label-filtered, re-ranked to top-5 — no cross
+    // join; d41's exact cross stays registered as its recall verifier
+    // (the d61/d62 split, negatives edition)
+    "d64_hard_negatives_ann" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegativesAnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5, kCand = 20)
+    }),
     // embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     "d10_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.3, nBits = 6)
@@ -1366,6 +1375,49 @@ object TextQueries {
         |  SELECT query_id, query_label, corpus_id, corpus_label, cos_sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, query_label, rank::BIGINT AS rank, corpus_id, corpus_label, cos_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    // d64: the d14 banded-LSH candidate replay, then label filter, then
+    // re-rank — candidates are ranked top-20 BEFORE the label filter
+    // (exactly the Spark operator's order)
+    "d64_hard_negatives_ann" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id, b.band,
+        |         CAST(list_sum(list_transform(generate_series(0, 5),
+        |           i -> CASE WHEN vec[b.band * 6 + i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, (SELECT UNNEST(generate_series(0, 9)) AS band) b
+        |), qb AS (
+        |  SELECT vec_id, band,
+        |         UNNEST(list_concat([bucket],
+        |           list_transform(generate_series(0, 5), i -> xor(bucket, 1::BIGINT << i)))) AS bucket
+        |  FROM cb WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM cb c JOIN qb q ON c.band = q.band AND c.bucket = q.bucket
+        |  WHERE c.vec_id <> q.vec_id
+        |), scored AS (
+        |  SELECT p.query_id, p.corpus_id,
+        |         round(list_sum(list_transform(generate_series(1, 64), i -> cv.vec[i] * qv.vec[i])) /
+        |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv.vec[i] * cv.vec[i]))) *
+        |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv.vec[i] * qv.vec[i])))), 6) AS cos_sim
+        |  FROM pairs p JOIN v cv ON cv.vec_id = p.corpus_id JOIN v qv ON qv.vec_id = p.query_id
+        |), cand AS (
+        |  SELECT query_id, corpus_id, cos_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS r
+        |    FROM scored) WHERE r <= 20
+        |), negs AS (
+        |  SELECT c.query_id, qv.label AS query_label, c.corpus_id,
+        |         cv.label AS corpus_label, c.cos_sim
+        |  FROM cand c
+        |  JOIN v cv ON cv.vec_id = c.corpus_id
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  WHERE cv.label <> qv.label
+        |), ranked AS (
+        |  SELECT query_id, query_label, corpus_id, corpus_label, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+        |  FROM negs
         |)
         |SELECT query_id, query_label, rank::BIGINT AS rank, corpus_id, corpus_label, cos_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,

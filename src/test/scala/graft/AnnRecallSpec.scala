@@ -147,4 +147,31 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(c1.length == 8 && c1.forall(_.length == 64))
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("ANN hard negatives: recall@5 >= 0.9 vs the exact cross (d64 vs d41)") {
+    val exactNegs = pairs(
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", k))
+    val annNegs = pairs(
+      Similarity.hardNegativesAnn(emb, queries, "vec_id", "embedding", "label", k,
+        kCand = 20))
+    val r = (exactNegs & annNegs).size.toDouble / exactNegs.size
+    assert(r >= 0.9, s"ANN hard-negative recall@5 = $r < 0.9")
+  }
+
+  test("ANN bitext: accepted pairs recover >= 0.9 of the exact cross (d62 vs d61)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    def accepted(df: DataFrame): Set[(Long, Long)] =
+      df.filter(col("accepted") === 1L)
+        .select(col("src_id").cast("long"), col("tgt_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAcc = accepted(Similarity.mineBitext(
+      emb, docs, "vec_id", "embedding", "lang", "en", "de", k = 4, minMargin = 1.0))
+    val annAcc = accepted(Similarity.mineBitextAnn(
+      emb, docs, "vec_id", "embedding", "lang", "en", "de",
+      k = 4, minMargin = 1.0, kCand = 16))
+    assert(exactAcc.nonEmpty)
+    val r = (exactAcc & annAcc).size.toDouble / exactAcc.size
+    assert(r >= 0.9, s"ANN bitext accepted-pair recall = $r < 0.9")
+  }
 }
