@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005, "An Improved Data
+  * Stream Summary: The Count-Min Sketch and its Applications" — public
+  * paper) as a relational counter table: `depth` independent hash rows ×
+  * `width` columns. The point-query companion to [[FrequentItems]]'
+  * Misra–Gries sketch — MG answers "WHICH keys are hot" within
+  * ≤ capacity counters, CMS answers "how often is THIS key" for keys
+  * chosen after the fact, with the guarantees
+  *   est(k) ≥ true(k)  (always: counters only ever add), and
+  *   est(k) ≤ true(k) + εN w.p. ≥ 1−δ at width ⌈e/ε⌉, depth ⌈ln(1/δ)⌉.
+  *
+  * Execution/scale shape (100 TB): building is a map-side explode of the
+  * depth coordinates followed by ONE partial-aggregated groupBy over
+  * (r, c) — per-partition state collapses to depth·width counters before
+  * anything shuffles, so shuffle volume is depth·width·partitions
+  * regardless of event count or key cardinality, where the exact groupBy
+  * alternative shuffles every distinct key. The sketch is LINEAR:
+  * merging two sketches — across partitions, batches, days, or engines —
+  * is plain counter addition (which is exactly why the partial aggregate
+  * is lossless). Coordinates come from the portable md5-prefix hash
+  * salted per row, so the entire sketch AND every estimate replays
+  * bit-for-bit in oracle SQL (q44). */
+object CountMin {
+
+  private def coord(key: Column, r: Column, width: Int): Column =
+    pmod(
+      TextFunctions.portableHash(concat(lit("cms:"), r.cast("string"), lit(":"), key)),
+      lit(width)).cast("int")
+
+  /** Build the counter table (r, c, cnt) over `key`. Null keys carry no
+    * frequency signal and are dropped (the [[FrequentItems]] rule). */
+  def build(df: DataFrame, key: Column, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth/width must be >= 1, got $depth/$width")
+    df.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), coord(col("k"), col("r"), width).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for the keys in `keys(keyCol)`: min over the depth
+    * counters (an untouched cell means count 0). The sketch — at most
+    * depth·width rows, independent of data size — broadcasts; the probe
+    * side never shuffles. Must be called with the `depth`/`width` the
+    * sketch was built with. */
+  def estimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    keys.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("k"), col("r"), coord(col("k"), col("r"), width).as("c"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Merge counter tables built with the SAME (depth, width): linear
+    * sketches add cell-wise. The incremental-maintenance path: keep one
+    * table per day/batch/source and union+sum on read, or fold new
+    * batches into a running table — either way no raw key ever needs
+    * re-reading. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+}

@@ -438,6 +438,36 @@ object RelationalQueries {
             .as("within_bound"))
         .orderBy(col("exact_n").desc, col("k").asc)
     }),
+    // Count-Min sketch point queries over the q43 key stream: depth-4 ×
+    // width-256 counter table (portable salted hashes → the sketch AND
+    // every estimate replay in the oracle, unlike engine-opaque sketches),
+    // probed at the 5 hot keys + the 5 first cold keys. The never-
+    // underestimates guarantee is asserted per row; `overcount` shows the
+    // collision inflation the εN bound prices in. MG (q43) finds the hot
+    // keys, CMS answers arbitrary after-the-fact frequency questions —
+    // together the standard streaming-frequency toolbox.
+    "q44_countmin" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val keyed = t(s, dir, "lineitem").select(
+        when(
+          col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_partkey").cast("string"))).as("k"))
+      val sketch = CountMin.build(keyed, col("k"), depth = 4, width = 256)
+      val probes = keyed
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("k").asc)
+        .limit(10)
+      CountMin.estimate(sketch, probes.select(col("k")), "k", depth = 4, width = 256)
+        .join(probes, Seq("k"))
+        .select(
+          col("k"), col("exact_n"), col("est"),
+          when(col("est") >= col("exact_n"), lit("ok"))
+            .otherwise(lit("UNDERESTIMATE")).as("lower_bound"),
+          (col("est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("k").asc)
+    }),
     // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
     // hash left-anti / left-semi aggregates — no sort, one shuffle each)
     "q29_setops" -> ((s, dir) => {
@@ -1112,6 +1142,37 @@ object RelationalQueries {
         |SELECT k, exact_n, 'ok' AS in_sketch, 'ok' AS underestimate,
         |       'ok' AS within_bound
         |FROM e ORDER BY exact_n DESC, k""".stripMargin,
+    // q44: full CMS replay — the portable salted coordinate hashes make
+    // the counter table itself reproducible, not just its gates
+    "q44_countmin" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 5
+        |              THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS k
+        |  FROM lineitem
+        |), coords AS (
+        |  SELECT k, i.r,
+        |         (('0x' || substr(md5('cms:' || CAST(i.r AS VARCHAR) || ':' || k), 1, 15))::BIGINT % 256)::INT AS c
+        |  FROM keyed, (SELECT UNNEST(generate_series(0, 3)) AS r) i
+        |), sketch AS (
+        |  SELECT r, c, COUNT(*)::BIGINT AS cnt FROM coords GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT k, COUNT(*)::BIGINT AS exact_n FROM keyed
+        |  GROUP BY 1 ORDER BY exact_n DESC, k ASC LIMIT 10
+        |), pc AS (
+        |  SELECT pr.k, i.r,
+        |         (('0x' || substr(md5('cms:' || CAST(i.r AS VARCHAR) || ':' || pr.k), 1, 15))::BIGINT % 256)::INT AS c
+        |  FROM probes pr, (SELECT UNNEST(generate_series(0, 3)) AS r) i
+        |), pest AS (
+        |  SELECT p.k, MIN(COALESCE(s.cnt, 0))::BIGINT AS est
+        |  FROM pc p LEFT JOIN sketch s ON s.r = p.r AND s.c = p.c
+        |  GROUP BY 1
+        |)
+        |SELECT pr.k, pr.exact_n, p.est,
+        |       CASE WHEN p.est >= pr.exact_n THEN 'ok' ELSE 'UNDERESTIMATE' END AS lower_bound,
+        |       (p.est - pr.exact_n)::BIGINT AS overcount
+        |FROM pest p JOIN probes pr USING (k)
+        |ORDER BY pr.exact_n DESC, pr.k ASC""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
