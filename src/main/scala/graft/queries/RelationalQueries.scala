@@ -1142,18 +1142,22 @@ object RelationalQueries {
         |SELECT k, exact_n, 'ok' AS in_sketch, 'ok' AS underestimate,
         |       'ok' AS within_bound
         |FROM e ORDER BY exact_n DESC, k""".stripMargin,
-    // q44: full CMS replay — the portable salted coordinate hashes make
-    // the counter table itself reproducible, not just its gates
+    // q44: full CMS replay — one portable hash per key expanded by
+    // Kirsch–Mitzenmacher double hashing (h1 = low 30 bits, h2 = high
+    // bits forced odd, c_r = (h1 + r·h2) mod width) makes the counter
+    // table itself reproducible, not just its gates
     "q44_countmin" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN l_orderkey % 10 < 5
         |              THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
         |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS k
         |  FROM lineitem
+        |), hk AS (
+        |  SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS v FROM keyed
         |), coords AS (
         |  SELECT k, i.r,
-        |         (('0x' || substr(md5('cms:' || CAST(i.r AS VARCHAR) || ':' || k), 1, 15))::BIGINT % 256)::INT AS c
-        |  FROM keyed, (SELECT UNNEST(generate_series(0, 3)) AS r) i
+        |         (((v % 1073741824) + i.r * ((v // 1073741824) * 2 + 1)) % 256)::INT AS c
+        |  FROM hk, (SELECT UNNEST(generate_series(0, 3)) AS r) i
         |), sketch AS (
         |  SELECT r, c, COUNT(*)::BIGINT AS cnt FROM coords GROUP BY 1, 2
         |), probes AS (
@@ -1161,7 +1165,8 @@ object RelationalQueries {
         |  GROUP BY 1 ORDER BY exact_n DESC, k ASC LIMIT 10
         |), pc AS (
         |  SELECT pr.k, i.r,
-        |         (('0x' || substr(md5('cms:' || CAST(i.r AS VARCHAR) || ':' || pr.k), 1, 15))::BIGINT % 256)::INT AS c
+        |         ((((('0x' || substr(md5(pr.k), 1, 15))::BIGINT) % 1073741824)
+        |           + i.r * (((('0x' || substr(md5(pr.k), 1, 15))::BIGINT) // 1073741824) * 2 + 1)) % 256)::INT AS c
         |  FROM probes pr, (SELECT UNNEST(generate_series(0, 3)) AS r) i
         |), pest AS (
         |  SELECT p.k, MIN(COALESCE(s.cnt, 0))::BIGINT AS est

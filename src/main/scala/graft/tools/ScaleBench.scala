@@ -483,6 +483,51 @@ object ScaleBench {
     keyed.unpersist()
   }
 
+  /** Count-Min stress: CMS build + point probes vs the exact per-key
+    * groupBy on the heavyhitters workload (5 hot keys in nRows/10 cold
+    * ones). The exact path materializes a count for EVERY distinct key
+    * (a shuffle of nRows/10 keys) to answer any frequency question; the
+    * CMS shuffles depth·width·partitions counters and then answers any
+    * point query from the broadcast table. Usage:
+    * runMain graft.tools.ScaleBench countmin [nRows] */
+  def countMinMain(spark: SparkSession, nRows: Long): Unit = {
+    import graft.functions.CountMin
+    val depth = 4; val width = 4096
+    val keyed = spark.range(nRows).select(
+      when(pmod(col("id"), lit(10)) < 5, concat(lit("hot"), pmod(col("id"), lit(5))))
+        .otherwise(concat(lit("cold"), pmod(hash(col("id")), lit(nRows / 10))))
+        .as("k")).cache()
+    keyed.count()
+    val probes = (0 until 5).map(i => s"hot$i") ++ (0 until 5).map(i => s"cold$i")
+    val probeDf = spark.createDataFrame(probes.map(Tuple1(_))).toDF("k")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // JIT warmup for both plans
+    keyed.limit(1000000).groupBy(col("k")).agg(count(lit(1))).collect()
+    CountMin.build(keyed.limit(1000000), col("k"), depth, width).collect()
+    val (exact, exactSec) = time {
+      keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .join(probeDf, Seq("k"), "right")
+        .select(col("k"), coalesce(col("n"), lit(0L)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val (est, cmsSec) = time {
+      val sketch = CountMin.build(keyed, col("k"), depth, width)
+      CountMin.estimate(sketch, probeDf, "k", depth, width).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val neverUnder = probes.forall(k => est(k) >= exact(k))
+    val maxOver = probes.map(k => est(k) - exact(k)).max
+    println(
+      s"""{"workload":{"rows":$nRows,"hot_keys":5,"cold_keys":${nRows / 10},"depth":$depth,"width":$width},
+         |"exact_groupby":{"sec":$exactSec},
+         |"cms":{"sec":$cmsSec,"never_underestimates":$neverUnder,"max_overcount":$maxOver},
+         |"speedup":${exactSec / cmsSec}}"""
+        .stripMargin.replace("\n", ""))
+    keyed.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -1052,6 +1097,8 @@ object ScaleBench {
         bitextMain(s, argL(1, 200000L), argL(2, 200000L), argL(3, 20000L)))
       case Some("dimsum") => withSession(tuned = true)(s =>
         dimsumMain(s, argL(1, 500000L), argD(2, 50.0)))
+      case Some("countmin") => withSession(tuned = true)(s =>
+        countMinMain(s, argL(1, 50000000L)))
       case Some("heavyhitters") => withSession(tuned = true)(s =>
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>
