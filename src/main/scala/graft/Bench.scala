@@ -41,15 +41,28 @@ object Bench {
     // 85 s unloaded — same commit). The min is the steady-state number a
     // production deployment sees (indexes built once, code JIT-hot); the
     // cold pass is still reported for build-cost visibility.
+    // host load bracketing the run (1/5/15-min from /proc/loadavg):
+    // four consecutive rounds had to caveat co-tenant load in prose
+    // (same-commit swings up to 1494 s vs 85 s) — record it in the
+    // artifact so cross-round comparisons can cite measured load
+    // instead of guessing
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Exception => Seq.empty }
+    val loadStart = loadavg()
     val cold = pass()
     val warm = pass().toMap
+    val loadEnd = loadavg()
     val steady = cold.map { case (k, v) => k -> math.min(v, warm(k)) }
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
-      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,"sf":"$sfDir"}"""
+      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,""" +
+      s""""loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
+      s""""loadavg_end":${loadEnd.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate a 135-query line; persist the complete
     // machine-readable map alongside so every per-query number survives

@@ -58,26 +58,58 @@ object CountMin {
     * counters (an untouched cell means count 0). The sketch — at most
     * depth·width rows, independent of data size — broadcasts; the probe
     * side never shuffles. Must be called with the `depth`/`width` the
-    * sketch was built with. */
+    * sketch was built with: a mismatch computes wrong coordinates and
+    * can silently UNDERESTIMATE (breaking est ≥ true), so the sketch's
+    * occupied coordinates are validated against the probe geometry
+    * first (one driver pass over ≤ depth·width counter rows — prefer
+    * [[Sketch]], which carries its geometry and can't mismatch). */
   def estimate(
       sketch: DataFrame,
       keys: DataFrame,
       keyCol: String,
       depth: Int = 4,
-      width: Int = 256): DataFrame =
+      width: Int = 256): DataFrame = {
+    val bounds = sketch.agg(max(col("r")), max(col("c"))).collect()(0)
+    if (!bounds.isNullAt(0)) {
+      val (maxR, maxC) = (bounds.getInt(0), bounds.getInt(1))
+      require(maxR < depth && maxC < width,
+        s"sketch occupies coordinates up to (r=$maxR, c=$maxC) — " +
+          s"outside the probe geometry (depth=$depth, width=$width); " +
+          "estimate() must use the build-time parameters")
+    }
     hashedKeys(keys, col(keyCol), depth)
       .select(col("k"), col("r"), coordFromV(col("v"), col("r"), width).as("c"))
       .join(broadcast(sketch), Seq("r", "c"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 
   /** Merge counter tables built with the SAME (depth, width): linear
     * sketches add cell-wise. The incremental-maintenance path: keep one
     * table per day/batch/source and union+sum on read, or fold new
     * batches into a running table — either way no raw key ever needs
-    * re-reading. */
+    * re-reading. Geometry cannot be validated from bare tables (the
+    * parameters aren't in the rows) — use [[Sketch.merge]] when the
+    * sketches come from different code paths. */
   def merge(sketches: DataFrame*): DataFrame =
     sketches.reduce(_ unionByName _)
       .groupBy(col("r"), col("c"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** A counter table that CARRIES its build geometry, so estimates and
+    * merges can never silently run with mismatched (depth, width). */
+  case class Sketch(counters: DataFrame, depth: Int, width: Int) {
+    def estimate(keys: DataFrame, keyCol: String): DataFrame =
+      CountMin.estimate(counters, keys, keyCol, depth, width)
+    def merge(other: Sketch): Sketch = {
+      require(depth == other.depth && width == other.width,
+        s"cannot merge CMS geometries ($depth×$width) and " +
+          s"(${other.depth}×${other.width}) — estimates would be garbage")
+      Sketch(CountMin.merge(counters, other.counters), depth, width)
+    }
+  }
+
+  /** [[build]] wrapped with its geometry — the safe default entry. */
+  def buildSketch(df: DataFrame, key: Column, depth: Int = 4, width: Int = 256): Sketch =
+    Sketch(build(df, key, depth, width), depth, width)
 }

@@ -677,13 +677,17 @@ object Dedup {
         p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
     // the gram STRING never shuffles: a 128-bit fingerprint — two
-    // independently-seeded xxhash64 values — is the agg and join key
+    // differently-seeded xxhash64 values — is the agg and join key
     // (16 bytes vs ~8 words of text — the NgramLm narrow-key lesson).
     // One 64-bit hash would collide with odds ~B²/2^65 (~1e-4 at 100M
     // distinct grams) and a collision silently over-removes a span,
     // breaking the bit-exactness contract with the oracle (which groups
-    // by the gram TEXT); at 128 bits the odds are ~B²/2^129 (~1e-23 at
-    // 100M grams) — unobservable at any corpus size.
+    // by the gram TEXT). The salted second hash is the SAME xxhash64
+    // family, so the pair isn't two independent draws and the clean
+    // 2^-129 birthday figure doesn't strictly apply — but a pair
+    // collision still needs one gram pair to collide in BOTH seeded
+    // values, which is effectively 128-bit in practice: unobservable at
+    // any corpus size.
     val grams = base
       .select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
       .select(

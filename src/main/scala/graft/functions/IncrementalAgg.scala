@@ -75,7 +75,14 @@ object IncrementalAgg {
 
   /** Write `states` into the state table at `path`, replacing ONLY the
     * slice partitions present in `states` (dynamic partition overwrite —
-    * re-running a day is idempotent and never touches other days). */
+    * re-running a day is idempotent and never touches other days).
+    *
+    * BATCH path only: a torn overwrite here is recoverable because the
+    * raw events that produced the slice still exist — re-running the
+    * slice rebuilds it. The STREAMING fold merges stored state into
+    * itself, where a torn write would be permanent, so
+    * [[graft.streaming.StreamingRollup]] persists through
+    * [[graft.streaming.StateStore]] versioned slice commits instead. */
   def writeStates(states: DataFrame, path: String): Unit = {
     val spark = states.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -218,7 +218,16 @@ object EventsStream {
     * equivalent of the reference's "incremental" date-range re-run,
     * 05_prod_dev.py:1054-1101, but keyed by affected entity instead of a
     * blanket date filter). `mapBatch` receives (accumulated series for
-    * the touched keys, batch id) and owns the sink write. */
+    * the touched keys, batch id) and owns the sink write.
+    *
+    * Durability audit: the store write below is `mode("overwrite")` but
+    * it is NOT the [[StateStore]] torn-write hazard — dynamic partition
+    * overwrite touches only THIS batch's own `batch_id` partition,
+    * never the accumulated partitions of earlier batches, and a torn
+    * write of the current partition is exactly what the checkpoint
+    * replays (the retry re-delivers the same batch and replaces the
+    * partial partition). Accumulated state is never deleted-then-
+    * rewritten, so no versioning is needed here. */
   def incrementalMapping(
       series: DataFrame,
       storePath: String,

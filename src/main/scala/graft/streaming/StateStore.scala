@@ -1,11 +1,15 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import java.net.{URLDecoder, URLEncoder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Tiny-state persistence shared by the streaming operators
-  * ([[StreamingTopK]]'s sketch, and the existence checks of
-  * [[StreamingRollup]] / [[StreamingDedup]]'s state tables).
+/** Tiny-state persistence shared by the streaming operators — the
+  * versioned-commit layer under [[StreamingTopK]]'s sketch,
+  * [[StreamingForecast]]'s smoothing state, [[StreamingShift]]'s
+  * history, [[StreamingRollup]]'s per-slice states, and
+  * [[StreamingDedup]]'s append-only fingerprint index.
   *
   * Two hazards this exists to close:
   *
@@ -25,6 +29,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the highest committed version, and only strictly-older versions
   *     are pruned after a successful commit. At every instant at least
   *     one fully-committed version is readable.
+  *
+  * Three layouts, one commit protocol (`_SUCCESS` == committed):
+  *
+  *  - WHOLE-TABLE state (TopK sketch, Forecast state, Shift history):
+  *    `root/v<batch>/` — [[writeVersion]] / [[readLatest]]. Write cost
+  *    is O(state), which is fine because these states are O(keys) or
+  *    O(capacity), never O(history).
+  *  - SLICED state (Rollup's per-day mergeable aggregates): each slice
+  *    is its own whole-table root at `root/slice=<s>/v<batch>/` —
+  *    [[writeSliceVersion]] / [[readLatestSlices]]. A batch rewrites
+  *    ONLY the slices it touches (the write-amplification contract),
+  *    and a torn slice write leaves that slice's previous version
+  *    current. Serving reads resolve the latest committed version per
+  *    slice on the driver (one listing) and scan them in a single
+  *    multi-path parquet relation — slices outside a requested range
+  *    are never listed into the plan at all, which is stronger than
+  *    partition pruning.
+  *  - APPEND-ONLY state (Dedup's fingerprint index): each batch lands
+  *    in its own committed `root/b<batch>/` dir — [[writeBatchDir]] /
+  *    [[readCommittedBatchDirs]]. A plain `mode("append")` would be
+  *    non-atomic (a crash can leave a truncated part-file that poisons
+  *    every later read of the directory); per-batch dirs keep the
+  *    append-proportional write cost AND make a replayed batch
+  *    overwrite its own dir instead of double-appending.
   */
 object StateStore {
 
@@ -34,21 +62,31 @@ object StateStore {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
   // zero-padded so lexicographic order == numeric batch order
   private def versionDir(batchId: Long): String = f"v$batchId%019d"
 
-  private def committedVersions(spark: SparkSession, root: String): Seq[Path] = {
+  private def dirsWithPrefix(
+      spark: SparkSession,
+      root: String,
+      prefix: String,
+      committedOnly: Boolean): Seq[Path] = {
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, rootPath)
     if (!fs.exists(rootPath)) Seq.empty
     else
       fs.listStatus(rootPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .filter(s => !committedOnly || fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(_.getPath)
         .sortBy(_.getName)
         .toSeq
   }
+
+  private def committedVersions(spark: SparkSession, root: String): Seq[Path] =
+    dirsWithPrefix(spark, root, "v", committedOnly = true)
 
   /** The latest fully-committed state version under `root`, if any. */
   def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
@@ -56,17 +94,86 @@ object StateStore {
       .map(p => spark.read.parquet(p.toString))
 
   /** Commit `df` as the state version for `batchId`, then prune older
-    * committed versions (keeping one predecessor as a safety copy). The
-    * previous version is never touched until the new one has its
-    * `_SUCCESS` marker — a crash anywhere leaves the old state current. */
+    * committed versions (keeping one predecessor as a safety copy) and
+    * any uncommitted (torn) version dirs other than the one just
+    * written. The previous version is never touched until the new one
+    * has its `_SUCCESS` marker — a crash anywhere leaves the old state
+    * current — and torn dirs from crashes at OTHER batch ids don't
+    * accumulate forever. */
   def writeVersion(df: DataFrame, root: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val target = new Path(root, versionDir(batchId))
     df.write.mode("overwrite").parquet(target.toString)
     val keep = Set(target.getName)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, target)
     val committed = committedVersions(spark, root).filterNot(p => keep(p.getName))
     // keep the newest predecessor; delete everything older
     committed.dropRight(1).foreach(p => fs.delete(p, true))
+    // garbage-collect torn dirs: an uncommitted v<id> from a crash at a
+    // DIFFERENT batch id never gets replayed-over, so sweep them here
+    dirsWithPrefix(spark, root, "v", committedOnly = false)
+      .filterNot(p => keep(p.getName))
+      .filter(p => !fs.exists(new Path(p, "_SUCCESS")))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  // ---- sliced state (one versioned root per slice) ----------------------
+
+  // slice values become directory names; encode so arbitrary slice
+  // strings (spaces, slashes) stay one path segment. Date-like slices
+  // pass through unchanged.
+  private def encodeSlice(slice: String): String =
+    URLEncoder.encode(slice, "UTF-8")
+
+  private def decodeSlice(dirName: String): String =
+    URLDecoder.decode(dirName.stripPrefix("slice="), "UTF-8")
+
+  private def sliceRoot(root: String, slice: String): Path =
+    new Path(root, "slice=" + encodeSlice(slice))
+
+  /** Commit `df` as slice `slice`'s state for `batchId`. `df` must carry
+    * the slice value as a regular data column — the directory name is
+    * layout, not schema, so reads need no partition inference. */
+  def writeSliceVersion(df: DataFrame, root: String, slice: String, batchId: Long): Unit =
+    writeVersion(df, sliceRoot(root, slice).toString, batchId)
+
+  /** All slice values present under `root` (committed or not — a slice
+    * with only torn versions simply resolves to no readable data). */
+  def listSlices(spark: SparkSession, root: String): Seq[String] =
+    dirsWithPrefix(spark, root, "slice=", committedOnly = false)
+      .map(p => decodeSlice(p.getName))
+
+  /** The latest committed version dir of each slice matching `pred`, as
+    * one multi-path DataFrame — `None` when nothing committed matches.
+    * Slices failing `pred` never enter the plan (driver-side pruning). */
+  def readLatestSlices(
+      spark: SparkSession,
+      root: String,
+      pred: String => Boolean = _ => true): Option[DataFrame] = {
+    val paths = listSlices(spark, root)
+      .filter(pred)
+      .flatMap(s => committedVersions(spark, sliceRoot(root, s).toString).lastOption)
+      .map(_.toString)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  // ---- append-only state (one committed dir per batch) ------------------
+
+  private def batchDir(batchId: Long): String = f"b$batchId%019d"
+
+  /** Land `df` as batch `batchId`'s contribution to an append-only state
+    * table. A replayed batch OVERWRITES its own dir (idempotent); a torn
+    * write has no `_SUCCESS` and is invisible to readers, unlike a torn
+    * `mode("append")` part-file which would poison the whole directory. */
+  def writeBatchDir(df: DataFrame, root: String, batchId: Long): Unit = {
+    val target = new Path(root, batchDir(batchId))
+    df.write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** Union of every committed batch dir under `root` as one multi-path
+    * relation; `None` when no batch has committed yet. */
+  def readCommittedBatchDirs(spark: SparkSession, root: String): Option[DataFrame] = {
+    val paths = dirsWithPrefix(spark, root, "b", committedOnly = true).map(_.toString)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 }

@@ -28,16 +28,22 @@ import graft.functions.IncrementalDedup
   *   - The growing stream index is an APPEND-ONLY parquet table of
   *     distinct new fps — each batch appends only fingerprints it is the
   *     first to contribute (so the table stays near-minimal and the
-  *     append is proportional to NOVEL content).
+  *     append is proportional to NOVEL content). Each batch's
+  *     contribution lands in its own committed dir
+  *     ([[StateStore.writeBatchDir]]) rather than `mode("append")`: a
+  *     torn append could leave a truncated part-file that poisons every
+  *     later read of the index, while a torn batch dir has no `_SUCCESS`
+  *     and is invisible.
   *   - The bloom sketch is maintained INCREMENTALLY on the driver:
   *     batch partials are built distributed with the SAME geometry
   *     (`sizeFor = expectedTotalKeys`) and merged into the running
   *     sketch — never rebuilt from the full index. Size the estimate for
   *     the eventual corpus; overshoot degrades fpp, not correctness.
   *   - Exactly-once output: foreachBatch + checkpoint gives batch-id
-  *     replay; the fp append is idempotent-by-dedup (a replayed batch
-  *     re-appends fps that are already present — distinct() on read
-  *     absorbs them).
+  *     replay; both writes are replay-IDEMPOTENT by construction — the
+  *     decisions dynamic-overwrite their own batch_id partition and the
+  *     fp contribution overwrites its own batch dir, so a retry
+  *     replaces rather than duplicates.
   */
 object StreamingDedup {
 
@@ -72,10 +78,8 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sc = spark.sparkContext
         val persistedBefore = sc.getPersistentRDDs.keySet
-        val streamIdx =
-          if (StateStore.exists(spark, streamIdxPath))
-            spark.read.parquet(streamIdxPath)
-          else spark.emptyDataFrame.select(lit(0L).as("fp")).limit(0)
+        val streamIdx = StateStore.readCommittedBatchDirs(spark, streamIdxPath)
+          .getOrElse(spark.emptyDataFrame.select(lit(0L).as("fp")).limit(0))
         val idx = static.unionByName(streamIdx.select(col("fp")))
         val bloomBytes = { // serialize the CURRENT sketch for this batch
           val bos = new java.io.ByteArrayOutputStream()
@@ -87,9 +91,15 @@ object StreamingDedup {
             portable = portable, prebuiltBloom = Some(bloomBytes))
           .withColumn("batch_id", lit(batchId))
           .cache()
-        stats.write.mode("append").parquet(outPath)
-        // append the kept docs' NOVEL fps (anti-join: first-contributor
-        // only) and extend the sketch with a geometry-compatible partial
+        if (!stats.isEmpty)
+          stats.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        // land the kept docs' NOVEL fps (anti-join: first-contributor
+        // only) in this batch's own committed dir, and extend the
+        // sketch with a geometry-compatible partial
         val keptFps = IncrementalDedup
           .shingleFps(
             batch.join(
@@ -98,7 +108,7 @@ object StreamingDedup {
           .select(col("fp")).distinct()
           .join(idx, Seq("fp"), "left_anti")
           .cache()
-        keptFps.write.mode("append").parquet(streamIdxPath)
+        StateStore.writeBatchDir(keptFps, streamIdxPath, batchId)
         val newSketch = IncrementalDedup
           .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
         bloom.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -20,6 +20,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale notes: state is O(keys), each batch costs one shuffle of the
   * batch rows by key plus a state-table join; nothing re-reads history.
+  * State persistence goes through [[StateStore]] versioned commits: a
+  * crash mid-write leaves the previous committed version current — an
+  * in-place overwrite of the only (level, trend) copy would lose ALL
+  * accumulated smoothing state, and the stream checkpoint replays only
+  * the last batch, so that loss would be permanent.
   */
 object StreamingForecast {
 
@@ -100,13 +105,8 @@ object StreamingForecast {
         import spark.implicits._
         val batchRows = batch.select(col("key"), col("period"), col("value"))
         if (!batchRows.isEmpty) {
-          val state =
-            try spark.read.parquet(statePath).as[FState]
-            catch {
-              case _: org.apache.spark.sql.AnalysisException =>
-                spark.emptyDataset[FState]
-            }
-          val sDf = state.toDF()
+          val sDf = StateStore.readLatest(spark, statePath)
+            .getOrElse(spark.emptyDataset[FState].toDF())
           // attach each key's state to its points; drop late arrivals
           // (at or behind the folded frontier)
           val joined = batchRows
@@ -118,10 +118,10 @@ object StreamingForecast {
               "left_outer")
             .filter(col("s_last").isNull || col("period") > col("s_last"))
             .as[Pt]
-          // localCheckpoint (eager) severs lineage from statePath so the
-          // overwrite below is legal, AND pins the fold result: the
-          // output append below runs after the overwrite, so its plan
-          // must not re-read the replaced state files
+          // localCheckpoint (eager) pins the fold result so the output
+          // write and the state write below both read the SAME
+          // materialized fold instead of recomputing the groupByKey
+          // lineage per action
           val updated = joined
             .groupByKey(_.key)
             .mapGroups { (k, it) =>
@@ -158,7 +158,18 @@ object StreamingForecast {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(outPath)
-          newState.write.mode("overwrite").parquet(statePath)
+          // versioned commit: the previous state version stays readable
+          // until this one's _SUCCESS lands (a replay at the same batch
+          // id overwrites its own version dir — idempotent)
+          StateStore.writeVersion(newState, statePath, batchId)
         }
+  }
+
+  /** The latest committed smoothing state (key, n, level, trend,
+    * last_period) — empty before the first commit. */
+  def stateSnapshot(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    StateStore.readLatest(spark, statePath)
+      .getOrElse(spark.emptyDataset[FState].toDF())
   }
 }

@@ -42,6 +42,29 @@ class CountMinSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(whole === merged)
   }
 
+  test("geometry mismatches are rejected instead of silently underestimating") {
+    val events = Seq("a", "b", "c").toDF("k")
+    // the guarantee-breaking case: built wide, probed narrow — the min
+    // would land on foreign cells and could read BELOW the true count
+    val wide = CountMin.build(events, col("k"), depth, width = 4096)
+    val ex = intercept[IllegalArgumentException] {
+      CountMin.estimate(wide, Seq("a").toDF("k"), "k", depth, width = 256).collect()
+    }
+    assert(ex.getMessage.contains("outside the probe geometry"))
+    // the carried-geometry wrapper can't mismatch, and refuses to merge
+    // incompatible sketches
+    val s1 = CountMin.buildSketch(events, col("k"), depth, width = 4096)
+    assert(s1.estimate(Seq("a").toDF("k"), "k")
+      .select(col("est")).as[Long].head() === 1L)
+    val s2 = CountMin.buildSketch(events, col("k"), depth, width = 256)
+    assert(intercept[IllegalArgumentException](s1.merge(s2))
+      .getMessage.contains("cannot merge CMS geometries"))
+    // matching-geometry merge through the wrapper still adds cell-wise
+    val m = s1.merge(CountMin.buildSketch(events, col("k"), depth, width = 4096))
+    assert(m.estimate(Seq("a").toDF("k"), "k")
+      .select(col("est")).as[Long].head() === 2L)
+  }
+
   test("null keys are dropped; unseen keys estimate 0 when their cells are empty") {
     val events = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("k")
     val sketch = CountMin.build(events, col("k"), depth, width = 4096)

@@ -64,8 +64,10 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
     assert(want2 == Map(12L -> false, 13L -> false, 14L -> true))
 
-    // the stream index holds only novel fps: distinct == total appended rows
-    val idxRows = spark.read.parquet(s"$dir/idx")
+    // the stream index holds only novel fps: distinct == total appended
+    // rows — read through the committed-batch-dir layout
+    val idxRows = graft.streaming.StateStore
+      .readCommittedBatchDirs(spark, s"$dir/idx").get
     assert(idxRows.count() == idxRows.distinct().count())
   }
 

@@ -38,7 +38,7 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = spark.read.parquet(s"$dir/state")
+    val streamed = StreamingForecast.stateSnapshot(spark, s"$dir/state")
       .select($"key", $"n", $"level", $"trend")
       .as[(String, Long, Double, Option[Double])].collect().sortBy(_._1)
     val batch = Forecast
@@ -96,7 +96,7 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
     def snap(path: String) = spark.read.parquet(path)
       .select($"key", $"n", $"level", $"trend", $"forecast", $"batch_id".cast("long"))
       .collect().map(_.toSeq).sortBy(_.toString)
-    def snapState() = spark.read.parquet(s"$dir/state")
+    def snapState() = StreamingForecast.stateSnapshot(spark, s"$dir/state")
       .collect().map(_.toSeq).sortBy(_.toString)
     val outOnce = snap(s"$dir/out")
     val stateOnce = snapState()
@@ -108,6 +108,33 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(snapState().sameElements(stateOnce), "replay changed the folded state")
   }
 
+  test("a torn state write (no _SUCCESS) is invisible; recovery commits over it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fc4").toString
+    def run(rows: Seq[(String, Int, Double)], batchId: Long): Unit =
+      StreamingForecast.processBatch(
+        toSeries(rows.toDF("key", "d", "value")), batchId,
+        s"$dir/state", s"$dir/out", 0.5, 0.5, 7)
+    run(Seq(("K1", 0, 10.0), ("K1", 1, 12.0)), 0L)
+    // simulate a crash mid-write of batch 1: the version dir exists with
+    // partial data but never got its _SUCCESS commit marker
+    val torn = new java.io.File(s"$dir/state", "v" + "%019d".format(1L))
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn.toString, "part-00000.parquet"), Array[Byte](1, 2, 3))
+    val snap = StreamingForecast.stateSnapshot(spark, s"$dir/state")
+      .select($"n", $"level").as[(Long, Double)].collect()
+    assert(snap.toSeq == Seq((2L, 12.0)), "torn version must not be read")
+    // the checkpoint replays batch 1: the fold reads the committed v0
+    // state, overwrites the torn dir, and commits
+    run(Seq(("K1", 2, 14.0)), 1L)
+    val after = StreamingForecast.stateSnapshot(spark, s"$dir/state")
+      .select($"n", $"level", $"trend").as[(Long, Double, Option[Double])].collect()
+    assert(after.map(_._1).toSeq == Seq(3L))
+    val versions = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(versions.length <= 2 && versions.max == "v" + "%019d".format(1L), versions.toSeq)
+  }
+
   test("late points are dropped; a lone first point emits no forecast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fc2").toString
     val in = mkStream()
@@ -117,7 +144,7 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
     in.addData(Seq(("K1", 5, 50.0))) // lone point: state n=1, no forecast
     q.processAllAvailable()
-    val s1 = spark.read.parquet(s"$dir/state")
+    val s1 = StreamingForecast.stateSnapshot(spark, s"$dir/state")
       .select($"n", $"trend".isNull).as[(Long, Boolean)].collect()
     assert(s1.toSeq == Seq((1L, true)))
     assert(
@@ -127,7 +154,7 @@ class StreamingForecastSpec extends AnyFunSuite with SparkSessionTestWrapper {
     in.addData(Seq(("K1", 3, 999.0), ("K1", 6, 60.0))) // d=3 is late -> dropped
     q.processAllAvailable()
     q.stop()
-    val s2 = spark.read.parquet(s"$dir/state")
+    val s2 = StreamingForecast.stateSnapshot(spark, s"$dir/state")
       .select($"n", $"level", $"trend").as[(Long, Double, Option[Double])].collect()
     assert(s2.toSeq == Seq((2L, 60.0, Some(10.0)))) // trend from (50, 60), not 999
     val out = spark.read.parquet(s"$dir/out")

@@ -1,7 +1,6 @@
 package graft
 
-import graft.functions.IncrementalAgg
-import graft.streaming.StreamingRollup
+import graft.streaming.{StateStore, StreamingRollup}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,7 +23,7 @@ class StreamingRollupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       rows.foreach(in.addData(_))
       all ++= rows
       q.processAllAvailable()
-      val rollup = IncrementalAgg.rollupFromStore(spark, s"$dir/state", Seq("grp"))
+      val rollup = StreamingRollup.rollup(spark, s"$dir/state", Seq("grp"))
         .collect().map(r => r.getAs[String]("grp") ->
           ((r.getAs[Long]("n_rows"), r.getAs[Double]("total_value"),
             r.getAs[Long]("distinct_est")))).toMap
@@ -50,15 +49,54 @@ class StreamingRollupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     feedAndCheck(("2024-01-01", "a", 10.00, 4L))
     q.stop()
 
-    // the state table stayed slice-partitioned and constant-size:
-    // one row per (slice, grp) despite repeated merges
-    val state = spark.read.parquet(s"$dir/state")
+    // the state stayed sliced and constant-size: one row per
+    // (slice, grp) despite repeated merges
+    val state = StateStore.readLatestSlices(spark, s"$dir/state").get
     assert(state.groupBy($"slice", $"grp").count().filter($"count" > 1).count() == 0)
-    // windowed serving read prunes: only days 2-3
-    val win = IncrementalAgg.rollupFromStore(
+    // windowed serving read prunes on the DRIVER's slice listing: only
+    // days 2-3 enter the plan's file set at all
+    val win = StreamingRollup.rollup(
       spark, s"$dir/state", Seq("grp"), sliceFrom = Some("2024-01-02"))
-    assert(win.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(
+      win.inputFiles.forall(f => f.contains("slice=2024-01-02") || f.contains("slice=2024-01-03")),
+      win.inputFiles.toSeq)
     val winMap = win.collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
     assert(winMap == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("a torn slice write is invisible; other slices stay current; replay recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sroll2").toString
+    val state = s"$dir/state"
+    // seed two slices via the public API (simulating two committed batches)
+    def states(rows: (String, String, Double, Long)*) =
+      graft.functions.IncrementalAgg.partialStates(
+        rows.toSeq.toDF("day", "grp", "value", "uid"),
+        col("day"), Seq(col("grp")), col("value"), col("uid"))
+    StateStore.writeSliceVersion(
+      states(("2024-01-01", "a", 1.0, 1L)).withColumn("batch_id", lit(0L)),
+      state, "2024-01-01", 0L)
+    StateStore.writeSliceVersion(
+      states(("2024-01-02", "a", 2.0, 2L)).withColumn("batch_id", lit(1L)),
+      state, "2024-01-02", 1L)
+    // crash mid-write of batch 2 on day 2: torn version, no _SUCCESS
+    val torn = new java.io.File(s"$state/slice=2024-01-02", "v" + "%019d".format(2L))
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn.toString, "part-00000.parquet"), Array[Byte](1, 2, 3))
+    val rollup = StreamingRollup.rollup(spark, state, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("total_value")).toMap
+    assert(rollup == Map("a" -> 3.0), "torn slice version must not be read")
+    // replay commits over the torn dir; the merge reads the last
+    // COMMITTED day-2 state, so nothing is lost or double-counted
+    StateStore.writeSliceVersion(
+      states(("2024-01-02", "a", 2.0, 2L), ("2024-01-02", "a", 5.0, 3L))
+        .withColumn("batch_id", lit(2L)),
+      state, "2024-01-02", 2L)
+    val after = StreamingRollup.rollup(spark, state, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("total_value")).toMap
+    assert(after == Map("a" -> 8.0))
+    val versions = new java.io.File(s"$state/slice=2024-01-02").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(versions.length <= 2 && versions.max == "v" + "%019d".format(2L), versions.toSeq)
   }
 }
