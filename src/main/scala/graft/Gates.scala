@@ -1,0 +1,26 @@
+package graft
+
+/** The scoreboard's single source of truth. COVERAGE.md's gates
+  * paragraph QUOTES these values; ContractSpec ASSERTS them against the
+  * live registry — so the documented counts cannot drift from the code
+  * (the round-6 and round-7 verdicts both caught stale prose counts;
+  * this object is the fix). Update the constants in the same commit
+  * that registers or retires a query, or `sbt test` goes red. */
+object Gates {
+
+  /** Registered queries across all registries (`SparkEntry.queries`). */
+  val registeredQueries: Int = 148
+
+  /** Queries with a DuckDB oracle (`SparkEntry.oracleSql`) — the
+    * bit-exact rows+schema+hash gate. */
+  val oracleQueries: Int = 147
+
+  /** The deliberate rows-only residue: queries whose semantics preclude
+    * a cross-engine bit contract, each with its documented reason. */
+  val rowsOnly: Set[String] = Set(
+    // softmax training needs exp/log, which IEEE leaves
+    // implementation-defined beyond ~0.5 ulp — no cross-engine
+    // bit-contract exists (COVERAGE.md round 5). Kept as the float
+    // accuracy upper bound beside the bit-exact classifiers d63/d65.
+    "d36_source_classifier")
+}

@@ -370,4 +370,143 @@ object QualityClassifier {
         col("label").as(s"predicted_$labelCol"),
         when(col("label") === col("actual"), 1L).otherwise(0L).as("correct"))
   }
+
+  /** Fixed-point AVERAGED PERCEPTRON text classifier — the
+    * DISCRIMINATIVE oracle-gated member of the classifier family
+    * (Freund & Schapire 1999, "Large margin classification using the
+    * perceptron algorithm"; the averaging trick per Daumé's CIML
+    * exposition — public sources). [[trainMulticlass]]'s softmax (d36)
+    * is discriminative but float-bound (exp/log: no cross-engine bit
+    * contract); [[centroidClassifier]] (d63) is bit-exact but
+    * generative. This model is both discriminative AND exact: features
+    * are INTEGER hashed unigram+bigram counts (the d36 feature recipe,
+    * plus a constant bias feature at bucket −1), every update is
+    * + − × on int64, and the averaged
+    * weights are kept SCALED by the step count T (argmax is invariant
+    * to the positive 1/T factor), so no division ever happens — the
+    * entire train→predict chain is exact integer arithmetic and
+    * replays bit-for-bit in a DuckDB recursive CTE (d65).
+    *
+    * Train/serve split at scale: training is inherently SEQUENTIAL
+    * (per-example mistake-driven updates), so it runs driver-side over
+    * a deterministic portable-hash sample capped at `sampleCap` docs —
+    * the d36 recipe (a numBuckets·classes-parameter model saturates on
+    * hundreds of examples; training cost must not scale with the
+    * corpus), except the sample filter uses the PORTABLE md5-prefix
+    * hash so the oracle draws the identical sample. The collect is
+    * bounded by sampleCap × tokens-per-doc. Serving is one broadcast
+    * join of the (label, bucket, weight) table + one partial-aggregated
+    * fold per (doc, class) — linear in corpus size, the d63 shape.
+    *
+    * Update rule (multiclass, mistake-driven): ŷ = argmax_k ⟨W_k, x⟩
+    * (tie → ascending label); on ŷ ≠ y: W_y += x, W_ŷ −= x, and the
+    * averaging accumulators U_y += t·x, U_ŷ −= t·x. Examples are
+    * visited in ascending-id order, `epochs` passes, t incrementing
+    * every example. Final scores use A_k = T·W_k − U_k ≡ T·avg(W_k).
+    *
+    * Output: (idCol, labelCol, predicted_<labelCol>, correct) per doc,
+    * tie-broken by ascending class label — the d63 contract. */
+  def perceptronClassifier(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      numBuckets: Int = 1024,
+      epochs: Int = 10,
+      sampleCap: Long = 240L): DataFrame = {
+    require(numBuckets >= 1 && epochs >= 1 && sampleCap >= 1)
+    val spark = df.sparkSession
+
+    // unigrams + bigrams, the d36 feature recipe: the harness sources
+    // differ mostly in token CO-OCCURRENCE, so unigram-only counts top
+    // out near the generative d63 (~0.25 accuracy) while adding bigrams
+    // more than doubles held-out accuracy (~0.52, measured sf0.01)
+    def feats(of: DataFrame): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      val terms = concat(toks, TextFunctions.allShingles(col(textCol), 2))
+      val cnt = of
+        .select(col(idCol).as("id"), explode(terms).as("term"))
+        .groupBy(
+          col("id"),
+          pmod(TextFunctions.portableHash(col("term")), lit(numBuckets)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      cnt.unionByName(
+        of.select(col(idCol).as("id"), lit(-1).cast("int").as("bucket"), lit(1L).as("c")))
+    }
+
+    // deterministic portable-hash sample: ~sampleCap docs regardless of
+    // corpus size, reproducible in any engine with md5
+    val mod = math.max(1L, df.count() / sampleCap)
+    val samp = df.filter(pmod(TextFunctions.portableHash(col(idCol).cast("string")), lit(mod)) === 0)
+
+    // bounded collect: sampleCap docs × distinct buckets per doc
+    val sampRows = feats(samp)
+      .join(samp.select(col(idCol).as("id"), col(labelCol).cast("string").as("y")), Seq("id"))
+      .orderBy(col("id"), col("bucket"))
+      .select(col("id").cast("string"), col("y"), col("bucket"), col("c"))
+      .collect()
+    val examples: Seq[(String, Array[(Int, Long)])] = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, scala.collection.mutable.ArrayBuffer[(Int, Long)])]
+      sampRows.foreach { r =>
+        val e = order.getOrElseUpdate(
+          r.getString(0), (r.getString(1), scala.collection.mutable.ArrayBuffer.empty))
+        e._2 += ((r.getInt(2), r.getLong(3)))
+      }
+      order.values.map { case (y, fs) => (y, fs.toArray) }.toSeq
+    }
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+    val w = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    val u = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    var t = 1L
+    for (_ <- 1 to epochs; (y, fs) <- examples) {
+      // argmax with ascending-label tie-break: classes is sorted, so the
+      // first strict improvement wins
+      var best = classes.head
+      var bestS = Long.MinValue
+      classes.foreach { k =>
+        var s = 0L
+        fs.foreach { case (b, c) => s += w((k, b)) * c }
+        if (s > bestS) { bestS = s; best = k }
+      }
+      if (best != y) {
+        fs.foreach { case (b, c) =>
+          w((y, b)) += c; u((y, b)) += t * c
+          w((best, b)) -= c; u((best, b)) -= t * c
+        }
+      }
+      t += 1
+    }
+    val bigT = t - 1
+    val scaled = (w.keySet ++ u.keySet).toSeq
+      .map { case (k, b) => (k, b, bigT * w((k, b)) - u((k, b))) }
+      .filter(_._3 != 0L)
+
+    // serve everything: broadcast the tiny weight table, one fold per
+    // (doc, class), grid so zero-overlap classes still compete at 0
+    val model = broadcast(
+      spark.createDataFrame(scaled).toDF("label", "bucket", "a"))
+    val dots = feats(df)
+      .join(model, Seq("bucket"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("a") * col("c")).as("s"))
+    val cls = broadcast(
+      spark.createDataFrame(classes.map(Tuple1(_))).toDF("label"))
+    val grid = df.select(col(idCol).as("id"), col(labelCol).cast("string").as("actual"))
+      .crossJoin(cls)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s").desc, col("label").asc)
+    grid
+      .join(dots, Seq("id", "label"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("r", row_number().over(win))
+      .filter(col("r") === 1)
+      .select(
+        col("id").as(idCol),
+        col("actual").as(labelCol),
+        col("label").as(s"predicted_$labelCol"),
+        when(col("label") === col("actual"), 1L).otherwise(0L).as("correct"))
+  }
 }

@@ -452,6 +452,21 @@ object TextQueries {
       graft.functions.QualityClassifier
         .centroidClassifier(docs(s, dir), "text", "doc_id", "source", numBuckets = 1024)
     }),
+    // fixed-point averaged-perceptron source classifier — the
+    // DISCRIMINATIVE member of the oracle-gated classifier family (d63
+    // is generative): mistake-driven integer updates (+ − × only, no
+    // division — averaged weights stay scaled by the step count, argmax
+    // is scale-invariant), so the full SEQUENTIAL train→predict chain
+    // replays bit-for-bit in a DuckDB recursive CTE. epochs/sampleCap
+    // sized so the oracle's step count stays bounded (~1k steps)
+    // independent of corpus size; measured sf0.01 accuracy 0.472 —
+    // between d63's generative ~0.27 and d36's float softmax ~0.86,
+    // as the family table in COVERAGE.md documents
+    "d65_perceptron_classifier" -> ((s, dir) => {
+      graft.functions.QualityClassifier.perceptronClassifier(
+        docs(s, dir), "text", "doc_id", "source",
+        numBuckets = 1024, epochs = 4, sampleCap = 240L)
+    }),
     // data-mixture drift monitor: token-distribution shift of src0 vs
     // the rest — per-token KL contributions (top 20) + corpus-level KL
     // and total-variation totals on every row
@@ -763,6 +778,22 @@ object TextQueries {
         col("media_meta.width").cast("long").as("width"),
         col("media_meta.height").cast("long").as("height"),
         col("media_meta.n_frames").cast("long").as("n_frames"))
+    }),
+    // REAL image decode: per-doc deterministic PNG synthesized with the
+    // JDK encoder, carried as a binary column, decoded back with
+    // javax.imageio, per-image pixel sums emitted. PNG is lossless, so
+    // the decoded stats equal the closed-form pixel formula — which is
+    // exactly what the oracle recomputes codec-free; any encoder OR
+    // decoder fault breaks the equality. Zero shuffle (two fused
+    // mapPartitions stages).
+    "x3_image_decode" -> ((s, dir) => {
+      Multimodal.imagePixelStats(docs(s, dir), "doc_id").toDF()
+        .select(
+          col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          round(col("sum_r") / col("n_pixels"), 6).as("mean_r"),
+          round(col("sum_g") / col("n_pixels"), 6).as("mean_g"),
+          round(col("sum_b") / col("n_pixels"), 6).as("mean_b"))
     })
   )
 
@@ -1970,6 +2001,29 @@ object TextQueries {
         |       md5(substring(text, CAST(frame_idx * chunk + 1 AS BIGINT),
         |           CAST(chunk AS BIGINT))) AS checksum
         |FROM f""".stripMargin,
+    // x3: the codec-free recomputation of the decoded pixel stats — the
+    // Spark side round-trips every pixel through real PNG bytes
+    // (javax.imageio encode → binary column → decode); this side just
+    // evaluates the closed-form pixel functions over the (x, y) grid
+    "x3_image_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id % 7 + 2) AS w, (doc_id % 4 + 2) AS h, x, y
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 7 + 2) - 1)) AS tx(x),
+        |       UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS ty(y)
+        |), agg AS (
+        |  SELECT doc_id, any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+        |         SUM((doc_id + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+        |         SUM((3 * doc_id + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+        |         SUM((doc_id + x * y) % 256)::BIGINT AS sum_b
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b,
+        |       round(sum_r::DOUBLE / n_pixels, 6) AS mean_r,
+        |       round(sum_g::DOUBLE / n_pixels, 6) AS mean_g,
+        |       round(sum_b::DOUBLE / n_pixels, 6) AS mean_b
+        |FROM agg""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)
@@ -2454,6 +2508,92 @@ object TextQueries {
          |SELECT doc_id, source, label AS predicted_source,
          |       (CASE WHEN label = source THEN 1 ELSE 0 END)::BIGINT AS correct
          |FROM best WHERE r = 1""".stripMargin,
+    // d65: full SEQUENTIAL train→predict replay of the fixed-point
+    // averaged perceptron. The recursive CTE steps one training example
+    // per iteration over a FULLY RELATIONAL dense state grid — one row
+    // per (class, bucket-touched-by-any-sampled-doc), pre-seeded at 0 so
+    // a mistake update never has to CREATE a row (two earlier shapes
+    // measured catastrophically slower: carrying the state as a struct
+    // list re-evaluates the lateral-UNNESTed expression per element
+    // ~20s/step, and plain CTEs get re-inlined into every recursive
+    // iteration — hence AS MATERIALIZED on all the prep tables, ~50x).
+    // Each step scores the example via one window per class partition,
+    // picks argmax with the (−score, label) struct-MIN tie-break, and
+    // applies the ±feature deltas in place. Every quantity is int64
+    // (+ − × only), so the replay is bit-exact: measured 0 prediction
+    // diffs over all 500 sf0.01 docs.
+    "d65_perceptron_classifier" ->
+      s"""WITH RECURSIVE big AS MATERIALIZED (
+         |  SELECT doc_id, list_concat($toks, list_transform(
+         |    generate_series(0, greatest(len($toks) - 2, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 2], ' '))) AS terms
+         |  FROM documents
+         |), feat AS MATERIALIZED (
+         |  SELECT doc_id AS id, (${phash("term")} % 1024)::INT AS bucket,
+         |         COUNT(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, UNNEST(terms) AS term FROM big) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, (-1)::INT, 1::BIGINT FROM documents
+         |), smp AS MATERIALIZED (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ${phash("CAST(doc_id AS VARCHAR)")}
+         |          % (SELECT greatest(1, COUNT(*) // 240) FROM documents) = 0
+         |), ord2 AS MATERIALIZED (
+         |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) AS rnk,
+         |         (SELECT COUNT(*) FROM smp) AS ntr
+         |  FROM smp
+         |), ex AS MATERIALIZED (
+         |  SELECT (e.ep - 1) * o.ntr + o.rnk AS t, o.source AS y, f.bucket, f.c
+         |  FROM ord2 o
+         |  JOIN feat f ON f.id = o.doc_id
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS ep) e
+         |), exy AS MATERIALIZED (
+         |  SELECT t, any_value(y) AS y FROM ex GROUP BY t
+         |), cls AS MATERIALIZED (SELECT DISTINCT source AS label FROM documents),
+         |tmax AS MATERIALIZED (SELECT max(t) AS mt FROM ex),
+         |tr AS (
+         |  SELECT 1::BIGINT AS t, c.label, b.bucket, 0::BIGINT AS w, 0::BIGINT AS u
+         |  FROM cls c, (SELECT DISTINCT bucket FROM ex) b
+         |  UNION ALL
+         |  SELECT x.t + 1, x.label, x.bucket,
+         |         x.w + CASE WHEN x.bst.lb <> x.yy AND x.label = x.yy THEN x.cc
+         |                    WHEN x.bst.lb <> x.yy AND x.label = x.bst.lb THEN -x.cc
+         |                    ELSE 0 END,
+         |         x.u + CASE WHEN x.bst.lb <> x.yy AND x.label = x.yy THEN x.t * x.cc
+         |                    WHEN x.bst.lb <> x.yy AND x.label = x.bst.lb THEN -x.t * x.cc
+         |                    ELSE 0 END
+         |  FROM (
+         |    SELECT i.t, i.label, i.bucket, i.w, i.u, i.cc, i.yy,
+         |           MIN(struct_pack(ns := -i.score, lb := i.label)) OVER (PARTITION BY i.t) AS bst
+         |    FROM (
+         |      SELECT tr.t, tr.label, tr.bucket, tr.w, tr.u,
+         |             COALESCE(f.c, 0)::BIGINT AS cc, ey.y AS yy,
+         |             SUM(tr.w * COALESCE(f.c, 0)) OVER (PARTITION BY tr.t, tr.label) AS score
+         |      FROM tr
+         |      CROSS JOIN tmax
+         |      LEFT JOIN ex f ON f.t = tr.t AND f.bucket = tr.bucket
+         |      LEFT JOIN exy ey ON ey.t = tr.t
+         |      WHERE tr.t <= tmax.mt
+         |    ) i
+         |  ) x
+         |), mdl AS (
+         |  SELECT tr.label, tr.bucket, (tmax.mt * w - u) AS a
+         |  FROM tr CROSS JOIN tmax
+         |  WHERE t = tmax.mt + 1 AND (tmax.mt * w - u) != 0
+         |), dots AS (
+         |  SELECT f.id, m.label, SUM(m.a * f.c)::BIGINT AS s
+         |  FROM feat f JOIN mdl m USING (bucket) GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT d.doc_id, d.source, c.label FROM documents d CROSS JOIN cls c
+         |), bst AS (
+         |  SELECT g.doc_id, g.source, g.label,
+         |         row_number() OVER (PARTITION BY g.doc_id ORDER BY
+         |           COALESCE(dt.s, 0) DESC, g.label ASC) AS r
+         |  FROM grid g LEFT JOIN dots dt ON dt.id = g.doc_id AND dt.label = g.label
+         |)
+         |SELECT doc_id, source, label AS predicted_source,
+         |       (CASE WHEN label = source THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM bst WHERE r = 1""".stripMargin,
     "d60_source_overlap" -> {
       val p = graft.functions.Dedup.minhashPrime
       val minList = graft.functions.Dedup

@@ -1033,6 +1033,120 @@ object ScaleBench {
          |"speedup":$speedupJson}""".stripMargin.replace("\n", ""))
   }
 
+  /** Scaling-exponent probe over the heaviest REGISTERED queries: run
+    * each at 1×/4×/16× synthetic corpus scale and fit wall ∝ rows^e
+    * from the endpoints. The bench gate measures one SF only; this is
+    * the directly-measured form of "would the plan survive 100×" —
+    * e ≈ 1 is the scalable shape, e > [[suiteFlagExponent]] gets
+    * flagged (a super-linear query needs a documented reason, like an
+    * exact verifier whose output itself grows quadratically).
+    *
+    * Scaled corpora are built from the harness tables by unioning
+    * VOCABULARY-DISJOINT copies: copy c prefixes every whitespace token
+    * with `c<c>x` (so near-dup density, LSH bucket sizes, and join
+    * fan-outs stay constant — duplicating text verbatim would grow
+    * duplicate groups ∝ copies and conflate workload density with
+    * volume), remaps ids by + c·N, and nudges embeddings by c·10⁻³
+    * (distinct vectors, same distribution). All other tables are
+    * symlinked unscaled, so any registered query runs.
+    *
+    * JIT is warmed by one untimed pass at the base dir; each timed run
+    * then starts from a cleared [[graft.sources.StagingCache]] and its
+    * own scale dir (distinct ModelCache keys), so 1× and 16× are
+    * equally cold and cache reuse cannot inflate the exponent.
+    * Usage: runMain graft.tools.ScaleBench suite [outDirRoot] [query ...] */
+  def suiteMain(spark: SparkSession, baseDir: String, rest: Seq[String]): Unit = {
+    import graft.sources.StagingCache
+    val root = rest.headOption.getOrElse("/tmp/graft_scale")
+    val queries: Seq[String] =
+      if (rest.length > 1) rest.drop(1)
+      else Seq(
+        // the heaviest registry entries per bench_full.json, doc/embed
+        // families (series-family key-scaling is ScaleBench paircorr/
+        // temporal, already in PERF.md)
+        "d50_setsim_join", "d36_source_classifier", "d63_centroid_classifier",
+        "d65_perceptron_classifier", "d16_embed_neardup_bands", "d60_source_overlap",
+        "d44_dist_shift", "d58_split_leakage", "d56_index_append", "d46_lm_heldout",
+        "d13_curation", "d28_vocab_stats", "d27_ivf_pq", "d31_ivf_pq_residual",
+        "d59_dimsum_terms", "d3_minhash_lsh")
+    val unknown = queries.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // exact verifiers whose OUTPUT grows super-linearly by design: cap
+    // at 4× so the suite finishes, and expect+document e > 1
+    val capped = Set("d50_setsim_join")
+
+    def buildDir(k: Int): String = {
+      val dir = s"$root/x$k"
+      val done = new java.io.File(s"$dir/_DONE")
+      if (!done.exists()) {
+        val docs = Tables.load(spark, baseDir, "documents")
+        val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val docCopies = (0 until k).map { c =>
+          if (c == 0) docs
+          else docs.select(
+            (col("doc_id") + lit(c * nDocs)).as("doc_id"),
+            array_join(
+              transform(split(col("text"), " "), t => concat(lit(s"c${c}x"), t)),
+              " ").as("text"),
+            col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        }
+        docCopies.reduce(_ unionByName _).coalesce(8)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val emb = Tables.load(spark, baseDir, "embeddings")
+        val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val embCopies = (0 until k).map { c =>
+          if (c == 0) emb
+          else emb.select(
+            (col("vec_id") + lit(c * nVecs)).as("vec_id"),
+            transform(col("embedding"), x => x + lit(c.toFloat * 1e-3f)).as("embedding"),
+            col("label"))
+        }
+        embCopies.reduce(_ unionByName _).coalesce(8)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        new java.io.File(baseDir).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !Set("documents.parquet", "embeddings.parquet").contains(f.getName))
+          .foreach { f =>
+            val link = java.nio.file.Paths.get(dir, f.getName)
+            if (!java.nio.file.Files.exists(link))
+              java.nio.file.Files.createSymbolicLink(link, f.toPath)
+          }
+        done.createNewFile()
+      }
+      dir
+    }
+
+    val scales = Seq(1, 4, 16)
+    val dirs = scales.map(k => k -> buildDir(k)).toMap
+    // untimed JIT/codegen warmup at the base dir
+    queries.foreach { q =>
+      try graft.SparkEntry.queries(q)(spark, baseDir).count()
+      catch { case e: Throwable => System.err.println(s"[suite] warmup $q: ${e.getMessage}") }
+    }
+    val rows = queries.map { q =>
+      val mine = if (capped(q)) scales.filter(_ <= 4) else scales
+      val times = mine.map { k =>
+        StagingCache.clear(Some(spark))
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dirs(k)).count()
+        k -> (System.nanoTime() - t0) / 1e9
+      }
+      val (k1, t1) = times.head
+      val (kN, tN) = times.last
+      val e = math.log(tN / t1) / math.log(kN.toDouble / k1)
+      val ts = times.map { case (k, t) => s""""x$k":${f"$t%.3f".toDouble}""" }.mkString(",")
+      println(s"""{"query":"$q",$ts,"exponent":${f"$e%.3f".toDouble},"flag":${e > suiteFlagExponent}}""")
+      (q, times, e)
+    }
+    val flagged = rows.filter(_._3 > suiteFlagExponent).map(_._1)
+    val flaggedJson =
+      if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
+    println(s"""{"suite":"scaling","queries":${rows.length},"flagged":$flaggedJson}""")
+  }
+
+  /** Queries scaling worse than rows^1.2 need a documented reason. */
+  val suiteFlagExponent = 1.2
+
   /** One bootstrap for every mode: local[SPARK_GRAFT_CPUS] with the
     * bench session shape. `tuned` preserves each mode's historical
     * GraftSession.tune status so recorded numbers stay comparable. */
@@ -1123,6 +1237,9 @@ object ScaleBench {
         upsertMain(s, argL(1, 20000000L), argI(2, 200), argI(3, 3)))
       case Some("lm") => withSession(tuned = false)(s => lmMain(s, argL(1, 2000000L)))
       case Some("pii") => withSession(tuned = false)(s => piiMain(s, argL(1, 2000000L)))
+      case Some("suite") => withSession(tuned = true)(s =>
+        suiteMain(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          args.drop(1).toSeq))
       case _ => withSession(tuned = true)(s => mappingMain(s, argL(0, 200000L), argI(1, 30)))
     }
   }

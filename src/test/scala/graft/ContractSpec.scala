@@ -29,13 +29,20 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the rows-only set is exactly the documented one") {
-    // d36 alone: softmax training needs exp/log, which IEEE leaves
-    // implementation-defined beyond ~0.5 ulp — no cross-engine
-    // bit-contract exists (COVERAGE.md round 5). Growing this set is a
-    // deliberate decision, not an accident of forgetting the oracle.
+    // Growing this set is a deliberate decision (each member's reason
+    // is documented in Gates), not an accident of forgetting an oracle.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d36_source_classifier"),
+    assert(rowsOnly == Gates.rowsOnly,
       s"unexpected rows-only queries: ${rowsOnly.mkString(", ")}")
+  }
+
+  test("the scoreboard constants match the live registry (no drift)") {
+    // COVERAGE.md quotes Gates; Gates must equal the code. Two rounds
+    // of stale prose counts motivated this — see Gates' scaladoc.
+    assert(SparkEntry.queries.size == Gates.registeredQueries,
+      s"Gates.registeredQueries=${Gates.registeredQueries} but the registry holds ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == Gates.oracleQueries,
+      s"Gates.oracleQueries=${Gates.oracleQueries} but the oracle set holds ${SparkEntry.oracleSql.size}")
   }
 
   test("every oracle is non-trivial SQL (SELECT present, no stray interpolation)") {

@@ -140,4 +140,44 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val acc = ok.toDouble / n
     assert(acc >= 2.5 / 20.0, s"accuracy $acc not a clear multiple of random (0.05)")
   }
+
+  test("perceptron separates disjoint-vocab classes perfectly") {
+    // linearly separable by construction: the mistake-driven updates
+    // must converge to zero training error within the epoch budget
+    val docs3 = Seq(
+      (0L, "apple pear plum apple", "fruit"),
+      (1L, "pear pear plum", "fruit"),
+      (2L, "plum apple", "fruit"),
+      (10L, "iron zinc gold gold", "metal"),
+      (11L, "gold iron", "metal"),
+      (12L, "zinc zinc iron gold", "metal"),
+      (20L, "oak elm fir", "tree"),
+      (21L, "fir oak oak oak", "tree"),
+      (22L, "elm fir", "tree")).toDF("doc_id", "text", "source")
+    val out = QualityClassifier
+      .perceptronClassifier(docs3, "text", "doc_id", "source", numBuckets = 64, epochs = 10)
+    assert(out.count() === 9L)
+    assert(out.agg(org.apache.spark.sql.functions.sum($"correct")).head.getLong(0) === 9L)
+  }
+
+  test("perceptron is deterministic and at least matches the generative d63 ceiling") {
+    // the discriminative model must not fall below the generative
+    // classifier it complements (d63's gate is 2.5x random; hold the
+    // perceptron to a strictly higher bar) and must replay identically
+    // across runs — the property its DuckDB bit-oracle relies on
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run() = QualityClassifier
+      .perceptronClassifier(d, "text", "doc_id", "source",
+        numBuckets = 1024, epochs = 4, sampleCap = 240L)
+    val out = run()
+    val (n, ok) = out
+      .agg(org.apache.spark.sql.functions.count($"correct"),
+        org.apache.spark.sql.functions.sum($"correct"))
+      .as[(Long, Long)].head()
+    val acc = ok.toDouble / n
+    assert(acc >= 5.0 / 20.0, s"accuracy $acc below the 5x-random floor")
+    val a = out.orderBy($"doc_id").collect().map(_.toSeq)
+    val b = run().orderBy($"doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b), "perceptron training is not deterministic")
+  }
 }
