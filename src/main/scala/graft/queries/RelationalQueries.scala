@@ -468,6 +468,34 @@ object RelationalQueries {
           (col("est") - col("exact_n")).as("overcount"))
         .orderBy(col("exact_n").desc, col("k").asc)
     }),
+    // HyperLogLog distinct count over the q43/q44 key stream — the third
+    // leg of the streaming-frequency toolbox (MG: who's hot; CMS: how
+    // often; HLL: how many distinct, in 256 bytes). Portable hash +
+    // integer ranks + a pinned-order harmonic fold make the register
+    // table AND the estimate replay bit-for-bit — the q44 convention,
+    // where engine-native approx_count_distinct is opaque. One row per
+    // set register, with the sketch-level numbers on every row (the d44
+    // totals convention); estimate within ~1.04/√256 ≈ 6.5% expected.
+    "q45_hll" -> ((s, dir) => {
+      import graft.functions.Hll
+      val keyed = t(s, dir, "lineitem").select(
+        when(
+          col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_partkey").cast("string"))).as("k"))
+      // ≤256 rows: localCheckpoint pins them so estimate's collect and
+      // the output below share one materialization
+      val regs = Hll.registers(keyed, col("k")).localCheckpoint(true)
+      val est = Hll.estimate(regs)
+      val exact = keyed.distinct().count()
+      regs
+        .withColumn("n_buckets_set", lit(regs.count()))
+        .withColumn("raw_est", round(lit(est), 6))
+        .withColumn("exact_distinct", lit(exact))
+        .withColumn(
+          "rel_err", round(abs(lit(est) - col("exact_distinct")) / col("exact_distinct"), 6))
+        .orderBy(col("bucket"))
+    }),
     // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
     // hash left-anti / left-semi aggregates — no sort, one shuffle each)
     "q29_setops" -> ((s, dir) => {
@@ -1178,6 +1206,50 @@ object RelationalQueries {
         |       (p.est - pr.exact_n)::BIGINT AS overcount
         |FROM pest p JOIN probes pr USING (k)
         |ORDER BY pr.exact_n DESC, pr.k ASC""".stripMargin,
+    // q45: full HLL replay — bucket/rank are integer functions of the
+    // portable hash (rank via bitlength = length(bin(w))), and the
+    // harmonic sum folds over buckets 0..255 in order with each term an
+    // exact power of two, matching the Scala fold's IEEE sequence
+    // term-for-term. All float literals cast ::DOUBLE (DuckDB decimals
+    // would divide in decimal arithmetic and drift).
+    "q45_hll" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 5
+        |              THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS k
+        |  FROM lineitem
+        |), hk AS (
+        |  SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM keyed
+        |), rk AS (
+        |  SELECT (h % 256)::INT AS bucket,
+        |         (CASE WHEN h // 256 = 0 THEN 53
+        |               ELSE 53 - length(bin(h // 256)) END)::INT AS rank
+        |  FROM hk
+        |), reg AS (
+        |  SELECT bucket, MAX(rank)::INT AS max_rank FROM rk GROUP BY bucket
+        |), fullreg AS (
+        |  SELECT b.bucket, COALESCE(reg.max_rank, 0) AS r
+        |  FROM (SELECT UNNEST(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN reg ON reg.bucket = b.bucket
+        |), sfold AS (
+        |  SELECT list_reduce(
+        |           list_prepend(0.0::DOUBLE,
+        |             list_transform(list(r ORDER BY bucket),
+        |                            x -> 1.0::DOUBLE / (1::BIGINT << x))),
+        |           (a, y) -> a + y) AS s
+        |  FROM fullreg
+        |), est AS (
+        |  SELECT (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |           * 256 * 256 / s AS raw
+        |  FROM sfold
+        |), ex AS (SELECT COUNT(DISTINCT k)::BIGINT AS exact_distinct FROM keyed)
+        |SELECT reg.bucket, reg.max_rank,
+        |       (SELECT COUNT(*) FROM reg)::BIGINT AS n_buckets_set,
+        |       round(est.raw, 6) AS raw_est,
+        |       ex.exact_distinct,
+        |       round(abs(est.raw - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+        |FROM reg, est, ex
+        |ORDER BY reg.bucket""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

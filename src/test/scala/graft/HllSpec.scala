@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hll
+
+class HllSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("estimate lands within the 3-sigma band on a 10k-distinct stream") {
+    // duplicated stream: distinctness, not volume, must drive the sketch
+    val keys = spark.range(10000).select(concat(lit("k"), col("id")).as("k"))
+    val stream = keys.unionByName(keys).unionByName(keys)
+    val est = Hll.estimate(Hll.registers(stream, col("k")))
+    // sigma ~ 1.04/sqrt(256) = 6.5%; 3 sigma ~ 19.5%
+    assert(math.abs(est - 10000) / 10000 < 0.195, s"est=$est")
+  }
+
+  test("registers are a monoid: merge == registers of the union") {
+    val a = spark.range(0, 3000).select(concat(lit("k"), col("id")).as("k"))
+    val b = spark.range(2000, 6000).select(concat(lit("k"), col("id")).as("k"))
+    val merged = Hll.merge(Hll.registers(a, col("k")), Hll.registers(b, col("k")))
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    val direct = Hll.registers(a.unionByName(b), col("k"))
+      .orderBy("bucket").as[(Int, Int)].collect().toSeq
+    assert(merged == direct)
+    // and the estimate is identical through either path (the
+    // incremental-maintenance contract: per-batch sketches, merged reads)
+    assert(Hll.estimate(Hll.merge(Hll.registers(a, col("k")), Hll.registers(b, col("k"))))
+      == Hll.estimate(Hll.registers(a.unionByName(b), col("k"))))
+  }
+
+  test("register table is bounded by m and ranks stay in [1, 53]") {
+    val regs = Hll.registers(
+      spark.range(100000).select(col("id").cast("string").as("k")), col("k"))
+      .as[(Int, Int)].collect()
+    assert(regs.length <= Hll.numBuckets)
+    assert(regs.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 53 })
+  }
+
+  test("the shuffle is partial-aggregated (map-side combine before exchange)") {
+    val plan = Hll.registers(
+      spark.range(1000).select(col("id").cast("string").as("k")), col("k"))
+      .queryExecution.executedPlan.toString()
+    // partial max below the exchange, final max above: the m-rows-per-
+    // partition shuffle contract
+    assert(plan.contains("partial_max") || plan.contains("PartialAggregate"), plan)
+  }
+}
