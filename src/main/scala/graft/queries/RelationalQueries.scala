@@ -496,6 +496,39 @@ object RelationalQueries {
           "rel_err", round(abs(lit(est) - col("exact_distinct")) / col("exact_distinct"), 6))
         .orderBy(col("bucket"))
     }),
+    // mergeable equi-width histogram + interpolated quantiles — the
+    // scale path for quantile monitoring (q10's exact percentile
+    // materializes the whole column; this is ≤128 integer counters,
+    // mergeable by addition). Bin geometry from an exact (min, max)
+    // pass; bin indexes, counts, and the pinned-order interpolation all
+    // replay bit-for-bit. exact_p50/err_p50 quantify the resolution
+    // tradeoff (error ≤ bin width by construction).
+    "q46_hist_quantile" -> ((s, dir) => {
+      import graft.functions.HistogramSketch
+      val li = t(s, dir, "lineitem")
+      val bins = 128
+      val (lo, hi) = HistogramSketch.range(li, col("l_extendedprice"))
+      // ≤128 rows: localCheckpoint pins them for the quantile collect
+      // and the output below
+      val hist = HistogramSketch.build(li, col("l_extendedprice"), lo, hi, bins)
+        .localCheckpoint(true)
+      val est = HistogramSketch
+        .quantiles(hist, lo, hi, bins, Seq(0.25, 0.5, 0.75, 0.95, 0.99)).toMap
+      val exactP50 = li.agg(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+      val n = hist.agg(sum(col("cnt"))).head.getLong(0)
+      hist
+        .withColumn("n", lit(n))
+        .withColumn("lo", round(lit(lo), 6))
+        .withColumn("hi", round(lit(hi), 6))
+        .withColumn("est_p25", round(lit(est(0.25)), 6))
+        .withColumn("est_p50", round(lit(est(0.5)), 6))
+        .withColumn("est_p75", round(lit(est(0.75)), 6))
+        .withColumn("est_p95", round(lit(est(0.95)), 6))
+        .withColumn("est_p99", round(lit(est(0.99)), 6))
+        .withColumn("exact_p50", round(lit(exactP50), 6))
+        .withColumn("err_p50", round(abs(lit(est(0.5)) - lit(exactP50)), 6))
+        .orderBy(col("bin"))
+    }),
     // §2.7 set ops beyond union: EXCEPT and INTERSECT (both planned as
     // hash left-anti / left-semi aggregates — no sort, one shuffle each)
     "q29_setops" -> ((s, dir) => {
@@ -1250,6 +1283,50 @@ object RelationalQueries {
         |       round(abs(est.raw - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
         |FROM reg, est, ex
         |ORDER BY reg.bucket""".stripMargin,
+    // q46: full histogram replay — bin = floor((x−lo)/(hi−lo)·128)
+    // clamped, identical IEEE ops on identical doubles; the quantile
+    // pick is the first bin whose running count reaches q·n (struct-MIN
+    // over qualifying bins), interpolated with the same pinned formula
+    // the Scala side evaluates
+    "q46_hist_quantile" ->
+      """WITH src AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem),
+        |rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM src),
+        |hist AS (
+        |  SELECT LEAST(127, floor((x - lo) / (hi - lo) * 128)::INT)::INT AS bin,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM src, rng GROUP BY 1
+        |), nn AS (SELECT SUM(cnt)::BIGINT AS n FROM hist),
+        |c AS (
+        |  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
+        |), qs AS (
+        |  SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+        |                 0.95::DOUBLE, 0.99::DOUBLE]) AS q
+        |), pick AS (
+        |  SELECT q,
+        |         MIN(struct_pack(b := bin, cb := cum - cnt, c := cnt)) AS s
+        |  FROM qs, c, nn WHERE c.cum >= q * nn.n
+        |  GROUP BY q
+        |), ests AS (
+        |  SELECT q,
+        |         lo + (s.b + (q * nn.n - s.cb) / s.c) * ((hi - lo) / 128) AS est
+        |  FROM pick, rng, nn
+        |), wide AS (
+        |  SELECT MAX(CASE WHEN q = 0.25 THEN est END) AS e25,
+        |         MAX(CASE WHEN q = 0.5  THEN est END) AS e50,
+        |         MAX(CASE WHEN q = 0.75 THEN est END) AS e75,
+        |         MAX(CASE WHEN q = 0.95 THEN est END) AS e95,
+        |         MAX(CASE WHEN q = 0.99 THEN est END) AS e99
+        |  FROM ests
+        |), ex AS (SELECT quantile_cont(x, 0.5) AS exact_p50 FROM src)
+        |SELECT h.bin, h.cnt, nn.n,
+        |       round(rng.lo, 6) AS lo, round(rng.hi, 6) AS hi,
+        |       round(w.e25, 6) AS est_p25, round(w.e50, 6) AS est_p50,
+        |       round(w.e75, 6) AS est_p75, round(w.e95, 6) AS est_p95,
+        |       round(w.e99, 6) AS est_p99,
+        |       round(ex.exact_p50, 6) AS exact_p50,
+        |       round(abs(w.e50 - ex.exact_p50), 6) AS err_p50
+        |FROM hist h, nn, rng, wide w, ex
+        |ORDER BY h.bin""".stripMargin,
     "q10_quantile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
