@@ -74,8 +74,8 @@ object HistogramSketch {
     qs.map { q =>
       val target = q * n
       var cum = 0L
-      var ans = lo
-      var found = false
+      var ans = lo // empty histogram: every quantile answers lo
+      var found = n == 0L
       var i = 0
       while (i < rows.length && !found) {
         val (b, c) = rows(i)

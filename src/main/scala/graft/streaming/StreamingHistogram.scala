@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.HistogramSketch
+
+/** Continuous quantile monitoring: the [[HistogramSketch]] counters
+  * maintained as a tiny parquet state over a stream — the always-on
+  * form of the q46 batch sketch (p50/p95/p99 of a metric "so far"
+  * without re-reading history). The batch sketch fixes its geometry
+  * from an exact (min, max) pass; a stream cannot two-pass, so the
+  * geometry (lo, hi, bins) is FIXED at start — the standard deployment
+  * contract for streaming histograms (pick the range from the metric's
+  * spec or a calibration batch; out-of-range values clamp into the edge
+  * bins, which the interpolation then treats as range boundaries).
+  *
+  * Per micro-batch: one partial-aggregated groupBy reduces the batch to
+  * ≤bins counter rows; the driver folds them into the stored counters
+  * by ADDITION (histograms are a monoid, so the stream fold equals the
+  * batch sketch of the concatenated history exactly — spec-gated bit
+  * parity, like [[StreamingHll]]). Unlike HLL's MAX-merge, addition is
+  * NOT naturally idempotent, so the `batch_id` stamp is load-bearing: a
+  * replayed batch sees its own stamp and skips, exactly the
+  * [[StreamingTopK]] recipe. Persistence through [[StateStore]]
+  * versioned commits — a crash mid-write leaves the previous version
+  * current. */
+object StreamingHistogram {
+
+  def start(
+      events: DataFrame,
+      valueCol: Column,
+      statePath: String,
+      checkpoint: String,
+      lo: Double,
+      hi: Double,
+      bins: Int = 128,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    require(hi > lo && bins >= 1)
+    val spark = events.sparkSession
+    val writer = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // clamp into [lo, hi]: a fixed-geometry histogram must be total
+        // over out-of-spec values, and the edge bins are where they
+        // belong (nulls carry no value — dropped)
+        val clamped = batch.select(valueCol.cast("double").as("x"))
+          .filter(col("x").isNotNull)
+          .select(least(lit(hi), greatest(lit(lo), col("x"))).as("x"))
+        val counts = HistogramSketch.build(clamped, col("x"), lo, hi, bins)
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (counts.nonEmpty) foldBatch(spark, statePath, counts, batchId)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  private[graft] def foldBatch(
+      spark: SparkSession,
+      statePath: String,
+      batchCounts: Map[Int, Long],
+      batchId: Long): Unit = {
+    val (stored, storedBatch) = readState(spark, statePath)
+    if (storedBatch != Some(batchId)) {
+      val merged = (stored.keySet ++ batchCounts.keySet).map { b =>
+        b -> (stored.getOrElse(b, 0L) + batchCounts.getOrElse(b, 0L))
+      }.toMap
+      writeState(spark, statePath, merged, batchId)
+    }
+  }
+
+  /** Current counters: (bin, cnt, batch_id), ≤bins rows from the latest
+    * committed state version. */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame =
+    StateStore.readLatest(spark, statePath).getOrElse(
+      spark.emptyDataFrame
+        .select(
+          lit(0).cast("int").as("bin"), lit(0L).as("cnt"), lit(0L).as("batch_id"))
+        .limit(0))
+
+  /** Running interpolated quantiles over the stored counters (empty
+    * state → every quantile answers lo, the [[HistogramSketch]] empty
+    * convention). */
+  def quantiles(
+      spark: SparkSession,
+      statePath: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      qs: Seq[Double]): Seq[(Double, Double)] =
+    HistogramSketch.quantiles(
+      snapshot(spark, statePath).select(col("bin"), col("cnt")), lo, hi, bins, qs)
+
+  private def readState(
+      spark: SparkSession,
+      statePath: String): (Map[Int, Long], Option[Long]) =
+    StateStore.readLatest(spark, statePath) match {
+      case Some(state) =>
+        val rows = state.collect()
+        val m = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("cnt")).toMap
+        (m, rows.headOption.map(_.getAs[Long]("batch_id")))
+      case None => (Map.empty, None)
+    }
+
+  private def writeState(
+      spark: SparkSession,
+      statePath: String,
+      counts: Map[Int, Long],
+      batchId: Long): Unit = {
+    import spark.implicits._
+    StateStore.writeVersion(
+      counts.toSeq.toDF("bin", "cnt")
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1),
+      statePath, batchId)
+  }
+}
