@@ -562,6 +562,80 @@ object ScaleBench {
     keyed.unpersist()
   }
 
+  /** Histogram-sketch quantiles vs exact percentile at `nRows` rows:
+    * the exact plan buffers the whole column through one aggregation
+    * (network + memory ∝ rows on a cluster); the sketch is ≤128 integer
+    * counters per partition. Reports both walls, the p50/p95/p99
+    * estimates, and the realized error against exact (bounded by bin
+    * width). Usage: runMain graft.tools.ScaleBench hist [nRows] */
+  def histMain(spark: SparkSession, nRows: Long): Unit = {
+    import graft.functions.HistogramSketch
+    // skewed-ish positive metric: (hash % 1M)^2 / 1M in [0, 1M)
+    val vals = spark.range(nRows).select(
+      (pow(pmod(hash(col("id")), lit(1000000L)).cast("double"), 2.0) / 1e6).as("x"))
+      .cache()
+    vals.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    vals.limit(1000000).agg(expr("percentile(x, 0.5)")).collect() // JIT warmup
+    HistogramSketch.build(vals.limit(1000000), col("x"), 0.0, 1e6, 128).collect()
+    val (exact, exactSec) = time {
+      vals.agg(expr("percentile(x, array(0.5, 0.95, 0.99))"))
+        .head.getSeq[Double](0)
+    }
+    val ((lo, hi, est), histSec) = time {
+      val (l, h) = HistogramSketch.range(vals, col("x"))
+      val hist = HistogramSketch.build(vals, col("x"), l, h, 128)
+      (l, h, HistogramSketch.quantiles(hist, l, h, 128, Seq(0.5, 0.95, 0.99)).map(_._2))
+    }
+    val width = (hi - lo) / 128
+    val errs = est.zip(exact).map { case (e, x) => math.abs(e - x) }
+    println(
+      s"""{"workload":{"rows":$nRows,"bins":128},
+         |"exact_percentile":{"sec":$exactSec,"p50":${exact(0)},"p95":${exact(1)},"p99":${exact(2)}},
+         |"hist":{"sec":$histSec,"p50":${est(0)},"p95":${est(1)},"p99":${est(2)},
+         |"max_err":${errs.max},"bin_width":$width,"within_bin":${errs.forall(_ <= width)}},
+         |"speedup":${exactSec / histSec}}"""
+        .stripMargin.replace("\n", ""))
+    vals.unpersist()
+  }
+
+  /** Perceptron classifier end-to-end at `nDocs` synthetic docs across
+    * 20 classes with class-correlated vocabulary: training cost is
+    * CAPPED by the portable-hash sample (the d65 contract), so the
+    * measured wall is dominated by the serve side — one feature explode
+    * + broadcast-model fold per doc — which is the part that scales.
+    * Usage: runMain graft.tools.ScaleBench classify [nDocs] */
+  def classifyMain(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.functions.QualityClassifier
+    // 24 tokens/doc: 16 class-specific (vocab disjoint across classes),
+    // 8 shared noise — linearly separable but not trivially so
+    val cls = pmod(col("id"), lit(20L))
+    val body = concat_ws(" ",
+      (0 until 16).map(j => concat(lit("c"), cls, lit("w"), pmod(hash(col("id"), lit(j)), lit(50)))) ++
+        (0 until 8).map(j => concat(lit("n"), pmod(hash(col("id"), lit(100 + j)), lit(200)))): _*)
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      body.as("text"),
+      concat(lit("src"), cls).as("source")).cache()
+    val total = docs.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (acc, sec) = time {
+      val out = QualityClassifier.perceptronClassifier(
+        docs, "text", "doc_id", "source", numBuckets = 1024, epochs = 4, sampleCap = 240L)
+      val r = out.agg(sum(col("correct")), count(lit(1))).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    println(
+      s"""{"workload":{"docs":$total,"classes":20,"sample_cap":240,"epochs":4},
+         |"perceptron":{"sec":$sec,"docs_per_s":${(total / sec).toLong},"accuracy":$acc}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -1249,6 +1323,10 @@ object ScaleBench {
         countMinMain(s, argL(1, 50000000L)))
       case Some("hll") => withSession(tuned = true)(s =>
         hllMain(s, argL(1, 50000000L)))
+      case Some("hist") => withSession(tuned = true)(s =>
+        histMain(s, argL(1, 20000000L)))
+      case Some("classify") => withSession(tuned = true)(s =>
+        classifyMain(s, argL(1, 1000000L)))
       case Some("heavyhitters") => withSession(tuned = true)(s =>
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>
