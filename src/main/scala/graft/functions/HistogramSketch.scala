@@ -66,9 +66,20 @@ object HistogramSketch {
       lo: Double,
       hi: Double,
       bins: Int,
+      qs: Seq[Double]): Seq[(Double, Double)] =
+    quantilesFromCounts(
+      hist.select(col("bin").cast("int"), col("cnt").cast("long"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq,
+      lo, hi, bins, qs)
+
+  /** The pure kernel of [[quantiles]] — also the property-test surface. */
+  def quantilesFromCounts(
+      counts: Seq[(Int, Long)],
+      lo: Double,
+      hi: Double,
+      bins: Int,
       qs: Seq[Double]): Seq[(Double, Double)] = {
-    val rows = hist.select(col("bin").cast("int"), col("cnt").cast("long"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val rows = counts.sortBy(_._1)
     val n = rows.map(_._2).sum
     val width = (hi - lo) / bins
     qs.map { q =>

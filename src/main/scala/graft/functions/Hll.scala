@@ -63,10 +63,14 @@ object Hll {
     * bounded ≤m-row collect, harmonic sum folded in ascending-bucket
     * order (absent buckets rank 0) — the pinned-order float contract
     * described in the object doc. */
-  def estimate(registerTable: DataFrame): Double = {
-    val ranks = registerTable
-      .select(col("bucket").cast("int"), col("max_rank").cast("int"))
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+  def estimate(registerTable: DataFrame): Double =
+    estimateFromRanks(
+      registerTable
+        .select(col("bucket").cast("int"), col("max_rank").cast("int"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+
+  /** The pure kernel of [[estimate]] — also the property-test surface. */
+  def estimateFromRanks(ranks: Map[Int, Int]): Double = {
     var s = 0.0
     var b = 0
     while (b < numBuckets) {
