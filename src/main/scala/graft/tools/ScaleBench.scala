@@ -636,6 +636,43 @@ object ScaleBench {
     docs.unpersist()
   }
 
+  /** Events-family stress: the REGISTERED behavioral queries
+    * (sessionization, funnel, retention, RFM, runs) against `nEvents`
+    * synthetic events written as a harness-shaped dir — so the measured
+    * plans are exactly the registry's, not re-implementations. ~20
+    * events/user over 56 days; all five are one-or-two-shuffle shapes
+    * keyed by user, so the expectation is linear rows/s, confirmed by
+    * the printed per-query throughput.
+    * Usage: runMain graft.tools.ScaleBench events [nEvents] */
+  def eventsMain(spark: SparkSession, nEvents: Long): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    val nUsers = math.max(1L, nEvents / 20)
+    spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1577836800L) + pmod(hash(col("id"), lit(1)), lit(56L * 86400))).as("ts"),
+      pmod(hash(col("id"), lit(2)), lit(nUsers)).as("user_id"),
+      element_at(
+        array(lit("view"), lit("view"), lit("view"), lit("click"), lit("purchase")),
+        (pmod(hash(col("id"), lit(3)), lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(hash(col("id"), lit(4)), lit(10000)).cast("double") / 100.0).as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val queries = Seq("q15_sessions", "q37_funnel", "q38_retention", "q39_rfm", "q41_runs")
+    // JIT warmup on the harness-scale dir
+    queries.foreach(q => graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count())
+    val results = queries.map { q =>
+      val (rows, sec) = time(graft.SparkEntry.queries(q)(spark, dir).count())
+      q -> (rows, sec)
+    }
+    val per = results.map { case (q, (rows, sec)) =>
+      s""""$q":{"sec":$sec,"out_rows":$rows,"events_per_s":${(nEvents / sec).toLong}}"""
+    }.mkString(",")
+    println(s"""{"workload":{"events":$nEvents,"users":$nUsers},$per}""")
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -1327,6 +1364,8 @@ object ScaleBench {
         histMain(s, argL(1, 20000000L)))
       case Some("classify") => withSession(tuned = true)(s =>
         classifyMain(s, argL(1, 1000000L)))
+      case Some("events") => withSession(tuned = true)(s =>
+        eventsMain(s, argL(1, 20000000L)))
       case Some("heavyhitters") => withSession(tuned = true)(s =>
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>
