@@ -496,6 +496,28 @@ object RelationalQueries {
           "rel_err", round(abs(lit(est) - col("exact_distinct")) / col("exact_distinct"), 6))
         .orderBy(col("bucket"))
     }),
+    // bloom-pruned selective join — the 100 TB pattern for a dimension
+    // too big to broadcast as a hash table but whose BITS fit (10/key):
+    // the big side is pre-filtered on approximate membership BEFORE the
+    // shuffle (codegen'd bit probes over a broadcast literal word
+    // array, no UDF), and the real join removes the ~1% false
+    // positives — so the result is EXACT and the oracle is the plain
+    // join; the bloom only cuts shuffle volume (spec-measured).
+    "q47_bloom_join" -> ((s, dir) => {
+      import graft.functions.BloomPrune
+      val sel = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"))
+      val bloom = BloomPrune.buildSized(sel, col("o_orderkey"))
+      BloomPrune.prune(t(s, dir, "lineitem"), col("l_orderkey"), bloom)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum("l_extendedprice").as("revenue"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // mergeable equi-width histogram + interpolated quantiles — the
     // scale path for quantile monitoring (q10's exact percentile
     // materializes the whole column; this is ≤128 integer counters,
@@ -1283,6 +1305,19 @@ object RelationalQueries {
         |       round(abs(est.raw - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
         |FROM reg, est, ex
         |ORDER BY reg.bucket""".stripMargin,
+    // q47: the oracle is the PLAIN join — the bloom pre-filter is an
+    // optimization whose false positives the join removes, so the
+    // result must be exactly the unpruned answer
+    "q47_bloom_join" ->
+      """SELECT l_returnflag,
+        |       COUNT(*)::BIGINT AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       round(SUM(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 200000.0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // q46: full histogram replay — bin = floor((x−lo)/(hi−lo)·128)
     // clamped, identical IEEE ops on identical doubles; the quantile
     // pick is the first bin whose running count reaches q·n (struct-MIN

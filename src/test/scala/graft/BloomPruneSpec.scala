@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BloomPrune
+
+class BloomPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("no false negatives: every true member survives the prune") {
+    val small = spark.range(0, 1000, 7).toDF("k") // members: multiples of 7
+    val big = spark.range(0, 1000).toDF("k")
+    val bloom = BloomPrune.buildSized(small, col("k"))
+    val pruned = BloomPrune.prune(big, col("k"), bloom).as[Long].collect().toSet
+    val members = (0L until 1000L by 7).toSet
+    assert(members.subsetOf(pruned), s"missing members: ${members -- pruned}")
+  }
+
+  test("false-positive rate sits near the 10-bits/key design point") {
+    val small = spark.range(0, 100000, 10).toDF("k") // 10k members
+    val big = spark.range(0, 100000).toDF("k") // 90k non-members
+    val bloom = BloomPrune.buildSized(small, col("k"))
+    val prunedN = BloomPrune.prune(big, col("k"), bloom).count()
+    val fp = (prunedN - 10000).toDouble / 90000
+    // ~0.9% theoretical at k=6, 10 bits/key; allow 3x headroom
+    assert(fp < 0.03, s"false-positive rate $fp")
+    assert(prunedN >= 10000, "lost members")
+  }
+
+  test("prune + join equals the plain join exactly; the probe stays at the scan") {
+    val small = spark.range(0, 5000, 13).toDF("k")
+    val big = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val bloom = BloomPrune.buildSized(small, col("k"))
+    val prunedJoin = BloomPrune.prune(big, col("k"), bloom)
+      .join(small, Seq("k")).orderBy("k").collect().map(_.toSeq)
+    val plainJoin = big.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq)
+    assert(prunedJoin.sameElements(plainJoin))
+    // the membership probe is a Filter over the scan — no exchange, no
+    // join node introduced by the prune itself
+    val plan = BloomPrune.prune(big, col("k"), bloom)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}
