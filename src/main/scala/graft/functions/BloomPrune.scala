@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * real join, so results are EXACT — the bloom only cuts shuffle
   * volume, by (1 − selectivity) · (1 − fpp) of the big side.
   *
-  * Built from the portable 60-bit md5-prefix hash expanded by
-  * Kirsch–Mitzenmacher double hashing (the [[CountMin]] recipe), so
-  * the filter is DETERMINISTIC — same keys, same bits, any engine.
+  * Built from xxhash64 expanded by Kirsch–Mitzenmacher double hashing
+  * (the [[CountMin]] coordinate recipe over the cheap hash — see the
+  * note on `coords` for why not the portable md5 prefix here).
   * Membership probes are pure codegen'd bit arithmetic over a
   * broadcast literal word array (element_at + shiftright + mask):
   * no UDF, the probe stays inside whole-stage codegen at the scan.
@@ -30,10 +30,16 @@ object BloomPrune {
     * near-identical fpp). */
   val numHashes = 6
 
+  // xxhash64, not the portable md5-prefix hash: nothing replays the
+  // bloom cross-engine (the oracle of a pruned join is the PLAIN join),
+  // and the probe runs once per big-side row — md5 at 50M rows/s is the
+  // dominant cost (the CountMin round-7 lesson), xxhash64 is codegen'd
+  // native. Determinism (same keys → same bits) is all that's needed,
+  // and xxhash64 is deterministic.
   private def coords(key: Column, nBits: Long): Seq[Column] = {
-    val v = TextFunctions.portableHash(key.cast("string"))
+    val v = xxhash64(key)
     val h1 = pmod(v, lit(1073741824L))
-    val h2 = (v / lit(1073741824L)) * 2 + 1
+    val h2 = pmod(shiftright(v, 30), lit(1073741824L)) * 2 + 1
     (0 until numHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(nBits)))
   }
 
@@ -79,4 +85,46 @@ object BloomPrune {
     val nBits = ((n * bitsPerKey + 63) / 64) * 64
     build(small, key, nBits)
   }
+
+  /** [[prune]] for LARGE blooms: the word array ships as a BROADCAST
+    * variable instead of a plan literal. A literal array embeds in the
+    * serialized plan and Java-deserializes per task as boxed objects —
+    * measured OOM at 781k words (a 5M-key bloom); a broadcast is sent
+    * once per executor in compact form. The price is one probe function
+    * call per row (a scalar UDF over the codegen'd `xxhash64` column —
+    * ~6 array reads, no allocation); use [[prune]]'s fully-codegen'd
+    * form below [[maxLiteralWords]] words, this form above it.
+    * Same hash family, same bits: the two forms admit identical rows. */
+  def pruneBroadcast(big: DataFrame, key: Column, words: Array[Long]): DataFrame = {
+    val bc = big.sparkSession.sparkContext.broadcast(words)
+    val nBits = words.length.toLong * 64
+    val k = numHashes
+    val probe = udf { (v: Long) =>
+      // the same Kirsch–Mitzenmacher expansion as `coords`, with pmod
+      // semantics (Spark's pmod is the non-negative remainder)
+      val ws = bc.value
+      def pm(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+      val h1 = pm(v, 1073741824L)
+      val h2 = pm(v >> 30, 1073741824L) * 2 + 1
+      var i = 0
+      var hit = true
+      while (i < k && hit) {
+        val c = pm(h1 + i.toLong * h2, nBits)
+        hit = ((ws((c / 64).toInt) >> (c % 64).toInt) & 1L) == 1L
+        i += 1
+      }
+      hit
+    }
+    big.filter(probe(xxhash64(key)))
+  }
+
+  /** Above this word count, [[prune]]'s plan-literal array starts to
+    * dominate task deserialization — switch to [[pruneBroadcast]]. */
+  val maxLiteralWords = 65536
+
+  /** Regime-picking entry: literal codegen'd probe for small blooms,
+    * broadcast probe for large ones. */
+  def pruneAuto(big: DataFrame, key: Column, words: Array[Long]): DataFrame =
+    if (words.length <= maxLiteralWords) prune(big, key, words)
+    else pruneBroadcast(big, key, words)
 }

@@ -673,6 +673,50 @@ object ScaleBench {
     println(s"""{"workload":{"events":$nEvents,"users":$nUsers},$per}""")
   }
 
+  /** Bloom-pruned selective join vs the plain shuffle join at `nRows`
+    * big-side rows against a `nKeys`-key dimension with `sel` match
+    * selectivity: measures the end-to-end wall and the big-side rows
+    * that reach the join (the shuffle-volume cut the bloom buys — on a
+    * cluster that is network bytes, locally it is hash-probe work).
+    * Usage: runMain graft.tools.ScaleBench bloomjoin [nRows] [nKeys] */
+  def bloomJoinMain(spark: SparkSession, nRows: Long, nKeys: Long): Unit = {
+    import graft.functions.BloomPrune
+    // dimension: nKeys keys, 10% selected; facts reference keys uniformly
+    val dim = spark.range(nKeys).select(
+      col("id").as("k"), (pmod(col("id"), lit(10)) === 0).as("selected"))
+    val sel = dim.filter(col("selected")).select(col("k")).cache()
+    val nSel = sel.count()
+    val big = spark.range(nRows).select(
+      pmod(hash(col("id")), lit(nKeys)).as("k"),
+      (col("id") % 1000).cast("double").as("v")).cache()
+    big.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    big.limit(1000000).join(sel, Seq("k")).agg(sum(col("v"))).collect() // warmup
+    val (plain, plainSec) = time {
+      big.join(sel, Seq("k")).agg(sum(col("v")), count(lit(1))).head()
+    }
+    val (bloomed, bloomSec) = time {
+      val words = BloomPrune.buildSized(sel, col("k"))
+      BloomPrune.pruneAuto(big, col("k"), words)
+        .join(sel, Seq("k")).agg(sum(col("v")), count(lit(1))).head()
+    }
+    val prunedRows = {
+      val words = BloomPrune.buildSized(sel, col("k"))
+      BloomPrune.pruneAuto(big, col("k"), words).count()
+    }
+    require(plain == bloomed, "bloom-pruned result diverged from plain join")
+    println(
+      s"""{"workload":{"big_rows":$nRows,"dim_keys":$nKeys,"selected_keys":$nSel},
+         |"plain_join":{"sec":$plainSec},
+         |"bloom_join":{"sec":$bloomSec,"rows_into_join":$prunedRows,
+         |"big_side_cut":${1.0 - prunedRows.toDouble / nRows}},
+         |"speedup":${plainSec / bloomSec}}"""
+        .stripMargin.replace("\n", ""))
+    big.unpersist(); sel.unpersist()
+  }
+
   /** Copy-on-write upsert stress: a CDC batch touching `kParts` of
     * `nParts` date partitions applied to an `nRows`-row table — measures
     * the touched-partitions-only rewrite against the full-table rewrite
@@ -1366,6 +1410,8 @@ object ScaleBench {
         classifyMain(s, argL(1, 1000000L)))
       case Some("events") => withSession(tuned = true)(s =>
         eventsMain(s, argL(1, 20000000L)))
+      case Some("bloomjoin") => withSession(tuned = true)(s =>
+        bloomJoinMain(s, argL(1, 50000000L), argL(2, 1000000L)))
       case Some("heavyhitters") => withSession(tuned = true)(s =>
         heavyHittersMain(s, argL(1, 50000000L)))
       case Some("spandedup") => withSession(tuned = true)(s =>

@@ -42,4 +42,15 @@ class BloomPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("broadcast probe admits exactly the literal probe's rows") {
+    val small = spark.range(0, 20000, 11).toDF("k")
+    val big = spark.range(0, 20000).toDF("k")
+    val bloom = BloomPrune.buildSized(small, col("k"))
+    val lit = BloomPrune.prune(big, col("k"), bloom)
+      .as[Long].collect().sorted.toSeq
+    val bc = BloomPrune.pruneBroadcast(big, col("k"), bloom)
+      .as[Long].collect().sorted.toSeq
+    assert(lit == bc, "literal and broadcast probes disagree")
+  }
 }
