@@ -496,6 +496,24 @@ object RelationalQueries {
           "rel_err", round(abs(lit(est) - col("exact_distinct")) / col("exact_distinct"), 6))
         .orderBy(col("bucket"))
     }),
+    // skew-safe exact distinct-count per key (two-phase: dedup spreads a
+    // hot key's values across reducers via the value hash, then a
+    // partial-aggregated count) — equivalent to countDistinct with
+    // balanced shuffles, so the oracle IS countDistinct. Run over the
+    // q43/q44 hot-key stream, whose 5 hot keys would otherwise land a
+    // single reducer with ~30% of the table each
+    "q48_skew_distinct" -> ((s, dir) => {
+      import graft.functions.Skew
+      val keyed = t(s, dir, "lineitem").select(
+        when(
+          col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_partkey").cast("string"))).as("k"),
+        col("l_partkey").as("pk"))
+      Skew.exactDistinctPerKey(keyed, "k", "pk")
+        .orderBy(col("distinct_pk").desc, col("k").asc)
+        .limit(10)
+    }),
     // bloom-pruned selective join — the 100 TB pattern for a dimension
     // too big to broadcast as a hash table but whose BITS fit (10/key):
     // the big side is pre-filtered on approximate membership BEFORE the
@@ -1305,6 +1323,19 @@ object RelationalQueries {
         |       round(abs(est.raw - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
         |FROM reg, est, ex
         |ORDER BY reg.bucket""".stripMargin,
+    // q48: the two-phase skew-safe distinct is EQUIVALENT to
+    // countDistinct — the oracle is the plain form
+    "q48_skew_distinct" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 5
+        |              THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS k,
+        |         l_partkey AS pk
+        |  FROM lineitem
+        |)
+        |SELECT k, COUNT(DISTINCT pk)::BIGINT AS distinct_pk
+        |FROM keyed GROUP BY k
+        |ORDER BY distinct_pk DESC, k ASC LIMIT 10""".stripMargin,
     // q47: the oracle is the PLAIN join — the bloom pre-filter is an
     // optimization whose false positives the join removes, so the
     // result must be exactly the unpruned answer
