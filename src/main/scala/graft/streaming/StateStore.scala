@@ -170,10 +170,21 @@ object StateStore {
     df.write.mode("overwrite").parquet(target.toString)
   }
 
-  /** Union of every committed batch dir under `root` as one multi-path
-    * relation; `None` when no batch has committed yet. */
-  def readCommittedBatchDirs(spark: SparkSession, root: String): Option[DataFrame] = {
-    val paths = dirsWithPrefix(spark, root, "b", committedOnly = true).map(_.toString)
+  /** Union of committed batch dirs under `root` as one multi-path
+    * relation; `None` when no batch has committed yet (or none survive
+    * the bound). `beforeBatch` excludes dirs at or after that batch id:
+    * a REPLAYED batch must read the index as of batches < itself — its
+    * own (already-committed) dir from the crashed attempt would feed
+    * its output back into its input (batch ids are monotone within one
+    * checkpoint lineage, which is what makes the bound correct). */
+  def readCommittedBatchDirs(
+      spark: SparkSession,
+      root: String,
+      beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    val bound = beforeBatch.map(batchDir)
+    val paths = dirsWithPrefix(spark, root, "b", committedOnly = true)
+      .filter(p => bound.forall(p.getName < _))
+      .map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 }

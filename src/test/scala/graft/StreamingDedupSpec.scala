@@ -93,4 +93,54 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // two more batches must not add persistent entries
     assert(spark.sparkContext.getPersistentRDDs.size <= persisted)
   }
+
+  private def newSession(dir: String, staticIdx: org.apache.spark.sql.DataFrame) =
+    new StreamingDedup.Session(
+      spark, staticIdx, s"$dir/out", s"$dir/idx",
+      "text", "doc_id", 4, 0.01, 0.5, 10000L, true)
+
+  test("a replayed batch does not read its own committed fp dir") {
+    // the crash window: batch N commits its fp dir, dies before the
+    // checkpoint offset commit, and is re-delivered as batch N again.
+    // The replay must reproduce the ORIGINAL decisions (keep) and leave
+    // the fp dir intact — reading its own dir would flip its docs to
+    // duplicates and overwrite the dir with nothing, permanently
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_rp").toString
+    val staticIdx = IncrementalDedup.shingleFps(
+      Seq((0L, doc(0))).toDF("doc_id", "text"), "text", "doc_id", 4)
+    val batch = Seq((30L, doc(30))).toDF("doc_id", "text")
+    val s1 = newSession(dir, staticIdx)
+    s1.processBatch(batch, 5L)
+    def decisions() = spark.read.parquet(s"$dir/out")
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    def idxFps() = graft.streaming.StateStore
+      .readCommittedBatchDirs(spark, s"$dir/idx").get.count()
+    val (d0, n0) = (decisions(), idxFps())
+    assert(d0 == Map(30L -> true) && n0 > 0)
+    // replay in a FRESH session (post-crash restart shape)
+    newSession(dir, staticIdx).processBatch(batch, 5L)
+    assert(decisions() == d0, "replay flipped the decisions")
+    assert(idxFps() == n0, "replay emptied the batch's fp dir")
+  }
+
+  test("a restarted session screens against fps the stream already kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_rs").toString
+    val staticIdx = IncrementalDedup.shingleFps(
+      Seq((0L, doc(0))).toDF("doc_id", "text"), "text", "doc_id", 4)
+    val s1 = newSession(dir, staticIdx)
+    s1.processBatch(Seq((40L, doc(40))).toDF("doc_id", "text"), 0L)
+    // restart: a fresh session must seed its bloom from the committed
+    // stream index, not just the static corpus — the bloom is a hard
+    // pre-filter, so a static-only seed would let dups of 40 through
+    val s2 = newSession(dir, staticIdx)
+    val kept40Fp = IncrementalDedup.shingleFps(
+      Seq((40L, doc(40))).toDF("doc_id", "text"), "text", "doc_id", 4)
+      .select($"fp").as[Long].head()
+    assert(s2.mightContain(kept40Fp), "restart bloom lost the stream's kept fps")
+    s2.processBatch(Seq((41L, mostlyDup(40, 41))).toDF("doc_id", "text"), 1L)
+    val keep = spark.read.parquet(s"$dir/out")
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(40L -> true, 41L -> false),
+      s"restarted stream re-admitted a duplicate of a kept doc: $keep")
+  }
 }
