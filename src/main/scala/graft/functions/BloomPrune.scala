@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * real join, so results are EXACT — the bloom only cuts shuffle
   * volume, by (1 − selectivity) · (1 − fpp) of the big side.
   *
-  * Built from xxhash64 expanded by Kirsch–Mitzenmacher double hashing
-  * (the [[CountMin]] coordinate recipe over the cheap hash — see the
-  * note on `coords` for why not the portable md5 prefix here).
-  * Membership probes are pure codegen'd bit arithmetic over a
-  * broadcast literal word array (element_at + shiftright + mask):
-  * no UDF, the probe stays inside whole-stage codegen at the scan.
+  * Built from one index-salted xxhash64 per probe position (see the
+  * note on `coords` for why neither the portable md5 prefix nor a
+  * Kirsch–Mitzenmacher expansion). Membership probes are pure
+  * codegen'd bit arithmetic over a broadcast literal word array
+  * (element_at + shiftright + mask): no UDF, the probe stays inside
+  * whole-stage codegen at the scan.
   *
   * Spark's own runtime row-level filtering can inject a similar bloom
   * under AQE; this form is for when the build side is an arbitrary
@@ -34,14 +34,16 @@ object BloomPrune {
   // bloom cross-engine (the oracle of a pruned join is the PLAIN join),
   // and the probe runs once per big-side row — md5 at 50M rows/s is the
   // dominant cost (the CountMin round-7 lesson), xxhash64 is codegen'd
-  // native. Determinism (same keys → same bits) is all that's needed,
-  // and xxhash64 is deterministic.
-  private def coords(key: Column, nBits: Long): Seq[Column] = {
-    val v = xxhash64(key)
-    val h1 = pmod(v, lit(1073741824L))
-    val h2 = pmod(shiftright(v, 30), lit(1073741824L)) * 2 + 1
-    (0 until numHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(nBits)))
-  }
+  // native. One INDEPENDENT hash per probe index (the index salted into
+  // the hash input) instead of Kirsch–Mitzenmacher expansion: KM from
+  // one 64-bit value needs h1/h2 sub-ranges, and any sub-range cap
+  // breaks coordinate uniformity once nBits exceeds it (a 2^30 cap
+  // reviewed as saturating the first 2^30 bits of a billion-key bloom),
+  // while widening h1/h2 makes h1 + i·h2 overflow — which ANSI mode
+  // turns into a runtime error. Six xxhash64 calls per row are still
+  // ~20× cheaper than one md5.
+  private def coords(key: Column, nBits: Long): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(key, lit(i)), lit(nBits)))
 
   /** The dense word array of the small side's key bloom: one
     * partial-aggregated pass (explode k coordinates per key, group by
@@ -98,24 +100,14 @@ object BloomPrune {
   def pruneBroadcast(big: DataFrame, key: Column, words: Array[Long]): DataFrame = {
     val bc = big.sparkSession.sparkContext.broadcast(words)
     val nBits = words.length.toLong * 64
-    val k = numHashes
-    val probe = udf { (v: Long) =>
-      // the same Kirsch–Mitzenmacher expansion as `coords`, with pmod
-      // semantics (Spark's pmod is the non-negative remainder)
+    // the coordinates are the SAME codegen'd columns as the literal
+    // path (structural parity, spec-gated); the scalar function only
+    // does the k bit probes against the broadcast word array
+    val probe = udf { (cs: Seq[Long]) =>
       val ws = bc.value
-      def pm(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
-      val h1 = pm(v, 1073741824L)
-      val h2 = pm(v >> 30, 1073741824L) * 2 + 1
-      var i = 0
-      var hit = true
-      while (i < k && hit) {
-        val c = pm(h1 + i.toLong * h2, nBits)
-        hit = ((ws((c / 64).toInt) >> (c % 64).toInt) & 1L) == 1L
-        i += 1
-      }
-      hit
+      cs.forall(c => ((ws((c / 64).toInt) >> (c % 64).toInt) & 1L) == 1L)
     }
-    big.filter(probe(xxhash64(key)))
+    big.filter(probe(array(coords(key, nBits): _*)))
   }
 
   /** Above this word count, [[prune]]'s plan-literal array starts to

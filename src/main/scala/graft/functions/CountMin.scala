@@ -56,30 +56,40 @@ object CountMin {
 
   /** Point estimates for the keys in `keys(keyCol)`: min over the depth
     * counters (an untouched cell means count 0). The sketch — at most
-    * depth·width rows, independent of data size — broadcasts; the probe
-    * side never shuffles. Must be called with the `depth`/`width` the
-    * sketch was built with: a mismatch computes wrong coordinates and
-    * can silently UNDERESTIMATE (breaking est ≥ true), so the sketch's
-    * occupied coordinates are validated against the probe geometry
-    * first (one driver pass over ≤ depth·width counter rows — prefer
-    * [[Sketch]], which carries its geometry and can't mismatch). */
+    * depth·width rows, independent of data size — is collected ONCE
+    * (bounded by construction) and re-broadcast as a local table, so
+    * the validation below costs no extra pass over the sketch's
+    * lineage; the probe side never shuffles. Must be called with the
+    * `depth`/`width` the sketch was built with: a mismatch computes
+    * wrong coordinates and can silently UNDERESTIMATE (breaking
+    * est ≥ true). The occupied coordinates are validated against the
+    * probe geometry, which catches the common LARGER-build mistake
+    * (built 4096-wide, probed 256-wide); a SMALLER build (256-wide
+    * probed 4096-wide) is undetectable from coordinates alone — only
+    * [[Sketch]], which carries its geometry, closes that direction. */
   def estimate(
       sketch: DataFrame,
       keys: DataFrame,
       keyCol: String,
       depth: Int = 4,
       width: Int = 256): DataFrame = {
-    val bounds = sketch.agg(max(col("r")), max(col("c"))).collect()(0)
-    if (!bounds.isNullAt(0)) {
-      val (maxR, maxC) = (bounds.getInt(0), bounds.getInt(1))
-      require(maxR < depth && maxC < width,
-        s"sketch occupies coordinates up to (r=$maxR, c=$maxC) — " +
-          s"outside the probe geometry (depth=$depth, width=$width); " +
-          "estimate() must use the build-time parameters")
+    val spark = sketch.sparkSession
+    // one computation of the sketch lineage: the counter table is
+    // ≤ depth·width rows by construction, driver-safe to hold
+    val counters = sketch
+      .select(col("r").cast("int"), col("c").cast("int"), col("cnt").cast("long"))
+      .collect().map(row => (row.getInt(0), row.getInt(1), row.getLong(2)))
+    counters.foreach { case (r, c, _) =>
+      require(r < depth && c < width,
+        s"sketch occupies coordinate (r=$r, c=$c) — outside the probe " +
+          s"geometry (depth=$depth, width=$width); estimate() must use " +
+          "the build-time parameters")
     }
+    import spark.implicits._
+    val local = counters.toSeq.toDF("r", "c", "cnt")
     hashedKeys(keys, col(keyCol), depth)
       .select(col("k"), col("r"), coordFromV(col("v"), col("r"), width).as("c"))
-      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .join(broadcast(local), Seq("r", "c"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

@@ -32,17 +32,23 @@ object HistogramSketch {
     (r.getDouble(0), r.getDouble(1))
   }
 
-  /** ≤`bins` rows of (bin, cnt): one partial-aggregated groupBy, the
-    * top value clamped into the last bin. Degenerate range (hi == lo)
-    * puts everything in bin 0. */
+  /** ≤`bins` rows of (bin, cnt): one partial-aggregated groupBy,
+    * out-of-range values clamped into the EDGE bins on both sides —
+    * required by the fixed-geometry deployment the object doc
+    * prescribes (per-batch histograms under one (lo, hi)): a below-lo
+    * value would otherwise emit a negative bin index that quantile
+    * interpolation silently extrapolates below lo. Degenerate range
+    * (hi == lo) puts everything in bin 0. */
   def build(df: DataFrame, x: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1)
     val xd = x.cast("double")
     val bin =
       if (hi == lo) lit(0)
-      else least(
-        lit(bins - 1),
-        floor((xd - lit(lo)) / (lit(hi) - lit(lo)) * bins).cast("int"))
+      else greatest(
+        lit(0),
+        least(
+          lit(bins - 1),
+          floor((xd - lit(lo)) / (lit(hi) - lit(lo)) * bins).cast("int")))
     df.select(bin.cast("int").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"))

@@ -88,10 +88,31 @@ object StateStore {
   private def committedVersions(spark: SparkSession, root: String): Seq[Path] =
     dirsWithPrefix(spark, root, "v", committedOnly = true)
 
+  /** Refuse to read a root that holds PRE-VERSIONED flat-parquet state
+    * (part-files directly under it, no layout dirs): returning None
+    * there would silently reset accumulated state to empty on the first
+    * restart after an upgrade — fail loudly with the migration instead.
+    * Data inside the version, slice, and batch dirs is of course fine. */
+  private def guardLegacyState(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    if (fs.exists(rootPath)) {
+      val legacy = fs.listStatus(rootPath).exists(s =>
+        s.isFile && (s.getPath.getName.startsWith("part-") ||
+          s.getPath.getName.endsWith(".parquet")))
+      if (legacy) throw new IllegalStateException(
+        s"unversioned legacy state at $root (flat parquet part-files, no " +
+          "version dirs) — migrate by moving the files into a " +
+          s"'${versionDir(0L)}' subdirectory containing a _SUCCESS marker")
+    }
+  }
+
   /** The latest fully-committed state version under `root`, if any. */
-  def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
+  def readLatest(spark: SparkSession, root: String): Option[DataFrame] = {
+    guardLegacyState(spark, root)
     committedVersions(spark, root).lastOption
       .map(p => spark.read.parquet(p.toString))
+  }
 
   /** Commit `df` as the state version for `batchId`, then prune older
     * committed versions (keeping one predecessor as a safety copy) and
@@ -150,6 +171,7 @@ object StateStore {
       spark: SparkSession,
       root: String,
       pred: String => Boolean = _ => true): Option[DataFrame] = {
+    guardLegacyState(spark, root)
     val paths = listSlices(spark, root)
       .filter(pred)
       .flatMap(s => committedVersions(spark, sliceRoot(root, s).toString).lastOption)
@@ -181,6 +203,7 @@ object StateStore {
       spark: SparkSession,
       root: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    guardLegacyState(spark, root)
     val bound = beforeBatch.map(batchDir)
     val paths = dirsWithPrefix(spark, root, "b", committedOnly = true)
       .filter(p => bound.forall(p.getName < _))

@@ -48,6 +48,18 @@ class HistogramSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q == Seq(0.5 -> 42.0)) // width 0: interpolation collapses to lo
   }
 
+  test("out-of-range values clamp into the EDGE bins on both sides") {
+    // fixed-geometry deployments (per-batch merges under one (lo, hi))
+    // feed build() values outside the range; a below-lo value must land
+    // in bin 0, not a negative bin that interpolation extrapolates
+    val df = Seq(-500.0, -1.0, 0.0, 500.0, 999.0, 1500.0).toDF("x")
+    val hist = HistogramSketch.build(df, col("x"), 0.0, 999.0, 16)
+      .as[(Int, Long)].collect().toMap
+    assert(hist(0) == 3L, hist.toString) // -500, -1, 0
+    assert(hist(15) == 2L, hist.toString) // 999, 1500
+    assert(hist.keys.forall(b => b >= 0 && b <= 15))
+  }
+
   test("the max value is clamped into the last bin, counts total n") {
     val df = spark.range(1000).select(col("id").cast("double").as("x"))
     val hist = HistogramSketch.build(df, col("x"), 0.0, 999.0, 16)

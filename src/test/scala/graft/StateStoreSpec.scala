@@ -70,6 +70,15 @@ class StateStoreSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all == Map("d1" -> 1, "d2" -> 2), s"torn slice version leaked: $all")
   }
 
+  test("pre-versioned flat-parquet state fails loudly instead of resetting silently") {
+    val root = tmp()
+    // the pre-round-8 layout: state written directly at the root
+    Seq((1, "a")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(root)
+    val e = intercept[IllegalStateException](StateStore.readLatest(spark, root))
+    assert(e.getMessage.contains("legacy state"), e.getMessage)
+    intercept[IllegalStateException](StateStore.readCommittedBatchDirs(spark, root))
+  }
+
   test("batch-dir layout reads only committed dirs; replay overwrites its own dir") {
     val root = tmp()
     StateStore.writeBatchDir(Seq(1L, 2L).toDF("fp").coalesce(1), root, 0L)
