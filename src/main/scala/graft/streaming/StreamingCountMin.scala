@@ -56,13 +56,12 @@ object StreamingCountMin {
       statePath: String,
       batchCounts: Map[(Int, Int), Long],
       batchId: Long): Unit = {
-    val (stored, storedBatch) = readState(spark, statePath)
-    if (storedBatch != Some(batchId)) {
-      val merged = (stored.keySet ++ batchCounts.keySet).map { rc =>
-        rc -> (stored.getOrElse(rc, 0L) + batchCounts.getOrElse(rc, 0L))
-      }.toMap
-      writeState(spark, statePath, merged, batchId)
-    }
+    import spark.implicits._
+    StampedFold.fold[(Int, Int), Long](
+      spark, statePath, batchCounts, batchId,
+      readKV = row => (row.getAs[Int]("r"), row.getAs[Int]("c")) -> row.getAs[Long]("cnt"),
+      writeDf = m => m.toSeq.map { case ((r, c), n) => (r, c, n) }.toDF("r", "c", "cnt"),
+      merge = _ + _)
   }
 
   /** Current counter table: (r, c, cnt, batch_id) — ≤ depth·width rows
@@ -90,29 +89,4 @@ object StreamingCountMin {
       snapshot(spark, statePath).select(col("r"), col("c"), col("cnt")),
       keys, keyCol, depth, width)
 
-  private def readState(
-      spark: SparkSession,
-      statePath: String): (Map[(Int, Int), Long], Option[Long]) =
-    StateStore.readLatest(spark, statePath) match {
-      case Some(state) =>
-        val rows = state.collect()
-        val m = rows
-          .map(r => (r.getAs[Int]("r"), r.getAs[Int]("c")) -> r.getAs[Long]("cnt"))
-          .toMap
-        (m, rows.headOption.map(_.getAs[Long]("batch_id")))
-      case None => (Map.empty, None)
-    }
-
-  private def writeState(
-      spark: SparkSession,
-      statePath: String,
-      counts: Map[(Int, Int), Long],
-      batchId: Long): Unit = {
-    import spark.implicits._
-    StateStore.writeVersion(
-      counts.toSeq.map { case ((r, c), n) => (r, c, n) }.toDF("r", "c", "cnt")
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1),
-      statePath, batchId)
-  }
 }

@@ -61,13 +61,12 @@ object StreamingHistogram {
       statePath: String,
       batchCounts: Map[Int, Long],
       batchId: Long): Unit = {
-    val (stored, storedBatch) = readState(spark, statePath)
-    if (storedBatch != Some(batchId)) {
-      val merged = (stored.keySet ++ batchCounts.keySet).map { b =>
-        b -> (stored.getOrElse(b, 0L) + batchCounts.getOrElse(b, 0L))
-      }.toMap
-      writeState(spark, statePath, merged, batchId)
-    }
+    import spark.implicits._
+    StampedFold.fold[Int, Long](
+      spark, statePath, batchCounts, batchId,
+      readKV = r => r.getAs[Int]("bin") -> r.getAs[Long]("cnt"),
+      writeDf = m => m.toSeq.toDF("bin", "cnt"),
+      merge = _ + _)
   }
 
   /** Current counters: (bin, cnt, batch_id), ≤bins rows from the latest
@@ -92,27 +91,4 @@ object StreamingHistogram {
     HistogramSketch.quantiles(
       snapshot(spark, statePath).select(col("bin"), col("cnt")), lo, hi, bins, qs)
 
-  private def readState(
-      spark: SparkSession,
-      statePath: String): (Map[Int, Long], Option[Long]) =
-    StateStore.readLatest(spark, statePath) match {
-      case Some(state) =>
-        val rows = state.collect()
-        val m = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("cnt")).toMap
-        (m, rows.headOption.map(_.getAs[Long]("batch_id")))
-      case None => (Map.empty, None)
-    }
-
-  private def writeState(
-      spark: SparkSession,
-      statePath: String,
-      counts: Map[Int, Long],
-      batchId: Long): Unit = {
-    import spark.implicits._
-    StateStore.writeVersion(
-      counts.toSeq.toDF("bin", "cnt")
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1),
-      statePath, batchId)
-  }
 }

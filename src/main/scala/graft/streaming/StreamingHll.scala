@@ -53,13 +53,12 @@ object StreamingHll {
       statePath: String,
       batchRegs: Map[Int, Int],
       batchId: Long): Unit = {
-    val (stored, storedBatch) = readState(spark, statePath)
-    if (storedBatch != Some(batchId)) {
-      val merged = (stored.keySet ++ batchRegs.keySet).map { b =>
-        b -> math.max(stored.getOrElse(b, 0), batchRegs.getOrElse(b, 0))
-      }.toMap
-      writeState(spark, statePath, merged, batchId)
-    }
+    import spark.implicits._
+    StampedFold.fold[Int, Int](
+      spark, statePath, batchRegs, batchId,
+      readKV = r => r.getAs[Int]("bucket") -> r.getAs[Int]("max_rank"),
+      writeDf = m => m.toSeq.toDF("bucket", "max_rank"),
+      merge = math.max)
   }
 
   /** Current register table: (bucket, max_rank, batch_id), ≤256 rows
@@ -81,27 +80,4 @@ object StreamingHll {
     if (snap.isEmpty) 0.0 else Hll.estimate(snap.select(col("bucket"), col("max_rank")))
   }
 
-  private def readState(
-      spark: SparkSession,
-      statePath: String): (Map[Int, Int], Option[Long]) =
-    StateStore.readLatest(spark, statePath) match {
-      case Some(state) =>
-        val rows = state.collect()
-        val m = rows.map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("max_rank")).toMap
-        (m, rows.headOption.map(_.getAs[Long]("batch_id")))
-      case None => (Map.empty, None)
-    }
-
-  private def writeState(
-      spark: SparkSession,
-      statePath: String,
-      regs: Map[Int, Int],
-      batchId: Long): Unit = {
-    import spark.implicits._
-    StateStore.writeVersion(
-      regs.toSeq.toDF("bucket", "max_rank")
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1),
-      statePath, batchId)
-  }
 }
