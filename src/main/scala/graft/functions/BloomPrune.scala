@@ -22,7 +22,17 @@ import org.apache.spark.sql.functions._
   * Spark's own runtime row-level filtering can inject a similar bloom
   * under AQE; this form is for when the build side is an arbitrary
   * computed DataFrame (not a join child the optimizer can see through)
-  * and for engines/configs where the injection doesn't fire. */
+  * and for engines/configs where the injection doesn't fire.
+  *
+  * Relationship to [[IncrementalDedup.buildBloom]]/`BloomMightContain`:
+  * that pair serializes Spark's `util.sketch.BloomFilter` bytes for the
+  * dedup family's SHINGLE-fp screens, where the sketch must also merge
+  * with driver-held filters ([[graft.streaming.StreamingDedup]]'s
+  * incremental bloom). This utility exists for JOIN pruning with two
+  * probe regimes (plan-literal word array ↔ broadcast) and an
+  * explicitly-sized dense layout; unifying the two would churn proven
+  * operators for little — but they are deliberately NOT interchangeable
+  * (different hash families), so never mix their filters. */
 object BloomPrune {
 
   /** Number of hash functions; with bitsPerKey = 10 the theoretical
@@ -45,22 +55,44 @@ object BloomPrune {
   private def coords(key: Column, nBits: Long): Seq[Column] =
     (0 until numHashes).map(i => pmod(xxhash64(key, lit(i)), lit(nBits)))
 
+  /** xxhash64 hashes each TYPE differently (an INT 7 and a BIGINT 7
+    * produce different digests), so a dimension built from an
+    * int-inferred schema probed with a bigint fact key would compute
+    * different bit positions for the SAME value — every true member
+    * silently filtered out BEFORE the join. Normalize the widths that
+    * can silently diverge across schemas: integral types widen to
+    * long, float to double; everything else hashes as-is. */
+  private def normalizeKey(df: DataFrame, key: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(key).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => key.cast("long")
+      case FloatType | DoubleType => key.cast("double")
+      case _ => key
+    }
+  }
+
   /** The dense word array of the small side's key bloom: one
     * partial-aggregated pass (explode k coordinates per key, group by
-    * word, OR the masks), collected bounded by nBits/64 longs. */
+    * word, OR the masks), fetched partition-at-a-time into the flat
+    * array (toLocalIterator — a collect() would hold one boxed row per
+    * NON-ZERO WORD simultaneously, ~10× the bit array itself at the
+    * billion-key scale the header advertises). */
   def build(small: DataFrame, key: Column, nBits: Long): Array[Long] = {
     require(nBits >= 64 && nBits % 64 == 0, s"nBits must be a positive multiple of 64: $nBits")
     // shiftleft/shiftright take literal counts in the Scala API; the
     // SQL functions accept column counts — call_function routes there
     val words = small
-      .select(array(coords(key, nBits): _*).as("cs"))
+      .select(array(coords(normalizeKey(small, key), nBits): _*).as("cs"))
       .select(explode(col("cs")).as("c"))
       .groupBy((col("c") / 64).cast("int").as("w"))
       .agg(call_function("bit_or",
         call_function("shiftleft", lit(1L), (col("c") % 64).cast("int"))).as("bits"))
-      .collect()
     val arr = new Array[Long]((nBits / 64).toInt)
-    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val it = words.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      arr(r.getInt(0)) = r.getLong(1)
+    }
     arr
   }
 
@@ -71,7 +103,7 @@ object BloomPrune {
   def prune(big: DataFrame, key: Column, words: Array[Long]): DataFrame = {
     val nBits = words.length.toLong * 64
     val arr = typedLit(words.toSeq)
-    val hit = coords(key, nBits)
+    val hit = coords(normalizeKey(big, key), nBits)
       .map(c =>
         (call_function("shiftright",
           element_at(arr, (c / 64).cast("int") + 1), (c % 64).cast("int"))
@@ -96,7 +128,13 @@ object BloomPrune {
     * call per row (a scalar UDF over the codegen'd `xxhash64` column —
     * ~6 array reads, no allocation); use [[prune]]'s fully-codegen'd
     * form below [[maxLiteralWords]] words, this form above it.
-    * Same hash family, same bits: the two forms admit identical rows. */
+    * Same hash family, same bits: the two forms admit identical rows.
+    *
+    * Broadcast ownership: the word-array broadcast lives until the
+    * driver GCs its handle (Spark's ContextCleaner reclaims the
+    * executor blocks then) — a long-lived driver pruning MANY distinct
+    * large blooms should hold the result only as long as needed, or
+    * manage the lifecycle itself via the broadcast it can recreate. */
   def pruneBroadcast(big: DataFrame, key: Column, words: Array[Long]): DataFrame = {
     val bc = big.sparkSession.sparkContext.broadcast(words)
     val nBits = words.length.toLong * 64
@@ -107,7 +145,7 @@ object BloomPrune {
       val ws = bc.value
       cs.forall(c => ((ws((c / 64).toInt) >> (c % 64).toInt) & 1L) == 1L)
     }
-    big.filter(probe(array(coords(key, nBits): _*)))
+    big.filter(probe(array(coords(normalizeKey(big, key), nBits): _*)))
   }
 
   /** Above this word count, [[prune]]'s plan-literal array starts to

@@ -74,11 +74,18 @@ object CountMin {
       depth: Int = 4,
       width: Int = 256): DataFrame = {
     val spark = sketch.sparkSession
-    // one computation of the sketch lineage: the counter table is
-    // ≤ depth·width rows by construction, driver-safe to hold
+    // one computation of the sketch lineage: a true counter table is
+    // ≤ depth·width rows by construction. The limit caps what a MISUSED
+    // call can pull to the driver — passing a non-sketch table (raw
+    // keyed rows, an unaggregated union) fails on the row-count require
+    // below instead of OOMing the driver mid-collect.
     val counters = sketch
       .select(col("r").cast("int"), col("c").cast("int"), col("cnt").cast("long"))
+      .limit(depth * width + 1)
       .collect().map(row => (row.getInt(0), row.getInt(1), row.getLong(2)))
+    require(counters.length <= depth * width,
+      s"`sketch` holds more than depth·width = ${depth * width} rows — " +
+        "not a counter table for this geometry (or not a counter table at all)")
     counters.foreach { case (r, c, _) =>
       require(r < depth && c < width,
         s"sketch occupies coordinate (r=$r, c=$c) — outside the probe " +

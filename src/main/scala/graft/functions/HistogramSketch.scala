@@ -41,14 +41,17 @@ object HistogramSketch {
     * (hi == lo) puts everything in bin 0. */
   def build(df: DataFrame, x: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1)
-    val xd = x.cast("double")
+    // clamp the VALUE into [lo, hi] before binning, not the bin index
+    // after: the clamped quotient is bounded so the double→int cast is
+    // total — clamping the index after floor().cast("int") would make a
+    // far-out-of-range glitch value a CAST_OVERFLOW error under ANSI
+    // mode, the exact input the clamp exists to absorb
+    val xd = least(lit(hi), greatest(lit(lo), x.cast("double")))
     val bin =
       if (hi == lo) lit(0)
-      else greatest(
-        lit(0),
-        least(
-          lit(bins - 1),
-          floor((xd - lit(lo)) / (lit(hi) - lit(lo)) * bins).cast("int")))
+      else least(
+        lit(bins - 1),
+        floor((xd - lit(lo)) / (lit(hi) - lit(lo)) * bins).cast("int"))
     df.select(bin.cast("int").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"))

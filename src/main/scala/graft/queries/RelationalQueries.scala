@@ -1358,7 +1358,7 @@ object RelationalQueries {
       """WITH src AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem),
         |rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM src),
         |hist AS (
-        |  SELECT GREATEST(0, LEAST(127, floor((x - lo) / (hi - lo) * 128)::INT))::INT AS bin,
+        |  SELECT LEAST(127, floor((LEAST(hi, GREATEST(lo, x)) - lo) / (hi - lo) * 128)::INT)::INT AS bin,
         |         COUNT(*)::BIGINT AS cnt
         |  FROM src, rng GROUP BY 1
         |), nn AS (SELECT SUM(cnt)::BIGINT AS n FROM hist),

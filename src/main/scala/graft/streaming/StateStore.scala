@@ -204,8 +204,25 @@ object StateStore {
       root: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
     guardLegacyState(spark, root)
+    val committed = dirsWithPrefix(spark, root, "b", committedOnly = true)
+    beforeBatch.foreach { n =>
+      // Lineage check: during a legitimate replay of batch n the ONLY
+      // committed dir at or beyond n is n's own (from the crashed
+      // attempt) — batch ids are monotone within one checkpoint
+      // lineage. A committed dir BEYOND n means the checkpoint was
+      // deleted/moved and ids restarted; silently bounding the read
+      // would treat the whole accumulated index as invisible (dedup
+      // re-admits everything) and then overwrite low-numbered dirs —
+      // fail loudly instead, like guardLegacyState.
+      val ahead = committed.map(_.getName).filter(_ > batchDir(n))
+      if (ahead.nonEmpty) throw new IllegalStateException(
+        s"state at $root holds committed batch dirs beyond batch $n " +
+          s"(${ahead.mkString(", ")}) — the stream checkpoint does not " +
+          "match this state (was the checkpoint deleted or relocated?); " +
+          "restore the matching checkpoint or start a fresh state root")
+    }
     val bound = beforeBatch.map(batchDir)
-    val paths = dirsWithPrefix(spark, root, "b", committedOnly = true)
+    val paths = committed
       .filter(p => bound.forall(p.getName < _))
       .map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))

@@ -43,13 +43,11 @@ object StreamingHistogram {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // clamp into [lo, hi]: a fixed-geometry histogram must be total
-        // over out-of-spec values, and the edge bins are where they
-        // belong (nulls carry no value — dropped)
-        val clamped = batch.select(valueCol.cast("double").as("x"))
+        // nulls carry no value — dropped; out-of-spec values clamp into
+        // the edge bins inside HistogramSketch.build (total by design)
+        val vals = batch.select(valueCol.cast("double").as("x"))
           .filter(col("x").isNotNull)
-          .select(least(lit(hi), greatest(lit(lo), col("x"))).as("x"))
-        val counts = HistogramSketch.build(clamped, col("x"), lo, hi, bins)
+        val counts = HistogramSketch.build(vals, col("x"), lo, hi, bins)
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         if (counts.nonEmpty) foldBatch(spark, statePath, counts, batchId)
       }

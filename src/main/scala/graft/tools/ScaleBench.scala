@@ -697,15 +697,15 @@ object ScaleBench {
     val (plain, plainSec) = time {
       big.join(sel, Seq("k")).agg(sum(col("v")), count(lit(1))).head()
     }
+    // the timed section pays the full build; the prunedRows probe below
+    // reuses the SAME array instead of re-running the two build jobs
+    var words: Array[Long] = null
     val (bloomed, bloomSec) = time {
-      val words = BloomPrune.buildSized(sel, col("k"))
+      words = BloomPrune.buildSized(sel, col("k"))
       BloomPrune.pruneAuto(big, col("k"), words)
         .join(sel, Seq("k")).agg(sum(col("v")), count(lit(1))).head()
     }
-    val prunedRows = {
-      val words = BloomPrune.buildSized(sel, col("k"))
-      BloomPrune.pruneAuto(big, col("k"), words).count()
-    }
+    val prunedRows = BloomPrune.pruneAuto(big, col("k"), words).count()
     require(plain == bloomed, "bloom-pruned result diverged from plain join")
     println(
       s"""{"workload":{"big_rows":$nRows,"dim_keys":$nKeys,"selected_keys":$nSel},

@@ -43,6 +43,20 @@ class BloomPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("int-typed build probed with a long-typed key keeps every member") {
+    // xxhash64 hashes INT and BIGINT differently; without width
+    // normalization the same VALUE computes different bit positions and
+    // true members get filtered before the join — silent wrong results
+    val smallInt = spark.range(0, 1000, 7)
+      .select(col("id").cast("int").as("k")) // int-inferred schema shape
+    val bigLong = spark.range(0, 1000).toDF("k") // bigint facts
+    val bloom = BloomPrune.buildSized(smallInt, col("k"))
+    val pruned = BloomPrune.prune(bigLong, col("k"), bloom).as[Long].collect().toSet
+    val members = (0L until 1000L by 7).toSet
+    assert(members.subsetOf(pruned),
+      s"type-mismatched probe lost members: ${members -- pruned}")
+  }
+
   test("broadcast probe admits exactly the literal probe's rows") {
     val small = spark.range(0, 20000, 11).toDF("k")
     val big = spark.range(0, 20000).toDF("k")

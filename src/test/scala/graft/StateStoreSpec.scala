@@ -70,6 +70,21 @@ class StateStoreSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all == Map("d1" -> 1, "d2" -> 2), s"torn slice version leaked: $all")
   }
 
+  test("a beforeBatch bound on a mismatched lineage fails instead of hiding the index") {
+    val root = tmp()
+    StateStore.writeBatchDir(Seq(1L).toDF("fp").coalesce(1), root, 0L)
+    StateStore.writeBatchDir(Seq(2L).toDF("fp").coalesce(1), root, 7L)
+    // replaying batch 7 is legitimate: dirs strictly before it are read,
+    // its own dir is excluded, nothing is ahead
+    assert(StateStore.readCommittedBatchDirs(spark, root, beforeBatch = Some(7L)).get
+      .as[Long].collect().toSeq == Seq(1L))
+    // a RESTARTED id space (checkpoint deleted, stream back at batch 0)
+    // must not silently treat the whole accumulated index as invisible
+    val e = intercept[IllegalStateException](
+      StateStore.readCommittedBatchDirs(spark, root, beforeBatch = Some(0L)))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
   test("pre-versioned flat-parquet state fails loudly instead of resetting silently") {
     val root = tmp()
     // the pre-round-8 layout: state written directly at the root
