@@ -59,6 +59,42 @@ object Hll {
       .groupBy(col("bucket"))
       .agg(max(col("max_rank")).as("max_rank"))
 
+  /** Per-GROUP register tables — the production shape ("distinct users
+    * per domain/day/experiment"): one partial-aggregated groupBy keyed
+    * by (group, bucket), shuffle ≤ m rows per group per partition
+    * regardless of cardinality (a grouped countDistinct shuffles every
+    * distinct (group, key) pair). Output: (groupCol, bucket, max_rank);
+    * merge across batches = MAX by (group, bucket). */
+  def groupedRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = TextFunctions.portableHash(key)
+    df.select(group.as("grp"), h.as("h"))
+      .select(
+        col("grp"),
+        pmod(col("h"), lit(numBuckets)).cast("int").as("bucket"),
+        shiftright(col("h"), 8).as("w"))
+      .select(
+        col("grp"),
+        col("bucket"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-group estimates from a grouped register table: a bounded
+    * collect (≤ m rows per group — callers bring bounded group counts,
+    * e.g. enumerable dimensions), each group folded in ascending-bucket
+    * order exactly like [[estimate]]. Returns (grp, raw_est) rows. */
+  def groupedEstimates(registerTable: DataFrame): Seq[(String, Double)] = {
+    val byGroup = registerTable
+      .select(col("grp").cast("string"), col("bucket").cast("int"), col("max_rank").cast("int"))
+      .collect()
+      .groupBy(_.getString(0))
+    byGroup.toSeq.map { case (g, rows) =>
+      g -> estimateFromRanks(rows.map(r => r.getInt(1) -> r.getInt(2)).toMap)
+    }.sortBy(_._1)
+  }
+
   /** The raw HLL estimate α_m·m²/Σ2^−rank from a register table: a
     * bounded ≤m-row collect, harmonic sum folded in ascending-bucket
     * order (absent buckets rank 0) — the pinned-order float contract

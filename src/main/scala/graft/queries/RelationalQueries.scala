@@ -496,6 +496,36 @@ object RelationalQueries {
           "rel_err", round(abs(lit(est) - col("exact_distinct")) / col("exact_distinct"), 6))
         .orderBy(col("bucket"))
     }),
+    // per-GROUP HyperLogLog — the production shape of q45 ("distinct
+    // customers per priority class"): registers keyed by (group,
+    // bucket), shuffle ≤ m rows per group per partition where a grouped
+    // countDistinct shuffles every distinct (group, key) pair. Same
+    // bit-replay contract: integer registers + per-group pinned-order
+    // harmonic folds
+    "q49_hll_grouped" -> ((s, dir) => {
+      import graft.functions.Hll
+      val o = t(s, dir, "orders")
+      val regs = Hll
+        .groupedRegisters(o, col("o_orderpriority"), col("o_custkey"))
+        .localCheckpoint(true)
+      val ests = Hll.groupedEstimates(regs).toMap
+      val estDf = broadcast(
+        s.createDataFrame(ests.toSeq).toDF("grp", "raw"))
+      regs.groupBy(col("grp")).agg(count(lit(1)).as("n_buckets_set"))
+        .join(estDf, Seq("grp"))
+        .join(
+          o.groupBy(col("o_orderpriority").as("grp"))
+            .agg(countDistinct(col("o_custkey")).as("exact_distinct")),
+          Seq("grp"))
+        .select(
+          col("grp").as("o_orderpriority"),
+          col("n_buckets_set"),
+          round(col("raw"), 6).as("raw_est"),
+          col("exact_distinct"),
+          round(abs(col("raw") - col("exact_distinct")) / col("exact_distinct"), 6)
+            .as("rel_err"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // skew-safe exact distinct-count per key (two-phase: dedup spreads a
     // hot key's values across reducers via the value hash, then a
     // partial-aggregated count) — equivalent to countDistinct with
@@ -1323,6 +1353,51 @@ object RelationalQueries {
         |       round(abs(est.raw - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
         |FROM reg, est, ex
         |ORDER BY reg.bucket""".stripMargin,
+    // q49: the grouped q45 replay — per-group registers, per-group
+    // ordered harmonic folds, identical float sequence to the Scala
+    // driver fold
+    "q49_hll_grouped" ->
+      """WITH hk AS (
+        |  SELECT o_orderpriority AS grp,
+        |         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |), rk AS (
+        |  SELECT grp, (h % 256)::INT AS bucket,
+        |         (CASE WHEN h // 256 = 0 THEN 53
+        |               ELSE 53 - length(bin(h // 256)) END)::INT AS rank
+        |  FROM hk
+        |), reg AS (
+        |  SELECT grp, bucket, MAX(rank)::INT AS max_rank FROM rk GROUP BY 1, 2
+        |), grps AS (SELECT DISTINCT grp FROM reg),
+        |fullreg AS (
+        |  SELECT g.grp, b.bucket, COALESCE(reg.max_rank, 0) AS r
+        |  FROM grps g
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS bucket) b
+        |  LEFT JOIN reg ON reg.grp = g.grp AND reg.bucket = b.bucket
+        |), sfold AS (
+        |  SELECT grp,
+        |         list_reduce(
+        |           list_prepend(0.0::DOUBLE,
+        |             list_transform(list(r ORDER BY bucket),
+        |                            x -> 1.0::DOUBLE / (1::BIGINT << x))),
+        |           (a, y) -> a + y) AS s
+        |  FROM fullreg GROUP BY grp
+        |), est AS (
+        |  SELECT grp,
+        |         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |           * 256 * 256 / s AS raw
+        |  FROM sfold
+        |), ex AS (
+        |  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct
+        |  FROM orders GROUP BY 1
+        |), ns AS (SELECT grp, COUNT(*)::BIGINT AS n_buckets_set FROM reg GROUP BY 1)
+        |SELECT e.grp AS o_orderpriority, ns.n_buckets_set,
+        |       round(est.raw, 6) AS raw_est, e.exact_distinct,
+        |       round(abs(est.raw - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
+        |FROM ex e
+        |JOIN est ON est.grp = e.grp
+        |JOIN ns ON ns.grp = e.grp
+        |ORDER BY o_orderpriority""".stripMargin,
     // q48: the two-phase skew-safe distinct is EQUIVALENT to
     // countDistinct — the oracle is the plain form
     "q48_skew_distinct" ->

@@ -31,6 +31,25 @@ class HllSpec extends AnyFunSuite with SparkSessionTestWrapper {
       == Hll.estimate(Hll.registers(a.unionByName(b), col("k"))))
   }
 
+  test("grouped registers equal per-group plain registers; estimates track truth") {
+    val df = spark.range(30000).select(
+      concat(lit("g"), pmod(col("id"), lit(3))).as("grp"),
+      // group g0 sees 10k distinct keys, g1/g2 see the same 10k each —
+      // per-group distinctness, not global, must drive each sketch
+      concat(lit("k"), (col("id") / 3).cast("long")).as("k"))
+    val grouped = Hll.groupedRegisters(df, col("grp"), col("k"))
+    (0 until 3).foreach { g =>
+      val direct = Hll.registers(df.filter(col("grp") === s"g$g"), col("k"))
+        .as[(Int, Int)].collect().sortBy(_._1).toSeq
+      val slice = grouped.filter(col("grp") === s"g$g")
+        .select($"bucket", $"max_rank").as[(Int, Int)].collect().sortBy(_._1).toSeq
+      assert(slice == direct, s"group g$g registers diverge from the ungrouped build")
+    }
+    Hll.groupedEstimates(grouped).foreach { case (g, est) =>
+      assert(math.abs(est - 10000) / 10000 < 0.195, s"group $g est=$est")
+    }
+  }
+
   test("register table is bounded by m and ranks stay in [1, 53]") {
     val regs = Hll.registers(
       spark.range(100000).select(col("id").cast("string").as("k")), col("k"))
