@@ -61,11 +61,18 @@ object BloomPrune {
     * different bit positions for the SAME value — every true member
     * silently filtered out BEFORE the join. Normalize the widths that
     * can silently diverge across schemas: integral types widen to
-    * long, float to double; everything else hashes as-is. */
+    * long, scale-0 decimals (the JDBC/Hive bigint-inference shape,
+    * e.g. decimal(20,0) vs bigint for the same column) ALSO go to long
+    * — a scale-0 value beyond long range fails the cast loudly under
+    * ANSI mode rather than silently probing wrong bits — and float
+    * widens to double. String-vs-numeric divergence is NOT normalized
+    * (no canonical textual form to pick); align those schemas before
+    * building. */
   private def normalizeKey(df: DataFrame, key: Column): Column = {
     import org.apache.spark.sql.types._
     df.select(key).schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType => key.cast("long")
+      case d: DecimalType if d.scale == 0 => key.cast("long")
       case FloatType | DoubleType => key.cast("double")
       case _ => key
     }

@@ -87,7 +87,10 @@ object CountMin {
       s"`sketch` holds more than depth·width = ${depth * width} rows — " +
         "not a counter table for this geometry (or not a counter table at all)")
     counters.foreach { case (r, c, _) =>
-      require(r < depth && c < width,
+      // both bounds: a foreign table built with signed mod emits
+      // NEGATIVE coordinates, which pass a `< depth/width` check alone
+      // and then silently estimate 0 for every key (the join never hits)
+      require(r >= 0 && r < depth && c >= 0 && c < width,
         s"sketch occupies coordinate (r=$r, c=$c) — outside the probe " +
           s"geometry (depth=$depth, width=$width); estimate() must use " +
           "the build-time parameters")

@@ -38,7 +38,11 @@ object HistogramSketch {
     * prescribes (per-batch histograms under one (lo, hi)): a below-lo
     * value would otherwise emit a negative bin index that quantile
     * interpolation silently extrapolates below lo. Degenerate range
-    * (hi == lo) puts everything in bin 0. */
+    * (hi == lo) puts everything in bin 0. NULL values carry no
+    * distribution signal and are dropped (the CountMin/FrequentItems
+    * null rule) — without the filter, `greatest(lit(lo), NULL)`
+    * null-skips to lo and every null row would silently inflate bin 0,
+    * dragging each interpolated quantile toward lo. */
   def build(df: DataFrame, x: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1)
     // clamp the VALUE into [lo, hi] before binning, not the bin index
@@ -52,7 +56,8 @@ object HistogramSketch {
       else least(
         lit(bins - 1),
         floor((xd - lit(lo)) / (lit(hi) - lit(lo)) * bins).cast("int"))
-    df.select(bin.cast("int").as("bin"))
+    df.filter(x.cast("double").isNotNull)
+      .select(bin.cast("int").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"))
   }

@@ -37,20 +37,12 @@ object Hll {
   /** Per-bucket max-rank register table: bucket = low 8 hash bits,
     * rank = leading zeros of the 52-bit word + 1 (all-zero word → 53),
     * computed with integer ops only (bitlength via `bin`). Untouched
-    * buckets are simply absent (rank 0). */
-  def registers(df: DataFrame, key: Column): DataFrame = {
-    val h = TextFunctions.portableHash(key)
-    df.select(h.as("h"))
-      .select(
-        pmod(col("h"), lit(numBuckets)).cast("int").as("bucket"),
-        shiftright(col("h"), 8).as("w"))
-      .select(
-        col("bucket"),
-        when(col("w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rank")).as("max_rank"))
-  }
+    * buckets are simply absent (rank 0). Defined as the grouped form
+    * under a constant group so the pinned bit-replay (bucket, rank)
+    * math lives in exactly ONE place — the q45/q49 cross-engine parity
+    * contract cannot drift between the two surfaces. */
+  def registers(df: DataFrame, key: Column): DataFrame =
+    groupedRegisters(df, lit("_"), key).drop("grp")
 
   /** Merge register tables built from the SAME hash/geometry: cell-wise
     * MAX — HLL is a monoid, so per-batch sketches union losslessly. */
@@ -64,10 +56,15 @@ object Hll {
     * by (group, bucket), shuffle ≤ m rows per group per partition
     * regardless of cardinality (a grouped countDistinct shuffles every
     * distinct (group, key) pair). Output: (groupCol, bucket, max_rank);
-    * merge across batches = MAX by (group, bucket). */
+    * merge across batches = MAX by (group, bucket). NULL groups carry
+    * no group signal and are dropped (the CountMin/FrequentItems null
+    * rule) — a grouped countDistinct would emit a NULL group row, but a
+    * sketch keyed on "unknown group" answers no monitoring question and
+    * a null key would poison every driver-side fold over the groups. */
   def groupedRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
     val h = TextFunctions.portableHash(key)
     df.select(group.as("grp"), h.as("h"))
+      .filter(col("grp").isNotNull)
       .select(
         col("grp"),
         pmod(col("h"), lit(numBuckets)).cast("int").as("bucket"),
@@ -88,6 +85,10 @@ object Hll {
   def groupedEstimates(registerTable: DataFrame): Seq[(String, Double)] = {
     val byGroup = registerTable
       .select(col("grp").cast("string"), col("bucket").cast("int"), col("max_rank").cast("int"))
+      // defensive twin of groupedRegisters' null-group drop: a register
+      // table from another producer could still carry grp = NULL, which
+      // would otherwise NPE the String sort below
+      .filter(col("grp").isNotNull)
       .collect()
       .groupBy(_.getString(0))
     byGroup.toSeq.map { case (g, rows) =>

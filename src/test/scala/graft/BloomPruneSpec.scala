@@ -57,6 +57,20 @@ class BloomPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"type-mismatched probe lost members: ${members -- pruned}")
   }
 
+  test("decimal(p,0) build probed with a long-typed key keeps every member") {
+    // the JDBC/Hive shape: the dim's key infers as decimal(20,0) while
+    // the fact side is bigint — same value, different xxhash64 digest
+    // without normalization, so every true member would be lost
+    val smallDec = spark.range(0, 1000, 7)
+      .select(col("id").cast("decimal(20,0)").as("k"))
+    val bigLong = spark.range(0, 1000).toDF("k")
+    val bloom = BloomPrune.buildSized(smallDec, col("k"))
+    val pruned = BloomPrune.prune(bigLong, col("k"), bloom).as[Long].collect().toSet
+    val members = (0L until 1000L by 7).toSet
+    assert(members.subsetOf(pruned),
+      s"decimal-keyed build lost members: ${members -- pruned}")
+  }
+
   test("broadcast probe admits exactly the literal probe's rows") {
     val small = spark.range(0, 20000, 11).toDF("k")
     val big = spark.range(0, 20000).toDF("k")

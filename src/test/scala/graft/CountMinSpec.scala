@@ -65,6 +65,17 @@ class CountMinSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select(col("est")).as[Long].head() === 2L)
   }
 
+  test("negative coordinates (a signed-mod foreign table) are rejected loudly") {
+    // a table built elsewhere with key.hashCode % width can carry
+    // NEGATIVE c; the join would never hit and every estimate would
+    // silently read 0 — below the true count, breaking est >= true
+    val bogus = Seq((0, -3, 10L), (1, 5, 10L)).toDF("r", "c", "cnt")
+    val ex = intercept[IllegalArgumentException] {
+      CountMin.estimate(bogus, Seq("a").toDF("k"), "k", depth, 256).collect()
+    }
+    assert(ex.getMessage.contains("outside the probe geometry"))
+  }
+
   test("null keys are dropped; unseen keys estimate 0 when their cells are empty") {
     val events = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("k")
     val sketch = CountMin.build(events, col("k"), depth, width = 4096)

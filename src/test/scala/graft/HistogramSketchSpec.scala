@@ -22,6 +22,16 @@ class HistogramSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
       }
   }
 
+  test("null values are dropped, not counted in bin 0") {
+    // without the null filter, greatest(lit(lo), NULL) null-skips to lo
+    // and every null row lands in bin 0, dragging quantiles toward lo
+    val df = Seq(Some(5.0), Some(9.0), None, None, None).toDF("x")
+    val hist = HistogramSketch.build(df, col("x"), 0.0, 10.0, 10)
+      .as[(Int, Long)].collect().toMap
+    assert(hist.values.sum == 2L, s"nulls were counted: $hist")
+    assert(!hist.contains(0), s"nulls landed in bin 0: $hist")
+  }
+
   test("histograms merge by addition to the whole (monoid)") {
     val a = spark.range(0, 5000).select(col("id").cast("double").as("x"))
     val b = spark.range(5000, 10000).select(col("id").cast("double").as("x"))

@@ -50,6 +50,23 @@ class HllSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("null groups are dropped, not sketched — and never NPE the fold") {
+    val df = Seq(
+      (Option("g0"), "a"), (Option("g0"), "b"),
+      (Option.empty[String], "c"), (Option.empty[String], "d")
+    ).toDF("grp", "k")
+    val regs = Hll.groupedRegisters(df, col("grp"), col("k"))
+    // null-group rows carry no group signal: only g0 appears
+    assert(regs.select("grp").distinct().as[String].collect().toSeq == Seq("g0"))
+    val ests = Hll.groupedEstimates(regs)
+    assert(ests.map(_._1) == Seq("g0"))
+    // and a register table from a FOREIGN producer that does carry a
+    // null group is filtered, not crashed on (the defensive twin)
+    val foreign = Seq((Option("g0"), 1, 3), (Option.empty[String], 2, 5))
+      .toDF("grp", "bucket", "max_rank")
+    assert(Hll.groupedEstimates(foreign).map(_._1) == Seq("g0"))
+  }
+
   test("register table is bounded by m and ranks stay in [1, 53]") {
     val regs = Hll.registers(
       spark.range(100000).select(col("id").cast("string").as("k")), col("k"))
