@@ -9,11 +9,11 @@ package graft
 object Gates {
 
   /** Registered queries across all registries (`SparkEntry.queries`). */
-  val registeredQueries: Int = 153
+  val registeredQueries: Int = 154
 
   /** Queries with a DuckDB oracle (`SparkEntry.oracleSql`) — the
     * bit-exact rows+schema+hash gate. */
-  val oracleQueries: Int = 152
+  val oracleQueries: Int = 153
 
   /** The deliberate rows-only residue: queries whose semantics preclude
     * a cross-engine bit contract, each with its documented reason. */

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond" — public paper),
+  * expressed as a relational inverted-index probe: the corpus side is
+  * a (doc, term, tf) postings table, the query side a small exploded
+  * term list, and scoring touches ONLY the postings of query terms.
+  * Completes the retrieval family: d12 ranks a document's own terms
+  * (TF-IDF feature extraction); this ranks DOCUMENTS for a query — the
+  * eval-retrieval / RAG-style lookup a training-data pipeline runs
+  * against its corpus (e.g. "which training docs answer the eval
+  * questions" — the retrieval form of the d19/d48 contamination audits).
+  *
+  * Scale shape: df + avgdl are corpus-level aggregates a deployment
+  * computes once and reuses per query batch (here they stay lazy
+  * subplans of the one registered query). The postings⋈queries join
+  * broadcasts the query-term list (queries are small by construction;
+  * the corpus NEVER broadcasts), the per-(query, doc) sum is one
+  * partial-aggregated groupBy over candidate postings only — docs
+  * sharing no query term are never scored — and the final top-k is a
+  * rank-filtered window that Spark rewrites to WindowGroupLimit
+  * (partial per-partition top-k BEFORE the query_id shuffle, the d39
+  * convention), so the last exchange carries ≤ k·partitions rows per
+  * query regardless of candidate count.
+  *
+  * Bit-exactness (the d61 integer micro-unit convention): each
+  * per-term contribution idf·tf_part is rounded to integer MICRO-UNITS
+  * and the per-doc score is an integer SUM — order-free, so aggregate
+  * reordering cannot move a float bit — with one float division at the
+  * end. idf uses the Lucene-shifted form ln(1 + (N − df + ½)/(df + ½)),
+  * which is strictly positive (no negative-idf clamp needed); ln at
+  * round-6 micro granularity is the established d12 contract. Ranking
+  * compares the exact integer micro score with a doc-id tie-break, so
+  * rank order is bit-stable by construction.
+  */
+object Retrieval {
+
+  /** BM25 free parameters — the standard defaults (k1 saturates term
+    * frequency, b interpolates document-length normalization). */
+  val k1 = 1.2
+  val b = 0.75
+
+  /** Top-`k` documents per query by BM25. `queries` is a small
+    * (queryIdCol, queryCol) table; query terms are deduplicated (the
+    * short-query convention: query tf is not modeled). Output:
+    * (queryIdCol, queryCol, docIdCol, n_terms_matched, score, rank). */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryCol: String,
+      k: Int): DataFrame = {
+    // tokenize once per doc; dl rides the postings groupBy as a
+    // functionally-dependent key (no second shuffle to re-join lengths)
+    val toks = docs.select(
+      col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: one lazy 1-row aggregate (exact integer sum / count
+    // then a single float division — deterministic)
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(col("toks")).cast("long")).cast("double").as("sum_dl"))
+    // document frequency per term — restricted to query terms before it
+    // is broadcast, so the plan carries |query vocabulary| rows of df,
+    // not the corpus vocabulary
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"), col(queryCol).as("query"),
+        explode(TextFunctions.tokens(col(queryCol))).as("term"))
+      .distinct()
+    val docFreq = postings
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tf_part",
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs")))))
+      .withColumn("contrib_u", round(col("idf") * col("tf_part") * lit(1e6), 0).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    contrib
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"), count(lit(1)).as("n_terms_matched"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id").as(queryIdCol),
+        col("query").as(queryCol),
+        col("doc_id").as(docIdCol),
+        col("n_terms_matched"),
+        round(col("score_u").cast("double") / lit(1e6), 6).as("score"),
+        col("rank"))
+  }
+}

@@ -186,6 +186,24 @@ object TextQueries {
     "d12_tfidf" -> ((s, dir) => {
       TF.tfIdfTopTerms(docs(s, dir), "text", "doc_id", 3)
     }),
+    // BM25 top-5 retrieval for a fixed query batch — the inverted-index
+    // probe (only postings of query terms are scored; the corpus never
+    // broadcasts). Integer micro-unit per-term contributions make the
+    // per-doc sum order-free (the d61 convention); rank compares the
+    // exact integer score. Query 3 carries the rare term 'dup' (df≈25
+    // vs ~390 — IDF discrimination), query 5 a term absent from the
+    // corpus (contributes nothing, matched count drops)
+    "d66_bm25" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join table"),
+        (2L, "spark fast scan"),
+        (3L, "slow batch merge dup"),
+        (4L, "vector column group sort"),
+        (5L, "dup missingterm"))).toDF("query_id", "query")
+      graft.functions.Retrieval
+        .bm25TopK(docs(s, dir), "text", "doc_id", q, "query_id", "query", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1612,6 +1630,59 @@ object TextQueries {
          |  FROM scored
          |)
          |SELECT id AS doc_id, term, tf, df, tfidf, term_rank FROM ranked WHERE term_rank <= 3""".stripMargin,
+    // d66: full BM25 replay — identical postings/df/avgdl tables, the
+    // per-term contribution integerized to micro-units in BOTH engines
+    // (order-free integer sum), idf/tf_part float ops mirrored
+    // textually in Spark's evaluation order, every literal ::DOUBLE
+    // (the q45 decimal trap)
+    "d66_bm25" ->
+      s"""WITH q(query_id, query) AS (
+         |  SELECT * FROM (VALUES
+         |    (1::BIGINT, 'hash join table'),
+         |    (2::BIGINT, 'spark fast scan'),
+         |    (3::BIGINT, 'slow batch merge dup'),
+         |    (4::BIGINT, 'vector column group sort'),
+         |    (5::BIGINT, 'dup missingterm')) v(query_id, query)
+         |), dt AS (
+         |  SELECT doc_id, $toks AS toks FROM documents
+         |), post AS (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, len(toks)::BIGINT AS dl, UNNEST(toks) AS term FROM dt
+         |  ) GROUP BY 1, 2, 3
+         |), stats AS (
+         |  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(len(toks))::DOUBLE AS sum_dl FROM dt
+         |), qt AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT query_id, query,
+         |           UNNEST(string_split_regex(lower(trim(query)), '\\s+')) AS term
+         |    FROM q)
+         |), f AS (
+         |  SELECT term, COUNT(*)::BIGINT AS df FROM post
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+         |), sc AS (
+         |  SELECT qt.query_id, qt.query, p.doc_id,
+         |         CAST(round(
+         |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+         |           * (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+         |              / (p.tf + 1.2::DOUBLE
+         |                   * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / (s.sum_dl / s.n_docs))))
+         |           * 1e6) AS BIGINT) AS cu
+         |  FROM post p
+         |  JOIN qt ON p.term = qt.term
+         |  JOIN f ON f.term = p.term
+         |  CROSS JOIN stats s
+         |), agg AS (
+         |  SELECT query_id, query, doc_id,
+         |         SUM(cu)::BIGINT AS su, COUNT(*)::BIGINT AS n_terms_matched
+         |  FROM sc GROUP BY 1, 2, 3
+         |), rk AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
+         |  FROM agg
+         |)
+         |SELECT query_id, query, doc_id, n_terms_matched,
+         |       round(su::DOUBLE / 1e6, 6) AS score, rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

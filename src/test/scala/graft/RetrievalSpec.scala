@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark hash join fast"),
+    (2L, "hash hash hash table scan"),
+    (3L, "slow table scan over rows"),
+    (4L, "spark spark spark spark"),
+    (5L, "merge sort join table")).toDF("doc_id", "text")
+
+  /** Independent naive BM25 (plain Scala loops over the same formula)
+    * — the golden twin of the relational plan. */
+  private def naive(qs: Seq[(Long, String)], k: Int): Map[(Long, Long), (Long, Double)] = {
+    val docs = Seq(
+      1L -> "spark hash join fast", 2L -> "hash hash hash table scan",
+      3L -> "slow table scan over rows", 4L -> "spark spark spark spark",
+      5L -> "merge sort join table").map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val dfm = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val res = scala.collection.mutable.Map[(Long, Long), (Long, Double)]()
+    for ((qid, q) <- qs) {
+      val terms = q.split("\\s+").distinct.toSeq
+      val scored = docs.flatMap { case (did, toks) =>
+        val tfm = toks.groupBy(identity).view.mapValues(_.size).toMap
+        val matched = terms.filter(tfm.contains)
+        if (matched.isEmpty) None
+        else {
+          val su = matched.map { t =>
+            val df = dfm(t).toDouble
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val tf = tfm(t).toDouble
+            val part = tf * (Retrieval.k1 + 1.0) /
+              (tf + Retrieval.k1 * (1.0 - Retrieval.b + Retrieval.b * toks.size / avgdl))
+            math.round(idf * part * 1e6)
+          }.sum
+          Some((did, matched.size.toLong, su))
+        }
+      }
+      scored.sortBy { case (did, _, su) => (-su, did) }.take(k).foreach {
+        case (did, m, su) =>
+          res((qid, did)) = (m, math.rint(su / 1e6 * 1e6) / 1e6)
+      }
+    }
+    res.toMap
+  }
+
+  test("bm25TopK matches an independent naive implementation") {
+    val qs = Seq((1L, "hash table"), (2L, "spark"), (3L, "join missing"))
+    val got = Retrieval
+      .bm25TopK(corpus, "text", "doc_id", qs.toDF("query_id", "query"),
+        "query_id", "query", 3)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, d, m, s) => (q, d) -> (m, s) }.toMap
+    val want = naive(qs, 3)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("rare terms outrank common terms at equal tf, ranks are contiguous per query") {
+    // 'merge' appears in one doc, 'table' in three: for the query below
+    // doc 5 (merge+table) must beat docs 2/3 (table only)
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq((1L, "merge table")).toDF("query_id", "query"),
+        "query_id", "query", 5)
+      .orderBy($"rank")
+      .select($"doc_id", $"rank").as[(Long, Long)].collect()
+    assert(out.head._1 == 5L)
+    assert(out.map(_._2).toSeq == (1L to out.length).toSeq)
+  }
+
+  test("docs sharing no query term are never scored; absent terms contribute nothing") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq((1L, "slow missingterm")).toDF("query_id", "query"),
+        "query_id", "query", 5)
+      .select($"doc_id", $"n_terms_matched").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 1L)))
+  }
+
+  test("top-k window compiles to WindowGroupLimit (partial top-k before the shuffle)") {
+    val plan = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq((1L, "hash table")).toDF("query_id", "query"),
+        "query_id", "query", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}
