@@ -543,6 +543,21 @@ object MappingQueries {
         col("key"), col("time1"), round(col("value1"), 6).as("value1"),
         col("time2"), round(col("value2"), 6).as("value2"),
         col("lag_offset").cast("long").as("lag_offset"), col("method"))
+    }),
+    // SAX symbolic fingerprints: per-key shape words over the observed
+    // sequence (PAA frames + Gaussian breakpoints) — the sparse-series
+    // screen sketch the m35 slot-grid bands can't provide
+    "m38_sax" -> ((s, dir) => {
+      Sax.saxWords(Tables.engagementSeries(s, dir), w = 6, minLen = 8)
+        .select(col("key"), col("n"), col("word"))
+    }),
+    // word-bucket candidate screen → exact corr verify (screen-then-
+    // verify, the m35/d3 convention with the SAX word as the sketch)
+    "m39_sax_screen" -> ((s, dir) => {
+      Sax.saxScreen(Tables.engagementSeries(s, dir),
+          w = 4, minLen = 8, minOverlap = 10, topK = 50)
+        .select(col("key_a"), col("key_b"), col("word"),
+          col("correlation"), col("n_overlap"))
     })
   )
 
@@ -580,6 +595,44 @@ object MappingQueries {
       |  FROM t1 JOIN valid v ON v.key = t1.key
       |  JOIN t2 ON t2.key = t1.key AND t2.period = t1.period + CAST(v.optimal_lag AS INTEGER)
       |)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Sax.saxWords]] over `t1` for a
+    * given frame count `w`: integer centi-units, exact int64 window
+    * moments, the identical pinned float order (mean → var → sqrt → z),
+    * every literal ::DOUBLE (the q45 decimal-literal trap). Appended
+    * after [[seriesCte]]; yields CTE `saxwords(key, n, word)`. */
+  def saxCte(w: Int): String =
+    s""", posed AS (
+       |  SELECT key,
+       |         CAST(round(v1 * 100::DOUBLE) AS BIGINT) AS u,
+       |         row_number() OVER (PARTITION BY key ORDER BY period) - 1 AS pos,
+       |         COUNT(*) OVER (PARTITION BY key) AS n,
+       |         SUM(CAST(round(v1 * 100::DOUBLE) AS BIGINT)) OVER (PARTITION BY key) AS s1,
+       |         SUM(CAST(round(v1 * 100::DOUBLE) AS BIGINT)
+       |             * CAST(round(v1 * 100::DOUBLE) AS BIGINT)) OVER (PARTITION BY key) AS s2
+       |  FROM t1
+       |), framed AS (
+       |  SELECT key, n, s1, s2, (pos * $w) // n AS frame,
+       |         SUM(u)::BIGINT AS su, COUNT(*)::BIGINT AS c
+       |  FROM posed WHERE n >= 8 GROUP BY 1, 2, 3, 4, 5
+       |), lettered AS (
+       |  SELECT key, n, frame,
+       |         CASE WHEN varu <= 0::DOUBLE THEN 0::DOUBLE
+       |              ELSE (CAST(su AS DOUBLE) / c - mean) / sqrt(varu) END AS z
+       |  FROM (
+       |    SELECT *,
+       |           CAST(s1 AS DOUBLE) / n AS mean,
+       |           CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS varu
+       |    FROM framed)
+       |), saxwords AS (
+       |  SELECT key, n,
+       |         string_agg(
+       |           CASE WHEN z < -0.6745::DOUBLE THEN 'a'
+       |                WHEN z < 0::DOUBLE THEN 'b'
+       |                WHEN z < 0.6745::DOUBLE THEN 'c'
+       |                ELSE 'd' END, '' ORDER BY frame) AS word
+       |  FROM lettered GROUP BY 1, 2
+       |)""".stripMargin
 
   /** The DTW kernel (graft.operators.Dtw) replayed in DuckDB SQL — the
     * m33 recursive-CTE discipline applied to a 2-D DP. Appended after
@@ -768,6 +821,31 @@ object MappingQueries {
          |  HAVING COUNT(*) >= 10
          |)
          |SELECT key_a, key_b, round(correlation, 6) AS correlation, n_overlap
+         |FROM pairs
+         |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+         |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
+         |LIMIT 50""".stripMargin,
+    // m38: full SAX replay — centi-unit quantization, exact integer
+    // window moments, pinned float order, breakpoint CASE (saxCte)
+    "m38_sax" ->
+      s"""$seriesCte${saxCte(6)}
+         |SELECT key, n, word FROM saxwords""".stripMargin,
+    // m39: the word-bucket screen verified with the exact aligned corr —
+    // m32's scoring restricted to same-word candidate pairs
+    "m39_sax_screen" ->
+      s"""$seriesCte${saxCte(4)}, cands AS (
+         |  SELECT x.key AS key_a, y.key AS key_b, x.word
+         |  FROM saxwords x JOIN saxwords y ON x.word = y.word AND x.key < y.key
+         |), pairs AS (
+         |  SELECT c.key_a, c.key_b, c.word,
+         |         corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap
+         |  FROM cands c
+         |  JOIN t1 a ON a.key = c.key_a
+         |  JOIN t1 b ON b.key = c.key_b AND b.period = a.period
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) >= 10
+         |)
+         |SELECT key_a, key_b, word, round(correlation, 6) AS correlation, n_overlap
          |FROM pairs
          |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
          |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
