@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,5 +104,72 @@ object Retrieval {
         col("n_terms_matched"),
         round(col("score_u").cast("double") / lit(1e6), 6).as("score"),
         col("rank"))
+  }
+
+  /** Ranking-quality metrics at cutoff `k` for any ranked retrieval
+    * output (BM25, ANN, hybrid — anything emitting (query_id, doc_id,
+    * rank)): per query, the relevant-set size, hits@k, precision@k,
+    * recall@k, reciprocal rank of the first relevant hit (0 when none
+    * — the MRR convention), and nDCG@k. The offline eval loop a
+    * retrieval deployment runs against its qrels before shipping a
+    * ranker change — the evaluation complement of the d62/d64
+    * candidate-recall gates.
+    *
+    * Scale shape: one broadcast-joinable qrels lookup (qrels are
+    * labeled pairs — small by construction), one partial-aggregated
+    * per-query fold, and an IDCG lookup joined from a k-row positions
+    * table; nothing touches the corpus.
+    *
+    * Bit-exactness: each position's DCG gain 1/log2(rank+1) is rounded
+    * to integer micro-units (ln at round-6 micro granularity is the
+    * established d12 contract) and DCG/IDCG are integer sums —
+    * order-free — with one float division per ratio at the end.
+    * Queries with an empty relevant set emit NULL recall/nDCG (0/0 has
+    * no honest value) and rr = 0. */
+  def rankingMetrics(
+      ranked: DataFrame,
+      qrels: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      k: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    // integer micro-units of the position gain 1/log2(pos+1); the same
+    // constants serve DCG (at the hit's rank) and IDCG (at 1..n_rel)
+    // ln(pos+1)/ln(2), NOT log2(): Spark's log() is JVM Math.log — the
+    // identical libm the driver-side IDCG mirror below folds with
+    def gainU(pos: Column): Column =
+      round(lit(1e6) / (log(pos.cast("double") + lit(1.0)) / log(lit(2.0))), 0).cast("long")
+    val rel = qrels.select(
+      col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"), lit(1L).as("rel"))
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val perQuery = ranked
+      .select(col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("rel"), lit(0L))).as("hits"),
+        min(when(col("rel").isNotNull, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel").isNotNull, gainU(col("rank"))).otherwise(lit(0L))).as("dcg_u"))
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+    // IDCG: the best achievable DCG puts a relevant doc at every
+    // position 1..min(n_rel, k) — a k-row lookup, prefix-summed
+    import spark.implicits._
+    val idcg = (1 to k).map(p => (p.toLong, (1 to p).map(q =>
+        math.round(1e6 / (math.log(q + 1.0) / math.log(2.0))) // mirror gainU
+      ).sum)).toDF("ideal_n", "idcg_u")
+    perQuery
+      .join(broadcast(idcg), least(col("n_rel"), lit(k.toLong)) === col("ideal_n"), "left")
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        col("hits"),
+        round(col("hits").cast("double") / k, 6).as("precision_at_k"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / col("n_rel"), 6)).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("rr"),
+        when(col("n_rel") > 0,
+          round(col("dcg_u").cast("double") / col("idcg_u"), 6)).as("ndcg_at_k"))
   }
 }

@@ -204,6 +204,35 @@ object TextQueries {
         .bm25TopK(docs(s, dir), "text", "doc_id", q, "query_id", "query", 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // retrieval-quality eval over d66's ranking: qrels are the docs
+    // containing ALL of a query's terms (deterministic AND-relevance
+    // both engines recompute), metrics recall@5 / precision@5 / MRR /
+    // nDCG@5 per query. Query 5's relevant set is empty (missingterm)
+    // — the NULL-recall/ndcg, rr=0 edge in-registry
+    "d67_retrieval_eval" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join table"),
+        (2L, "spark fast scan"),
+        (3L, "slow batch merge dup"),
+        (4L, "vector column group sort"),
+        (5L, "dup missingterm"))).toDF("query_id", "query")
+      val d = docs(s, dir)
+      val ranked = graft.functions.Retrieval
+        .bm25TopK(d, "text", "doc_id", q, "query_id", "query", 5)
+      val qt = q.select(col("query_id"),
+        explode(TF.tokens(col("query"))).as("term")).distinct()
+      val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("nq"))
+      val qrels = d
+        .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("term"))
+        .join(broadcast(qt), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nm"))
+        .join(broadcast(nq), Seq("query_id"))
+        .filter(col("nm") === col("nq"))
+        .select(col("query_id"), col("doc_id"))
+      graft.functions.Retrieval
+        .rankingMetrics(ranked, qrels, "query_id", "doc_id", 5)
+        .orderBy(col("query_id"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -818,6 +847,56 @@ object TextQueries {
   /** DuckDB equivalents. Shared fragments: tokenization and the portable
     * md5-derived 60-bit hash. */
   private val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Shared DuckDB replay of the d66 BM25 pipeline (queries → postings
+    * → df/avgdl → micro-unit contributions → integer per-doc sums →
+    * rank); d66 selects the ranking from `rk`, d67 folds metrics over
+    * it (reusing `qt` for qrels and `dt` for the doc term sets). */
+  private val bm25Cte: String =
+    s"""WITH q(query_id, query) AS (
+       |  SELECT * FROM (VALUES
+       |    (1::BIGINT, 'hash join table'),
+       |    (2::BIGINT, 'spark fast scan'),
+       |    (3::BIGINT, 'slow batch merge dup'),
+       |    (4::BIGINT, 'vector column group sort'),
+       |    (5::BIGINT, 'dup missingterm')) v(query_id, query)
+       |), dt AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), post AS (
+       |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
+       |    SELECT doc_id, len(toks)::BIGINT AS dl, UNNEST(toks) AS term FROM dt
+       |  ) GROUP BY 1, 2, 3
+       |), stats AS (
+       |  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(len(toks))::DOUBLE AS sum_dl FROM dt
+       |), qt AS (
+       |  SELECT DISTINCT * FROM (
+       |    SELECT query_id, query,
+       |           UNNEST(string_split_regex(lower(trim(query)), '\\s+')) AS term
+       |    FROM q)
+       |), f AS (
+       |  SELECT term, COUNT(*)::BIGINT AS df FROM post
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+       |), sc AS (
+       |  SELECT qt.query_id, qt.query, p.doc_id,
+       |         CAST(round(
+       |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+       |           * (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+       |              / (p.tf + 1.2::DOUBLE
+       |                   * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / (s.sum_dl / s.n_docs))))
+       |           * 1e6) AS BIGINT) AS cu
+       |  FROM post p
+       |  JOIN qt ON p.term = qt.term
+       |  JOIN f ON f.term = p.term
+       |  CROSS JOIN stats s
+       |), agg AS (
+       |  SELECT query_id, query, doc_id,
+       |         SUM(cu)::BIGINT AS su, COUNT(*)::BIGINT AS n_terms_matched
+       |  FROM sc GROUP BY 1, 2, 3
+       |), rk AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
+       |  FROM agg
+       |)""".stripMargin
   private def phash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private val enList = TF.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1636,53 +1715,61 @@ object TextQueries {
     // textually in Spark's evaluation order, every literal ::DOUBLE
     // (the q45 decimal trap)
     "d66_bm25" ->
-      s"""WITH q(query_id, query) AS (
-         |  SELECT * FROM (VALUES
-         |    (1::BIGINT, 'hash join table'),
-         |    (2::BIGINT, 'spark fast scan'),
-         |    (3::BIGINT, 'slow batch merge dup'),
-         |    (4::BIGINT, 'vector column group sort'),
-         |    (5::BIGINT, 'dup missingterm')) v(query_id, query)
-         |), dt AS (
-         |  SELECT doc_id, $toks AS toks FROM documents
-         |), post AS (
-         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
-         |    SELECT doc_id, len(toks)::BIGINT AS dl, UNNEST(toks) AS term FROM dt
-         |  ) GROUP BY 1, 2, 3
-         |), stats AS (
-         |  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(len(toks))::DOUBLE AS sum_dl FROM dt
-         |), qt AS (
-         |  SELECT DISTINCT * FROM (
-         |    SELECT query_id, query,
-         |           UNNEST(string_split_regex(lower(trim(query)), '\\s+')) AS term
-         |    FROM q)
-         |), f AS (
-         |  SELECT term, COUNT(*)::BIGINT AS df FROM post
-         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
-         |), sc AS (
-         |  SELECT qt.query_id, qt.query, p.doc_id,
-         |         CAST(round(
-         |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
-         |           * (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)
-         |              / (p.tf + 1.2::DOUBLE
-         |                   * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / (s.sum_dl / s.n_docs))))
-         |           * 1e6) AS BIGINT) AS cu
-         |  FROM post p
-         |  JOIN qt ON p.term = qt.term
-         |  JOIN f ON f.term = p.term
-         |  CROSS JOIN stats s
-         |), agg AS (
-         |  SELECT query_id, query, doc_id,
-         |         SUM(cu)::BIGINT AS su, COUNT(*)::BIGINT AS n_terms_matched
-         |  FROM sc GROUP BY 1, 2, 3
-         |), rk AS (
-         |  SELECT *,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
-         |  FROM agg
-         |)
+      s"""$bm25Cte
          |SELECT query_id, query, doc_id, n_terms_matched,
          |       round(su::DOUBLE / 1e6, 6) AS score, rank
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // d67: the d66 pipeline replayed, then the metric fold — AND-
+    // relevance qrels, micro-unit DCG gains (ln at round-6 micro
+    // granularity, the d12 contract), integer DCG/IDCG sums, NULL
+    // recall/ndcg for the empty-qrel query
+    "d67_retrieval_eval" ->
+      s"""$bm25Cte, ranked AS (
+         |  SELECT query_id, doc_id, rank FROM rk WHERE rank <= 5
+         |), nqv AS (
+         |  SELECT query_id, COUNT(DISTINCT term) AS nq FROM qt GROUP BY 1
+         |), dterm AS (
+         |  SELECT DISTINCT doc_id, UNNEST(toks) AS term FROM dt
+         |), qrel AS (
+         |  SELECT c.query_id, c.doc_id FROM (
+         |    SELECT qt2.query_id, d.doc_id, COUNT(DISTINCT d.term) AS nm
+         |    FROM dterm d JOIN (SELECT DISTINCT query_id, term FROM qt) qt2
+         |      ON d.term = qt2.term
+         |    GROUP BY 1, 2) c
+         |  JOIN nqv ON nqv.query_id = c.query_id
+         |  WHERE c.nm = nqv.nq
+         |), nrel AS (
+         |  SELECT query_id, COUNT(*)::BIGINT AS n_rel FROM qrel GROUP BY 1
+         |), j AS (
+         |  SELECT r.query_id, r.rank,
+         |         CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM ranked r
+         |  LEFT JOIN qrel g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+         |), pq AS (
+         |  SELECT query_id, SUM(rel)::BIGINT AS hits,
+         |         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+         |         SUM(CASE WHEN rel = 1 THEN
+         |           CAST(round(1e6::DOUBLE / (ln((rank + 1)::DOUBLE) / ln(2::DOUBLE))) AS BIGINT)
+         |           ELSE 0 END)::BIGINT AS dcg_u
+         |  FROM j GROUP BY 1
+         |), idcg AS (
+         |  SELECT n.query_id,
+         |         SUM(CAST(round(1e6::DOUBLE / (ln((p.p + 1)::DOUBLE) / ln(2::DOUBLE))) AS BIGINT))::BIGINT AS idcg_u
+         |  FROM nrel n JOIN (SELECT UNNEST(range(1, 6)) AS p) p
+         |    ON p.p <= LEAST(n.n_rel, 5)
+         |  GROUP BY 1
+         |)
+         |SELECT p.query_id,
+         |       COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+         |       p.hits,
+         |       round(p.hits::DOUBLE / 5, 6) AS precision_at_k,
+         |       CASE WHEN n.n_rel > 0 THEN round(p.hits::DOUBLE / n.n_rel, 6) END AS recall_at_k,
+         |       round(COALESCE(1.0::DOUBLE / p.first_rel_rank, 0::DOUBLE), 6) AS rr,
+         |       CASE WHEN n.n_rel > 0 THEN round(p.dcg_u::DOUBLE / i.idcg_u, 6) END AS ndcg_at_k
+         |FROM pq p
+         |LEFT JOIN nrel n ON n.query_id = p.query_id
+         |LEFT JOIN idcg i ON i.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1244,6 +1244,115 @@ object ScaleBench {
     * own scale dir (distinct ModelCache keys), so 1× and 16× are
     * equally cold and cache reuse cannot inflate the exponent.
     * Usage: runMain graft.tools.ScaleBench suite [outDirRoot] [query ...] */
+  /** BM25 retrieval stress: a query batch against `nDocs` synthetic
+    * docs (~30 tokens each over a mixed common/rare vocabulary). Times
+    * the full inverted-index probe — tokenize → postings → df/avgdl →
+    * candidate-only scoring → per-query top-10 — plus the d67 metric
+    * fold over AND-relevance qrels. The expectation is linear in
+    * corpus size: every stage is a scan or a partial-aggregated
+    * shuffle, and scoring touches only postings of query terms.
+    * Usage: runMain graft.tools.ScaleBench retrieval [nDocs] [nQueries] */
+  def retrievalMain(spark: SparkSession, nDocs: Long, nQueries: Int): Unit = {
+    import graft.functions.Retrieval
+    // 20 common-vocab tokens (2k terms — high df) + 10 rare tokens
+    // (nDocs/10 terms — low df) per doc
+    val body = concat_ws(" ",
+      (0 until 20).map(j => concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))) ++
+        (0 until 10).map(j =>
+          concat(lit("r"), pmod(hash(col("id"), lit(100 + j)), lit(math.max(10L, nDocs / 10))))): _*)
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), body.as("text")).cache()
+    val total = docs.count()
+    // 3-term queries: two common + one rare — the realistic shape (IDF
+    // must separate the rare term's postings from the common floods)
+    val queries = spark.range(nQueries).select(
+      col("id").as("query_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(1)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(2)), lit(2000))),
+        concat(lit("r"), pmod(hash(col("id"), lit(3)), lit(math.max(10L, nDocs / 10))))).as("query"))
+      .cache()
+    queries.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nRanked, rankSec) = time {
+      Retrieval.bm25TopK(docs, "text", "doc_id", queries, "query_id", "query", 10).count()
+    }
+    val (meanNdcg, evalSec) = time {
+      val ranked = Retrieval.bm25TopK(docs, "text", "doc_id", queries, "query_id", "query", 10)
+      // qrels: docs carrying the query's RARE term — the high-IDF
+      // signal BM25 is supposed to surface (3-term AND-relevance is
+      // empty at this vocabulary; single-term sets are ~nDocs·10/(nDocs/10)
+      // ≈ 100 docs per query)
+      val qt = queries.select(col("query_id"),
+          explode(split(col("query"), " ")).as("term"))
+        .filter(col("term").startsWith("r")).distinct()
+      val qrels = docs
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .join(broadcast(qt), Seq("term"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      val m = Retrieval.rankingMetrics(ranked, qrels, "query_id", "doc_id", 10)
+        .agg(avg(col("ndcg_at_k"))).head()
+      if (m.isNullAt(0)) -1.0 else m.getDouble(0)
+    }
+    println(
+      s"""{"workload":{"docs":$total,"queries":$nQueries,"k":10},
+         |"rank":{"sec":$rankSec,"docs_per_s":${(total / rankSec).toLong},"rows":$nRanked},
+         |"rank_plus_eval":{"sec":$evalSec,"mean_ndcg":$meanNdcg}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist(); queries.unpersist()
+  }
+
+  /** SAX screen stress: `nKeys` daily series over `len` days with
+    * `nKeys/100` planted co-moving pairs — each planted partner is an
+    * AFFINE transform (a·base + b) of its twin, which z-normalization
+    * maps to the identical letter sequence, so the word join must
+    * surface every planted pair while hash-noise keys spread across
+    * the 4^w word space. The exact screen at this scale is the
+    * measured ~hours m32 shape (PERF.md paircorr); the SAX screen is
+    * one window pass + a word equi-join.
+    * Usage: runMain graft.tools.ScaleBench sax [nKeys] [len] */
+  def saxMain(spark: SparkSession, nKeys: Long, len: Int): Unit = {
+    import graft.operators.Sax
+    val nPlanted = math.max(1L, nKeys / 100)
+    // keys 0..2*nPlanted-1 pair up (2i, 2i+1); the rest are hash noise.
+    // Base shape varies per pair; the partner is 3·base + 40.
+    val rows = spark.range(nKeys).crossJoin(
+        spark.range(len).select(col("id").as("d")))
+      .select(col("id").as("k"), col("d"))
+      .select(
+        concat(lit("k"), col("k")).as("key"),
+        date_add(to_date(lit("2024-01-01")), col("d").cast("int")).as("period"),
+        when(col("k") < 2 * nPlanted,
+          // pair id drives the shape; partner applies the affine map
+          (pmod(hash((col("k") / 2).cast("long"), col("d")), lit(1000)).cast("double") / 10.0)
+            * when(pmod(col("k"), lit(2)) === 1, lit(3.0)).otherwise(lit(1.0))
+            + when(pmod(col("k"), lit(2)) === 1, lit(40.0)).otherwise(lit(0.0)))
+          .otherwise(pmod(hash(col("k"), col("d"), lit(7)), lit(1000)).cast("double") / 10.0)
+          .as("value"))
+      .cache()
+    rows.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (found, sec) = time {
+      Sax.saxScreen(rows, w = 8, minLen = 10, minOverlap = 10, topK = nPlanted.toInt * 2)
+        .filter(col("correlation") >= 0.999)
+        .select(col("key_a"), col("key_b")).collect()
+        .count { r =>
+          val a = r.getString(0).drop(1).toLong; val b = r.getString(1).drop(1).toLong
+          a / 2 == b / 2 && a < 2 * nPlanted
+        }
+    }
+    println(
+      s"""{"workload":{"keys":$nKeys,"days":$len,"planted":$nPlanted,"w":8},
+         |"sax_screen":{"sec":$sec,"keys_per_s":${(nKeys / sec).toLong},
+         |"planted_found":$found,"planted_recall":${found.toDouble / nPlanted}}}"""
+        .stripMargin.replace("\n", ""))
+    rows.unpersist()
+  }
+
   def suiteMain(spark: SparkSession, baseDir: String, rest: Seq[String]): Unit = {
     import graft.sources.StagingCache
     val root = rest.headOption.getOrElse("/tmp/graft_scale")
@@ -1436,6 +1545,10 @@ object ScaleBench {
         upsertMain(s, argL(1, 20000000L), argI(2, 200), argI(3, 3)))
       case Some("lm") => withSession(tuned = false)(s => lmMain(s, argL(1, 2000000L)))
       case Some("pii") => withSession(tuned = false)(s => piiMain(s, argL(1, 2000000L)))
+      case Some("retrieval") => withSession(tuned = true)(s =>
+        retrievalMain(s, argL(1, 2000000L), argI(2, 64)))
+      case Some("sax") => withSession(tuned = true)(s =>
+        saxMain(s, argL(1, 50000L), argI(2, 60)))
       case Some("suite") => withSession(tuned = true)(s =>
         suiteMain(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           args.drop(1).toSeq))

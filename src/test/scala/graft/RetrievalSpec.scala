@@ -83,6 +83,38 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.toSeq == Seq((3L, 1L)))
   }
 
+  test("rankingMetrics matches hand-computed recall/precision/MRR/nDCG") {
+    // query 1: ranked docs 1..4, relevant {2, 4, 9} → hits 2,
+    // precision 2/4... at k=4: 0.5, recall 2/3, rr = 1/2,
+    // dcg = g(2)+g(4), idcg = g(1)+g(2)+g(3) with g(p)=1e6/log2(p+1)
+    val ranked = Seq((1L, 10L, 1L), (1L, 2L, 2L), (1L, 11L, 3L), (1L, 4L, 4L),
+      (2L, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 2L), (1L, 4L), (1L, 9L)).toDF("query_id", "doc_id")
+    val got = Retrieval.rankingMetrics(ranked, qrels, "query_id", "doc_id", 4)
+      .orderBy($"query_id")
+      .select($"query_id", $"n_rel", $"hits", $"precision_at_k", $"recall_at_k", $"rr", $"ndcg_at_k")
+      .collect()
+    def g(p: Int) = math.round(1e6 / (math.log(p + 1.0) / math.log(2.0)))
+    val wantNdcg = math.rint((g(2) + g(4)).toDouble / (g(1) + g(2) + g(3)) * 1e6) / 1e6
+    val r1 = got(0)
+    assert((r1.getLong(1), r1.getLong(2)) == ((3L, 2L)))
+    assert(r1.getDouble(3) == 0.5 && r1.getDouble(4) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(r1.getDouble(5) == 0.5)
+    assert(r1.getDouble(6) == wantNdcg)
+    // query 2 has no qrels at all: n_rel 0, rr 0, recall/ndcg NULL
+    val r2 = got(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getDouble(5)) == ((0L, 0L, 0.0)))
+    assert(r2.isNullAt(4) && r2.isNullAt(6))
+  }
+
+  test("rankingMetrics: perfect ranking scores ndcg 1.0 and rr 1.0") {
+    val ranked = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 5L), (1L, 6L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingMetrics(ranked, qrels, "query_id", "doc_id", 2).collect().head
+    assert(r.getAs[Double]("ndcg_at_k") == 1.0 && r.getAs[Double]("rr") == 1.0 &&
+      r.getAs[Double]("recall_at_k") == 1.0)
+  }
+
   test("top-k window compiles to WindowGroupLimit (partial top-k before the shuffle)") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id",
         Seq((1L, "hash table")).toDF("query_id", "query"),
