@@ -106,6 +106,82 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Jaccard term-overlap top-`k`: ranks documents by
+    * |q ∩ d| / |q ∪ d| over DISTINCT tokens — the set-similarity
+    * ranker that complements BM25 (no tf, no length prior; pure
+    * vocabulary overlap). Same inverted-index probe shape as
+    * [[bm25TopK]]: only docs sharing a query term are scored. The
+    * score is one float division of exact integer set sizes — bit-
+    * stable — with a doc-id tie-break on the rank. */
+  def jaccardTopK(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryCol: String,
+      k: Int): DataFrame = {
+    val dterm = docs
+      .select(col(docIdCol).as("doc_id"),
+        array_distinct(TextFunctions.tokens(col(textCol))).as("dtoks"))
+      .select(col("doc_id"), size(col("dtoks")).cast("long").as("dn"),
+        explode(col("dtoks")).as("term"))
+    val qtBase = queries
+      .select(col(queryIdCol).as("query_id"), col(queryCol).as("query"),
+        explode(array_distinct(TextFunctions.tokens(col(queryCol)))).as("term"))
+    val qt = qtBase
+      .join(broadcast(qtBase.groupBy(col("query_id").as("qid"))
+        .agg(count(lit(1)).as("nq"))), col("query_id") === col("qid"))
+      .drop("qid")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("doc_id").asc)
+    dterm
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("query"), col("doc_id"), col("dn"), col("nq"))
+      .agg(count(lit(1)).as("nm"))
+      .withColumn("jaccard",
+        col("nm").cast("double") / (col("dn") + col("nq") - col("nm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id").as(queryIdCol),
+        col("query").as(queryCol),
+        col("doc_id").as(docIdCol),
+        round(col("jaccard"), 6).as("jaccard"),
+        col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009, public
+    * paper): fuses any number of per-query rankings into one by
+    * score(d) = Σ_lists 1/(c + rank_list(d)) — the standard hybrid-
+    * search combiner (lexical BM25 + a second signal) precisely
+    * because it needs no score calibration, only ranks. Each input is
+    * a (query_id, doc_id, rank) table; `c = 60` is the paper's
+    * constant. Contribution 1/(c+rank) is integerized to micro-units
+    * (a pure function of the rank — both engines compute the same
+    * table), the per-doc fold is an integer sum — order-free — and
+    * the fused rank breaks score ties by doc id. Scale shape: a union
+    * of already-top-k tables (≤ k·|lists| rows per query), one
+    * partial-aggregated groupBy, one WindowGroupLimit top-k. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val normalized = rankings.map(_.select(
+      col("query_id"), col("doc_id"),
+      round(lit(1e6) / (lit(c.toDouble) + col("rank").cast("double")), 0)
+        .cast("long").as("contrib_u")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    normalized.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("doc_id"), col("n_lists"),
+        round(col("score_u").cast("double") / lit(1e6), 6).as("rrf_score"),
+        col("rank"))
+  }
+
   /** Ranking-quality metrics at cutoff `k` for any ranked retrieval
     * output (BM25, ANN, hybrid — anything emitting (query_id, doc_id,
     * rank)): per query, the relevant-set size, hits@k, precision@k,

@@ -233,6 +233,26 @@ object TextQueries {
         .rankingMetrics(ranked, qrels, "query_id", "doc_id", 5)
         .orderBy(col("query_id"))
     }),
+    // hybrid retrieval: BM25 top-20 + Jaccard-overlap top-20 fused by
+    // reciprocal-rank fusion (integer micro-unit contributions, the
+    // calibration-free hybrid-search combiner) → fused top-5
+    "d68_rrf_hybrid" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join table"),
+        (2L, "spark fast scan"),
+        (3L, "slow batch merge dup"),
+        (4L, "vector column group sort"),
+        (5L, "dup missingterm"))).toDF("query_id", "query")
+      val d = docs(s, dir)
+      val bm = graft.functions.Retrieval
+        .bm25TopK(d, "text", "doc_id", q, "query_id", "query", 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val jc = graft.functions.Retrieval
+        .jaccardTopK(d, "text", "doc_id", q, "query_id", "query", 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.functions.Retrieval.rrfFuse(Seq(bm, jc), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1770,6 +1790,47 @@ object TextQueries {
          |LEFT JOIN nrel n ON n.query_id = p.query_id
          |LEFT JOIN idcg i ON i.query_id = p.query_id
          |ORDER BY p.query_id""".stripMargin,
+    // d68: both rankers replayed (BM25 from rk, Jaccard from the same
+    // dt/qt), micro-unit RRF contributions, integer fused sums
+    "d68_rrf_hybrid" ->
+      s"""$bm25Cte, jd AS (
+         |  SELECT doc_id, len(list_distinct(toks))::BIGINT AS dn,
+         |         UNNEST(list_distinct(toks)) AS term
+         |  FROM dt
+         |), qdist AS (
+         |  SELECT DISTINCT query_id, term FROM qt
+         |), jqn AS (
+         |  SELECT query_id, COUNT(*)::BIGINT AS nq FROM qdist GROUP BY 1
+         |), jm AS (
+         |  SELECT q2.query_id, d.doc_id, d.dn, n.nq, COUNT(*)::BIGINT AS nm
+         |  FROM jd d
+         |  JOIN qdist q2 ON d.term = q2.term
+         |  JOIN jqn n ON n.query_id = q2.query_id
+         |  GROUP BY 1, 2, 3, 4
+         |), jrk AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY (nm::DOUBLE / (dn + nq - nm)) DESC, doc_id ASC)::BIGINT AS rank
+         |  FROM jm
+         |), ju AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1e6::DOUBLE / (60::DOUBLE + rank::DOUBLE)) AS BIGINT) AS cu
+         |  FROM jrk WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1e6::DOUBLE / (60::DOUBLE + rank::DOUBLE)) AS BIGINT)
+         |  FROM rk WHERE rank <= 20
+         |), fused AS (
+         |  SELECT query_id, doc_id, SUM(cu)::BIGINT AS su, COUNT(*)::BIGINT AS n_lists
+         |  FROM ju GROUP BY 1, 2
+         |), frk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
+         |  FROM fused
+         |)
+         |SELECT query_id, doc_id, n_lists,
+         |       round(su::DOUBLE / 1e6, 6) AS rrf_score, rank
+         |FROM frk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -83,6 +83,36 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.toSeq == Seq((3L, 1L)))
   }
 
+  test("jaccardTopK matches hand-computed distinct-token overlap ratios") {
+    // doc 2: toks {hash, table, scan}; query {hash, table}: nm=2, dn=3,
+    // nq=2 → 2/3. docs 1 {spark, hash, join, fast} and 5 {merge, sort,
+    // join, table}: 1/5 each — tie broken by doc id. doc 3 {slow,
+    // table, scan, over, rows}: 1/6 last.
+    val out = Retrieval.jaccardTopK(corpus, "text", "doc_id",
+        Seq((1L, "hash table")).toDF("query_id", "query"), "query_id", "query", 5)
+      .orderBy($"rank")
+      .select($"doc_id", $"jaccard").as[(Long, Double)].collect().toSeq
+    assert(out.head == ((2L, 0.666667)))
+    assert(out.map(_._1) == Seq(2L, 1L, 5L, 3L))
+    assert(out.map(_._2) == Seq(0.666667, 0.2, 0.2, 0.166667))
+  }
+
+  test("rrfFuse: consensus docs outrank single-list leaders; scores are the exact micro sums") {
+    // doc 10 is rank 2 in BOTH lists: 2·1/(60+2) > 1/(60+1) of the
+    // single-list leaders
+    val l1 = Seq((1L, 7L, 1L), (1L, 10L, 2L), (1L, 8L, 3L)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 9L, 1L), (1L, 10L, 2L), (1L, 7L, 4L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), k = 10)
+      .orderBy($"rank")
+      .select($"doc_id", $"n_lists", $"rrf_score").as[(Long, Long, Double)].collect().toSeq
+    def g(r: Long) = math.round(1e6 / (60.0 + r))
+    assert(out.head == ((10L, 2L, math.rint(2 * g(2) / 1e6 * 1e6) / 1e6)))
+    // doc 7 (ranks 1+4) beats doc 9 (rank 1 only): g(1)+g(4) > g(1)
+    assert(out.map(_._1) == Seq(10L, 7L, 9L, 8L))
+    val d7 = out.find(_._1 == 7L).get
+    assert(d7._3 == math.rint((g(1) + g(4)).toDouble / 1e6 * 1e6) / 1e6 && d7._2 == 2L)
+  }
+
   test("rankingMetrics matches hand-computed recall/precision/MRR/nDCG") {
     // query 1: ranked docs 1..4, relevant {2, 4, 9} → hits 2,
     // precision 2/4... at k=4: 0.5, recall 2/3, rr = 1/2,
