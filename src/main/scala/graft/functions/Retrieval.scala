@@ -56,20 +56,49 @@ object Retrieval {
       queryIdCol: String,
       queryCol: String,
       k: Int): DataFrame = {
-    // tokenize once per doc; dl rides the postings groupBy as a
-    // functionally-dependent key (no second shuffle to re-join lengths)
+    // tokenize once per doc; postings and stats share the projection
     val toks = docs.select(
       col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-    val postings = toks
+    bm25FromParts(postingsOf(toks), statsOf(toks), queries, queryIdCol, queryCol, k)
+      .withColumnRenamed("doc_id", docIdCol)
+  }
+
+  /** Postings of a tokenized (doc_id, toks) projection: (doc_id, dl,
+    * term, tf). dl rides the groupBy as a functionally-dependent key —
+    * no second shuffle to re-join lengths. */
+  private def postingsOf(toks: DataFrame): DataFrame =
+    toks
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // corpus stats: one lazy 1-row aggregate (exact integer sum / count
-    // then a single float division — deterministic)
-    val stats = toks.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(size(col("toks")).cast("long")).cast("double").as("sum_dl"))
+
+  /** Corpus stats of a tokenized projection, kept as EXACT LONGS so
+    * per-batch stats rows are additive (the index-append path sums
+    * them; integer sums are order-free and exact below 2^53). */
+  private def statsOf(toks: DataFrame): DataFrame =
+    toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+
+  /** The BM25 scorer over prepared parts: `postings` as from
+    * [[postingsOf]] (one or many batches unioned — doc ids must be
+    * unique across batches), `stats` as one or many additive
+    * [[statsOf]] rows. This is the serve path of the persistent index
+    * ([[bm25FromIndex]]) and the direct path ([[bm25TopK]]) — one
+    * scorer, so index parity is structural. */
+  def bm25FromParts(
+      postings: DataFrame,
+      statsRows: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryCol: String,
+      k: Int): DataFrame = {
+    // fold per-batch stats additively, then one cast to double each —
+    // bit-identical to the single-corpus aggregate
+    val stats = statsRows.agg(
+      sum(col("n_docs")).cast("double").as("n_docs"),
+      sum(col("sum_dl")).cast("double").as("sum_dl"))
     // document frequency per term — restricted to query terms before it
     // is broadcast, so the plan carries |query vocabulary| rows of df,
     // not the corpus vocabulary
@@ -100,10 +129,74 @@ object Retrieval {
       .select(
         col("query_id").as(queryIdCol),
         col("query").as(queryCol),
-        col("doc_id").as(docIdCol),
+        col("doc_id"),
         col("n_terms_matched"),
         round(col("score_u").cast("double") / lit(1e6), 6).as("score"),
         col("rank"))
+  }
+
+  /** Build a persistent BM25 index at `root`: the postings table and
+    * the additive stats row land as committed batch dirs (the
+    * [[graft.streaming.StateStore]] append layout — a torn write has
+    * no `_SUCCESS` and is invisible; a replayed batch id overwrites
+    * its own dir). This is the deployment shape: the corpus-side work
+    * of [[bm25TopK]] (tokenize → explode → postings groupBy) runs
+    * ONCE at build time; every query batch afterwards reads stored
+    * postings. Postings are repartitioned and sorted by term so a
+    * query-term probe prunes row groups on parquet min/max. */
+  def buildIndex(docs: DataFrame, textCol: String, docIdCol: String, root: String): Unit =
+    appendToIndex(docs, textCol, docIdCol, root, batchId = 0L)
+
+  /** Append a batch of NEW documents (doc ids must not repeat across
+    * batches) as batch `batchId`. Per-batch postings are independent —
+    * a doc's (dl, term, tf) rows never span batches — and the stats
+    * row is additive, so append == full rebuild exactly (locked by
+    * RetrievalIndexSpec). Cost is batch-proportional: nothing
+    * re-tokenizes, nothing retrains, df/avgdl re-derive at query time
+    * from the unioned parts. */
+  def appendToIndex(
+      batch: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      root: String,
+      batchId: Long): Unit = {
+    import graft.streaming.StateStore
+    val (postings, stats) = indexParts(batch, textCol, docIdCol)
+    StateStore.writeBatchDir(
+      postings.repartition(col("term")).sortWithinPartitions(col("term")),
+      s"$root/postings", batchId)
+    StateStore.writeBatchDir(stats, s"$root/stats", batchId)
+  }
+
+  /** One batch's index contribution: (postings, additive stats row) —
+    * what [[appendToIndex]] persists and [[bm25FromParts]] consumes
+    * (unioned across batches). Public so the split-invariance gate
+    * (d69) and any external index store can use the same parts. */
+  def indexParts(
+      batch: DataFrame,
+      textCol: String,
+      docIdCol: String): (DataFrame, DataFrame) = {
+    val toks = batch.select(
+      col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    (postingsOf(toks), statsOf(toks))
+  }
+
+  /** Serve BM25 from a stored index: same scorer as [[bm25TopK]]
+    * ([[bm25FromParts]]), postings/stats from the committed batch
+    * dirs. Throws if no batch has committed at `root`. */
+  def bm25FromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryCol: String,
+      k: Int): DataFrame = {
+    import graft.streaming.StateStore
+    def part(name: String) = StateStore
+      .readCommittedBatchDirs(spark, s"$root/$name")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index at $root/$name — run buildIndex first"))
+    bm25FromParts(part("postings"), part("stats"), queries, queryIdCol, queryCol, k)
   }
 
   /** Jaccard term-overlap top-`k`: ranks documents by

@@ -101,14 +101,44 @@ object Sax {
     * periods and scored with the exact Pearson correlation — the same
     * screen-then-verify contract as `pairCorrelationsBanded`, with the
     * word table as the sketch. Output matches `pairCorrelations`
-    * (key_a, key_b, correlation, n_overlap) plus the shared word. */
+    * (key_a, key_b, correlation, n_overlap) plus the shared word.
+    *
+    * `maxBucket > 0` drops words shared by more than that many keys
+    * BEFORE the self-join — the d50 "hot tokens never become join
+    * keys" rule applied to words. Near-mean noise concentrates in
+    * b/c-heavy words (a PAA frame of IID values sits near the key's
+    * own mean), so mega-buckets are shape-DEGENERATE: their members
+    * match on "roughly flat", not on a distinctive trajectory, and
+    * the pairs they admit are precisely the ones the exact-corr
+    * verify would reject. The cap is a priced tradeoff, measured at
+    * 50k keys (ScaleBench sax): cap 64 cuts wall 3.9× (70.3 → 18.1 s)
+    * and keeps 0.82 of planted pairs with DISTINCTIVE seasonal shapes
+    * but only 0.38 of planted pairs that are IID noise — genuinely
+    * correlated, yet shapeless at PAA granularity, so their words
+    * carry no evidence and they pool in the hot buckets. Uncapped
+    * recall is 1.0 for both kinds. Size the cap by what the
+    * deployment hunts: trending/seasonal co-movement tolerates a tight
+    * cap; sub-frame-granularity correlation needs the uncapped screen
+    * (or the m35 sign-LSH bands when the series are dense). 0 disables
+    * (the registered m39 form, so its oracle replays cap-free). */
   def saxScreen(
       series: DataFrame,
       w: Int,
       minLen: Int,
       minOverlap: Int,
-      topK: Int): DataFrame = {
-    val words = saxWords(series, w, minLen)
+      topK: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val allWords = saxWords(series, w, minLen)
+    val words =
+      if (maxBucket <= 0) allWords
+      else {
+        // one partial-aggregated count over the word table, broadcast
+        // back as a semi-join filter — hot buckets never reach the join
+        val small = allWords.groupBy(col("word"))
+          .agg(count(lit(1)).as("bucket")).filter(col("bucket") <= maxBucket)
+          .select(col("word"))
+        allWords.join(broadcast(small), Seq("word"), "left_semi")
+      }
     val cands = words.select(col("key").as("key_a"), col("word"))
       .join(words.select(col("key").as("key_b"), col("word")), Seq("word"))
       .filter(col("key_a") < col("key_b"))

@@ -253,6 +253,30 @@ object TextQueries {
       graft.functions.Retrieval.rrfFuse(Seq(bm, jc), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the incremental-index serve path: corpus split into base +
+    // append batches (the buildIndex/appendToIndex layout, disk layer
+    // spec-gated in RetrievalIndexSpec), scored from the UNIONED parts
+    // with additively-folded stats. Oracle = the WHOLE-corpus BM25
+    // replay — passing proves split-invariance bit-for-bit
+    "d69_bm25_index" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join table"),
+        (2L, "spark fast scan"),
+        (3L, "slow batch merge dup"),
+        (4L, "vector column group sort"),
+        (5L, "dup missingterm"))).toDF("query_id", "query")
+      val d = docs(s, dir)
+      val splits = Seq(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0),
+        d.filter(pmod(col("doc_id"), lit(3)) === 1),
+        d.filter(pmod(col("doc_id"), lit(3)) === 2))
+        .map(b => graft.functions.Retrieval.indexParts(b, "text", "doc_id"))
+      graft.functions.Retrieval.bm25FromParts(
+          splits.map(_._1).reduce(_.unionByName(_)),
+          splits.map(_._2).reduce(_.unionByName(_)),
+          q, "query_id", "query", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1831,6 +1855,14 @@ object TextQueries {
          |SELECT query_id, doc_id, n_lists,
          |       round(su::DOUBLE / 1e6, 6) AS rrf_score, rank
          |FROM frk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // d69: the oracle is the WHOLE-corpus d66 replay — Spark computes
+    // the ranking from three doc-disjoint index splits with additively
+    // folded stats, so equality IS the split-invariance proof
+    "d69_bm25_index" ->
+      s"""$bm25Cte
+         |SELECT query_id, query, doc_id, n_terms_matched,
+         |       round(su::DOUBLE / 1e6, 6) AS score, rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1296,59 +1296,90 @@ object ScaleBench {
         .agg(avg(col("ndcg_at_k"))).head()
       if (m.isNullAt(0)) -1.0 else m.getDouble(0)
     }
+    // the deployment shape: corpus-side work paid ONCE at build, then
+    // every query batch reads stored term-clustered postings
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    val (_, buildSec) = time {
+      Retrieval.buildIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", root)
+    }
+    val (_, appendSec) = time {
+      Retrieval.appendToIndex(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", root, batchId = 1L)
+    }
+    val (nServed, serveSec) = time {
+      Retrieval.bm25FromIndex(spark, root, queries, "query_id", "query", 10).count()
+    }
     println(
       s"""{"workload":{"docs":$total,"queries":$nQueries,"k":10},
          |"rank":{"sec":$rankSec,"docs_per_s":${(total / rankSec).toLong},"rows":$nRanked},
-         |"rank_plus_eval":{"sec":$evalSec,"mean_ndcg":$meanNdcg}}"""
+         |"rank_plus_eval":{"sec":$evalSec,"mean_ndcg":$meanNdcg},
+         |"index":{"build_sec":$buildSec,"append_sec":$appendSec,
+         |"serve_sec":$serveSec,"rows":$nServed}}"""
         .stripMargin.replace("\n", ""))
     docs.unpersist(); queries.unpersist()
   }
 
-  /** SAX screen stress: `nKeys` daily series over `len` days with
-    * `nKeys/100` planted co-moving pairs — each planted partner is an
-    * AFFINE transform (a·base + b) of its twin, which z-normalization
-    * maps to the identical letter sequence, so the word join must
-    * surface every planted pair while hash-noise keys spread across
-    * the 4^w word space. The exact screen at this scale is the
+  /** SAX screen stress: `nKeys` daily series over `len` days with two
+    * planted pair kinds (partner = AFFINE transform 3·base+40 of its
+    * twin in both — z-normalization must erase it): `nKeys/100`
+    * STRUCTURED pairs (diverse seasonal shapes: per-pair frequency,
+    * phase, and jitter) and `nKeys/100` IID pairs (pure hash noise —
+    * correlated, but shapeless at PAA granularity). The remaining keys
+    * are unrelated noise. The exact screen at this scale is the
     * measured ~hours m32 shape (PERF.md paircorr); the SAX screen is
-    * one window pass + a word equi-join.
+    * one window pass + a word equi-join, run uncapped and with the
+    * maxBucket=64 hot-word cap to price the cap's recall tradeoff per
+    * shape kind.
     * Usage: runMain graft.tools.ScaleBench sax [nKeys] [len] */
   def saxMain(spark: SparkSession, nKeys: Long, len: Int): Unit = {
     import graft.operators.Sax
     val nPlanted = math.max(1L, nKeys / 100)
-    // keys 0..2*nPlanted-1 pair up (2i, 2i+1); the rest are hash noise.
-    // Base shape varies per pair; the partner is 3·base + 40.
+    // keys [0, 2P): structured pairs (2i, 2i+1); [2P, 4P): IID pairs;
+    // the rest hash noise
+    val pairId = (col("k") / 2).cast("long")
+    val isPartner = pmod(col("k"), lit(2)) === 1
+    val structured =
+      sin(col("d").cast("double") * (lit(1.0) + pmod(pairId, lit(5)).cast("double"))
+          * lit(2 * math.Pi / 60) + pmod(pairId, lit(12)).cast("double") * lit(math.Pi / 6))
+        .multiply(lit(50.0))
+        .plus(pmod(hash(pairId, col("d")), lit(100)).cast("double") / 10.0)
+    val iid = pmod(hash(pairId, col("d"), lit(3)), lit(1000)).cast("double") / 10.0
     val rows = spark.range(nKeys).crossJoin(
         spark.range(len).select(col("id").as("d")))
       .select(col("id").as("k"), col("d"))
       .select(
         concat(lit("k"), col("k")).as("key"),
         date_add(to_date(lit("2024-01-01")), col("d").cast("int")).as("period"),
-        when(col("k") < 2 * nPlanted,
-          // pair id drives the shape; partner applies the affine map
-          (pmod(hash((col("k") / 2).cast("long"), col("d")), lit(1000)).cast("double") / 10.0)
-            * when(pmod(col("k"), lit(2)) === 1, lit(3.0)).otherwise(lit(1.0))
-            + when(pmod(col("k"), lit(2)) === 1, lit(40.0)).otherwise(lit(0.0)))
+        when(col("k") < 2 * nPlanted, structured)
+          .when(col("k") < 4 * nPlanted, iid)
           .otherwise(pmod(hash(col("k"), col("d"), lit(7)), lit(1000)).cast("double") / 10.0)
+          .multiply(when(isPartner && col("k") < 4 * nPlanted, lit(3.0)).otherwise(lit(1.0)))
+          .plus(when(isPartner && col("k") < 4 * nPlanted, lit(40.0)).otherwise(lit(0.0)))
           .as("value"))
       .cache()
     rows.count()
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (found, sec) = time {
-      Sax.saxScreen(rows, w = 8, minLen = 10, minOverlap = 10, topK = nPlanted.toInt * 2)
+    def run(cap: Int): ((Long, Long), Double) = time {
+      val pairs = Sax.saxScreen(rows, w = 8, minLen = 10, minOverlap = 10,
+          topK = nPlanted.toInt * 4, maxBucket = cap)
         .filter(col("correlation") >= 0.999)
         .select(col("key_a"), col("key_b")).collect()
-        .count { r =>
-          val a = r.getString(0).drop(1).toLong; val b = r.getString(1).drop(1).toLong
-          a / 2 == b / 2 && a < 2 * nPlanted
-        }
+        .map(r => (r.getString(0).drop(1).toLong, r.getString(1).drop(1).toLong))
+        .filter { case (a, b) => a / 2 == b / 2 }
+      (pairs.count(_._1 < 2 * nPlanted).toLong,
+        pairs.count { case (a, _) => a >= 2 * nPlanted && a < 4 * nPlanted }.toLong)
     }
+    val ((sCap, iCap), secCapped) = run(64)
+    val ((s0, i0), sec) = run(0)
     println(
-      s"""{"workload":{"keys":$nKeys,"days":$len,"planted":$nPlanted,"w":8},
+      s"""{"workload":{"keys":$nKeys,"days":$len,"planted_structured":$nPlanted,
+         |"planted_iid":$nPlanted,"w":8},
          |"sax_screen":{"sec":$sec,"keys_per_s":${(nKeys / sec).toLong},
-         |"planted_found":$found,"planted_recall":${found.toDouble / nPlanted}}}"""
+         |"recall_structured":${s0.toDouble / nPlanted},"recall_iid":${i0.toDouble / nPlanted}},
+         |"sax_screen_cap64":{"sec":$secCapped,"keys_per_s":${(nKeys / secCapped).toLong},
+         |"recall_structured":${sCap.toDouble / nPlanted},"recall_iid":${iCap.toDouble / nPlanted}}}"""
         .stripMargin.replace("\n", ""))
     rows.unpersist()
   }
