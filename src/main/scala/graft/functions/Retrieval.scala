@@ -183,7 +183,12 @@ object Retrieval {
 
   /** Serve BM25 from a stored index: same scorer as [[bm25TopK]]
     * ([[bm25FromParts]]), postings/stats from the committed batch
-    * dirs. Throws if no batch has committed at `root`. */
+    * dirs. A batch counts only when BOTH its postings and its stats
+    * dirs committed (id intersection) — a crash between the two
+    * writes of [[appendToIndex]] leaves that batch wholly invisible
+    * (never a half-applied view where the postings score against
+    * stats that don't include them), and the replay overwrites both
+    * sides. Throws if no batch has committed at `root`. */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
@@ -192,11 +197,68 @@ object Retrieval {
       queryCol: String,
       k: Int): DataFrame = {
     import graft.streaming.StateStore
+    val ids = StateStore.committedBatchIds(spark, s"$root/postings")
+      .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
     def part(name: String) = StateStore
-      .readCommittedBatchDirs(spark, s"$root/$name")
+      .readBatchDirsById(spark, s"$root/$name", ids)
       .getOrElse(throw new IllegalStateException(
-        s"no committed index at $root/$name — run buildIndex first"))
+        s"no fully-committed index batch at $root — run buildIndex first"))
     bm25FromParts(part("postings"), part("stats"), queries, queryIdCol, queryCol, k)
+  }
+
+  /** Exact phrase search over POSITIONAL postings: for each phrase,
+    * every document containing its tokens consecutively, with the
+    * occurrence count and first position. The retrieval-grade form of
+    * the d19/d48 contamination audits — "which training docs contain
+    * this eval sentence verbatim" — and the capability BM25's
+    * bag-of-words scoring cannot express.
+    *
+    * Plan: one positional postings table (doc, term, pos — posexplode,
+    * no aggregation needed), phrase terms with their offsets broadcast
+    * against it, and the classic anchor trick: a posting for offset-j
+    * term at position p witnesses a candidate occurrence anchored at
+    * p − j, so an occurrence is an anchor where ALL |phrase| offsets
+    * are witnessed — one partial-aggregated groupBy(phrase, doc,
+    * anchor) HAVING count(DISTINCT offset) = |phrase|. Only postings
+    * of phrase terms are touched (the inverted-index discipline);
+    * repeated tokens inside a phrase are handled by counting DISTINCT
+    * offsets, and anchors < 0 are dropped. All-integer — bit-exact by
+    * construction. Output: (phrase_id, phrase, doc_id, n_occurrences,
+    * first_pos) with 0-based positions. */
+  def phraseSearch(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      minOccurrences: Int = 1): DataFrame = {
+    val postings = docs
+      .select(col(docIdCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+    val pTerms = phrases
+      .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
+        posexplode(TextFunctions.tokens(col(phraseCol))).as(Seq("off", "pterm")))
+    val pLen = pTerms.groupBy(col("phrase_id").as("pid"))
+      .agg(countDistinct(col("off")).as("p_len"))
+    val pSide = pTerms.join(broadcast(pLen), col("phrase_id") === col("pid")).drop("pid")
+    postings
+      .join(broadcast(pSide), col("term") === col("pterm"))
+      .select(col("phrase_id"), col("phrase"), col("p_len"), col("doc_id"),
+        col("off"), (col("pos") - col("off")).cast("long").as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("phrase_id"), col("phrase"), col("p_len"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .filter(col("n_off") === col("p_len"))
+      .groupBy(col("phrase_id"), col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("anchor")).as("first_pos"))
+      .filter(col("n_occurrences") >= minOccurrences)
+      .select(
+        col("phrase_id").as(phraseIdCol),
+        col("phrase").as(phraseCol),
+        col("doc_id"),
+        col("n_occurrences"),
+        col("first_pos"))
   }
 
   /** Jaccard term-overlap top-`k`: ranks documents by

@@ -277,6 +277,22 @@ object TextQueries {
           q, "query_id", "query", 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // exact phrase occurrences over positional postings — the
+    // contamination-audit form of retrieval ("which docs contain this
+    // eval sentence verbatim"). Phrase 1 repeats a token (distinct-
+    // offset counting), 3 is a 4-gram, 4 is a single term, 5 never
+    // occurs (absent from the output)
+    "d70_phrase" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"),
+        (4L, "vector"),
+        (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
+      graft.functions.Retrieval
+        .phraseSearch(docs(s, dir), "text", "doc_id", ph, "phrase_id", "phrase")
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1863,6 +1879,48 @@ object TextQueries {
          |SELECT query_id, query, doc_id, n_terms_matched,
          |       round(su::DOUBLE / 1e6, 6) AS score, rank
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // d70: positional postings via DuckDB's zipped parallel UNNESTs,
+    // the same anchor trick (a posting for offset-j at position p
+    // witnesses anchor p−j; an occurrence = an anchor with ALL
+    // distinct offsets witnessed) — all-integer, bit-exact
+    "d70_phrase" ->
+      s"""WITH ph(phrase_id, phrase) AS (
+         |  SELECT * FROM (VALUES
+         |    (1::BIGINT, 'table table'),
+         |    (2::BIGINT, 'fast table'),
+         |    (3::BIGINT, 'key agg row scan'),
+         |    (4::BIGINT, 'vector'),
+         |    (5::BIGINT, 'spark missingterm')) v(phrase_id, phrase)
+         |), dt AS (
+         |  SELECT doc_id, $toks AS toks FROM documents
+         |), post AS (
+         |  SELECT doc_id, UNNEST(toks) AS term,
+         |         UNNEST(range(0, len(toks))) AS pos
+         |  FROM dt
+         |), pt AS (
+         |  SELECT phrase_id, phrase,
+         |         UNNEST(string_split_regex(lower(trim(phrase)), '\\s+')) AS pterm,
+         |         UNNEST(range(0, len(string_split_regex(lower(trim(phrase)), '\\s+')))) AS off
+         |  FROM ph
+         |), plen AS (
+         |  SELECT phrase_id, COUNT(DISTINCT off)::BIGINT AS p_len FROM pt GROUP BY 1
+         |), hits AS (
+         |  SELECT pt.phrase_id, pt.phrase, pl.p_len, p.doc_id, pt.off,
+         |         (p.pos - pt.off)::BIGINT AS anchor
+         |  FROM post p
+         |  JOIN pt ON p.term = pt.pterm
+         |  JOIN plen pl ON pl.phrase_id = pt.phrase_id
+         |  WHERE p.pos - pt.off >= 0
+         |), occ AS (
+         |  SELECT phrase_id, phrase, p_len, doc_id, anchor,
+         |         COUNT(DISTINCT off) AS n_off
+         |  FROM hits GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT phrase_id, phrase, doc_id,
+         |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
+         |FROM occ WHERE n_off = p_len
+         |GROUP BY 1, 2, 3
+         |ORDER BY phrase_id, doc_id""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -192,6 +192,30 @@ object StateStore {
     df.write.mode("overwrite").parquet(target.toString)
   }
 
+  /** Committed batch ids under `root`, ascending. For multi-table state
+    * whose tables commit per batch independently (e.g. the BM25 index's
+    * postings + stats), readers intersect each table's ids so a crash
+    * BETWEEN the two writes of one batch never yields a half-applied
+    * view — the torn batch is simply not in the intersection, and the
+    * replay overwrites both sides. */
+  def committedBatchIds(spark: SparkSession, root: String): Seq[Long] = {
+    guardLegacyState(spark, root)
+    dirsWithPrefix(spark, root, "b", committedOnly = true)
+      .map(_.getName.drop(1).toLong)
+  }
+
+  /** The named committed batch dirs under `root` as one multi-path
+    * relation; `None` for an empty id list. Ids must come from
+    * [[committedBatchIds]] (no existence re-check here). */
+  def readBatchDirsById(
+      spark: SparkSession,
+      root: String,
+      ids: Seq[Long]): Option[DataFrame] = {
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(
+      ids.map(id => new Path(root, batchDir(id)).toString): _*))
+  }
+
   /** Union of committed batch dirs under `root` as one multi-path
     * relation; `None` when no batch has committed yet (or none survive
     * the bound). `beforeBatch` excludes dirs at or after that batch id:

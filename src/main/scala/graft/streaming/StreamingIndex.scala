@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Retrieval
+
+/** Continuous full-text index ingestion: each micro-batch of documents
+  * lands as one committed batch of the persistent BM25 index
+  * ([[graft.functions.Retrieval.appendToIndex]]) — the always-on form
+  * of the build/append workflow, for a corpus that arrives as a stream
+  * (crawl output, curation pipeline tail). Queries serve from
+  * [[graft.functions.Retrieval.bm25FromIndex]] at any time and see
+  * exactly the fully-committed prefix of the stream.
+  *
+  * Durability is structural rather than stamped: the index IS a
+  * batch-dir table, so exactly-once falls out of the layout — a
+  * replayed micro-batch overwrites its own two dirs (idempotent), a
+  * torn write has no `_SUCCESS`, and a crash BETWEEN the postings and
+  * stats writes leaves that batch out of the serve path's id
+  * intersection until the replay completes it (RetrievalIndexSpec).
+  * No fold, no stamp, no version chain — per-batch postings are
+  * doc-disjoint and the stats row is additive, so batches never touch
+  * each other's state.
+  *
+  * Upstream contract: doc ids must be unique across the stream's
+  * lifetime (each doc indexed once). Dedup is its own operator —
+  * chain [[StreamingDedup]] in front when the stream can repeat
+  * content. */
+object StreamingIndex {
+
+  def start(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      indexRoot: String,
+      checkpoint: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Retrieval.appendToIndex(batch, textCol, docIdCol, indexRoot, batchId)
+        }
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+}

@@ -63,6 +63,25 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       qs, "query_id", "query", 5)))
   }
 
+  test("a batch committed on only ONE side (postings without stats) is wholly invisible") {
+    // a crash BETWEEN appendToIndex's two writes commits postings b1
+    // but not stats b1 — the id-intersection read must not show a
+    // half-applied view (postings scored against stats that don't
+    // include them)
+    val root = tmp()
+    Retrieval.buildIndex(base, "text", "doc_id", root)
+    val before = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    val (postings, _) = Retrieval.indexParts(batch, "text", "doc_id")
+    graft.streaming.StateStore.writeBatchDir(postings, s"$root/postings", 1L)
+    val after = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    assert(after == before)
+    // the replay completes both sides and the batch becomes visible
+    Retrieval.appendToIndex(batch, "text", "doc_id", root, batchId = 1L)
+    assert(rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5)) ==
+      rows(Retrieval.bm25TopK(base.unionByName(batch), "text", "doc_id",
+        qs, "query_id", "query", 5)))
+  }
+
   test("serving an unbuilt index fails loudly") {
     val e = intercept[IllegalStateException] {
       Retrieval.bm25FromIndex(spark, tmp(), qs, "query_id", "query", 5).collect()

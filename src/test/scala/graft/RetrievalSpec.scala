@@ -83,6 +83,31 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.toSeq == Seq((3L, 1L)))
   }
 
+  test("phraseSearch matches a naive sliding-window scan, including overlaps") {
+    val phrases = Seq((1L, "hash hash"), (2L, "table scan"), (3L, "spark hash join"),
+      (4L, "join"), (5L, "scan hash"))
+    val out = Retrieval.phraseSearch(corpus, "text", "doc_id",
+        phrases.toDF("phrase_id", "phrase"), "phrase_id", "phrase")
+      .select($"phrase_id", $"doc_id", $"n_occurrences", $"first_pos")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (p, d, n, f) => (p, d) -> (n, f) }.toMap
+    val docToks = Map(
+      1L -> "spark hash join fast", 2L -> "hash hash hash table scan",
+      3L -> "slow table scan over rows", 4L -> "spark spark spark spark",
+      5L -> "merge sort join table").map { case (k, v) => k -> v.split(" ").toSeq }
+    val want = (for {
+      (pid, ph) <- phrases; pt = ph.split(" ").toSeq
+      (did, toks) <- docToks
+      anchors = (0 to toks.size - pt.size).filter(a => toks.slice(a, a + pt.size) == pt)
+      if anchors.nonEmpty
+    } yield (pid, did) -> ((anchors.size.toLong, anchors.min.toLong))).toMap
+    assert(out == want, s"got=$out want=$want")
+    // the overlap case really happened: 'hash hash' twice in doc 2
+    assert(out((1L, 2L)) == ((2L, 0L)))
+    // and the no-match ordering case: 'scan hash' occurs nowhere
+    assert(!out.keys.exists(_._1 == 5L))
+  }
+
   test("jaccardTopK matches hand-computed distinct-token overlap ratios") {
     // doc 2: toks {hash, table, scan}; query {hash, table}: nm=2, dn=3,
     // nq=2 → 2/3. docs 1 {spark, hash, join, fast} and 5 {merge, sort,

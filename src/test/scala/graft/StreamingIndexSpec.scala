@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.Retrieval
+import graft.streaming.StreamingIndex
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch parity for the streaming index: documents arriving over N
+  * micro-batches must serve the EXACT ranking of the same corpus
+  * indexed at once — the structural exactly-once of the batch-dir
+  * layout, end-to-end through a real stream. */
+class StreamingIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("index fed over micro-batches equals the one-shot batch index exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidx_ck").toString
+    val b1 = Seq((1L, "spark hash join fast"), (2L, "hash hash hash table scan"))
+    val b2 = Seq((3L, "slow table scan over rows"))
+    val b3 = Seq((4L, "spark spark spark spark"), (5L, "merge sort join table"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingIndex.start(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id", root, ckpt)
+    for (b <- Seq(b1, b2, b3)) { in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val qs = Seq((1L, "hash table"), (2L, "spark join")).toDF("query_id", "query")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"n_terms_matched", $"score", $"rank")
+        .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val streamed = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    val oneShot = rows(Retrieval.bm25TopK(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "text", "doc_id",
+      qs, "query_id", "query", 5))
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+  }
+}
