@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("d70: the phrase side broadcasts against positional postings; no nested loop") {
+    val p = plan("d70_phrase")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the postings side is never broadcast: the only broadcast
+    // exchanges feed from the 5-row phrase table's lineage, so a
+    // SortMergeJoin of postings against postings must not appear
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m39: SAX candidates come from a word equi-join, never a nested loop") {
+    val p = plan("m39_sax_screen")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("word"), p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)
