@@ -293,6 +293,28 @@ object TextQueries {
         .phraseSearch(docs(s, dir), "text", "doc_id", ph, "phrase_id", "phrase")
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // more-like-this: the REAL hybrid search — for each seed doc, the
+    // lexical ranking (BM25 with the seed's own text as the query,
+    // self dropped) fused by RRF with the semantic ranking (embedding
+    // cosine over the aligned vec_id space, d6's convention). The
+    // query-by-example expansion primitive a curation pipeline uses to
+    // grow a seed set
+    "d71_more_like_this" -> ((s, dir) => {
+      val seeds = Seq(7L, 123L, 321L)
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id").isin(seeds: _*))
+        .select(col("doc_id").as("query_id"), col("text").as("query"))
+      val lexical = graft.functions.Retrieval
+        .bm25TopK(d, "text", "doc_id", q, "query_id", "query", 21)
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = embs(s, dir)
+      val semantic = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id").isin(seeds: _*)), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      graft.functions.Retrieval.rrfFuse(Seq(lexical, semantic), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -912,14 +934,9 @@ object TextQueries {
     * → df/avgdl → micro-unit contributions → integer per-doc sums →
     * rank); d66 selects the ranking from `rk`, d67 folds metrics over
     * it (reusing `qt` for qrels and `dt` for the doc term sets). */
-  private val bm25Cte: String =
+  private def bm25CteWith(qSql: String): String =
     s"""WITH q(query_id, query) AS (
-       |  SELECT * FROM (VALUES
-       |    (1::BIGINT, 'hash join table'),
-       |    (2::BIGINT, 'spark fast scan'),
-       |    (3::BIGINT, 'slow batch merge dup'),
-       |    (4::BIGINT, 'vector column group sort'),
-       |    (5::BIGINT, 'dup missingterm')) v(query_id, query)
+       |  $qSql
        |), dt AS (
        |  SELECT doc_id, $toks AS toks FROM documents
        |), post AS (
@@ -957,6 +974,16 @@ object TextQueries {
        |         row_number() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
        |  FROM agg
        |)""".stripMargin
+
+  /** The fixed five-query batch shared by d66/d67/d68/d69. */
+  private val bm25Cte: String = bm25CteWith(
+    """SELECT * FROM (VALUES
+      |    (1::BIGINT, 'hash join table'),
+      |    (2::BIGINT, 'spark fast scan'),
+      |    (3::BIGINT, 'slow batch merge dup'),
+      |    (4::BIGINT, 'vector column group sort'),
+      |    (5::BIGINT, 'dup missingterm')) v(query_id, query)""".stripMargin)
+
   private def phash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private val enList = TF.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1921,6 +1948,44 @@ object TextQueries {
          |FROM occ WHERE n_off = p_len
          |GROUP BY 1, 2, 3
          |ORDER BY phrase_id, doc_id""".stripMargin,
+    // d71: the d66 pipeline re-parameterized with seed-doc texts as
+    // queries (lexical leg, self dropped after ranking), the d6 cosine
+    // convention for the semantic leg, the d68 RRF fold to fuse
+    "d71_more_like_this" ->
+      s"""${bm25CteWith("SELECT doc_id, text FROM documents WHERE doc_id IN (7, 123, 321)")}, lex AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1e6::DOUBLE / (60::DOUBLE + rank::DOUBLE)) AS BIGINT) AS cu
+         |  FROM rk WHERE rank <= 21 AND doc_id <> query_id
+         |), v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+         |), sem_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |         round(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * q.vec[i])) /
+         |               (sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.vec[i] * c.vec[i]))) *
+         |                sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.vec[i] * q.vec[i])))), 6) AS cos_sim
+         |  FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id IN (7, 123, 321)) q
+         |  WHERE c.vec_id <> q.vec_id
+         |), sem AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1e6::DOUBLE / (60::DOUBLE + rank::DOUBLE)) AS BIGINT) AS cu
+         |  FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, doc_id ASC)::BIGINT AS rank
+         |    FROM sem_scored)
+         |  WHERE rank <= 20
+         |), fused AS (
+         |  SELECT query_id, doc_id, SUM(cu)::BIGINT AS su, COUNT(*)::BIGINT AS n_lists
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) u
+         |  GROUP BY 1, 2
+         |), frk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY su DESC, doc_id ASC)::BIGINT AS rank
+         |  FROM fused
+         |)
+         |SELECT query_id, doc_id, n_lists,
+         |       round(su::DOUBLE / 1e6, 6) AS rrf_score, rank
+         |FROM frk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d8_lang_id" -> {
       def hits(l: String) = {
         val list = TF.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
