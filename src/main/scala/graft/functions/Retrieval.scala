@@ -370,8 +370,11 @@ object Retrieval {
     // identical libm the driver-side IDCG mirror below folds with
     def gainU(pos: Column): Column =
       round(lit(1e6) / (log(pos.cast("double") + lit(1.0)) / log(lit(2.0))), 0).cast("long")
+    // distinct: a duplicated qrel pair would fan out the left join
+    // below and overcount hits/DCG
     val rel = qrels.select(
-      col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"), lit(1L).as("rel"))
+      col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id")).distinct()
+      .withColumn("rel", lit(1L))
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val perQuery = ranked
       .select(col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"), col("rank"))

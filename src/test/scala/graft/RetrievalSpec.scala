@@ -162,6 +162,14 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2.isNullAt(4) && r2.isNullAt(6))
   }
 
+  test("rankingMetrics: duplicated qrel pairs don't fan out hits or DCG") {
+    val ranked = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 5L), (1L, 5L), (1L, 5L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingMetrics(ranked, qrels, "query_id", "doc_id", 2).collect().head
+    assert(r.getAs[Long]("n_rel") == 1L && r.getAs[Long]("hits") == 1L &&
+      r.getAs[Double]("recall_at_k") == 1.0 && r.getAs[Double]("ndcg_at_k") == 1.0)
+  }
+
   test("rankingMetrics: perfect ranking scores ndcg 1.0 and rr 1.0") {
     val ranked = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 5L), (1L, 6L)).toDF("query_id", "doc_id")
