@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -513,5 +513,58 @@ object TextFunctions {
           coalesce(col("sdot").cast("double") / (col("pa") * col("pb")), lit(0.0))
             / (col("na") * col("nb")), 6).as("est_cos"))
       .withColumn("abs_err", round(abs(col("est_cos") - col("cos")), 6))
+  }
+
+  /** PMI collocation extraction (Church & Hanks 1990, public paper):
+    * the top bigrams by pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) — the multiword-expression discovery pass
+    * a corpus analysis runs (for tokenizer vocab curation, boilerplate
+    * fingerprints, domain phrase inventories). `minCount` floors the
+    * bigram support (PMI is notoriously noisy on rare pairs).
+    *
+    * Scale shape: bigrams form ARRAY-side (`zip_with` against the
+    * token array's own tail — the d40 lesson: no positional self-join,
+    * no window) and collapse through one partial-aggregated groupBy;
+    * unigram counts join back on the term keys as shuffle equi-joins
+    * (the vocabulary is unbounded — never broadcast); T and B fall out
+    * of the two count tables as 1-row aggregates. The top-k is an
+    * orderBy+limit → TakeOrderedAndProject, never a global sort.
+    *
+    * Bit-exactness: all counts are exact integers; the PMI argument is
+    * computed in ONE pinned float order (c_ab·T·T) / (B·c_a·c_b)
+    * mirrored textually by the oracle, one ln (round-6 micro-stable,
+    * the d12 contract), ordering on round-6 PMI with (t1, t2)
+    * tie-breaks. */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    val uni = toks
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bgAll = toks
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .groupBy(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+    // B is the TOTAL bigram count — summed BEFORE the support floor,
+    // or P(ab) would be conditioned on "is a frequent pair"
+    val bg = bgAll.filter(col("c_ab") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("t_total"))
+      .crossJoin(bgAll.agg(sum(col("c_ab")).as("b_total")))
+    bg
+      .join(uni.select(col("term").as("t1"), col("c").as("c_a")), Seq("t1"))
+      .join(uni.select(col("term").as("t2"), col("c").as("c_b")), Seq("t2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log((col("c_ab").cast("double") * col("t_total").cast("double") * col("t_total").cast("double"))
+          / (col("b_total").cast("double") * col("c_a").cast("double") * col("c_b").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(topK)
+      .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
   }
 }

@@ -315,6 +315,12 @@ object TextQueries {
       graft.functions.Retrieval.rrfFuse(Seq(lexical, semantic), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // PMI collocations: top bigrams by pointwise mutual information
+    // with a support floor — multiword-expression discovery for
+    // tokenizer vocab curation / boilerplate fingerprinting
+    "d72_pmi" -> ((s, dir) => {
+      TF.pmiCollocations(docs(s, dir), "text", minCount = 5, topK = 50)
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1948,6 +1954,39 @@ object TextQueries {
          |FROM occ WHERE n_off = p_len
          |GROUP BY 1, 2, 3
          |ORDER BY phrase_id, doc_id""".stripMargin,
+    // d72: exact integer counts, the PMI argument in ONE pinned float
+    // order (cab·T·T)/(B·ca·cb), one ln, round-6 ordering with term
+    // tie-breaks; bigrams via zipped parallel UNNESTs of the two
+    // array slices
+    "d72_pmi" ->
+      s"""WITH dt AS (
+         |  SELECT $toks AS toks FROM documents
+         |), uni AS (
+         |  SELECT UNNEST(toks) AS term FROM dt
+         |), uc AS (
+         |  SELECT term, COUNT(*)::BIGINT AS c FROM uni GROUP BY 1
+         |), bgall AS (
+         |  SELECT t1, t2, COUNT(*)::BIGINT AS c_ab FROM (
+         |    SELECT UNNEST(toks[1:len(toks) - 1]) AS t1,
+         |           UNNEST(toks[2:len(toks)]) AS t2
+         |    FROM dt WHERE len(toks) >= 2
+         |  ) GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT (SELECT SUM(c) FROM uc)::BIGINT AS t_total,
+         |         (SELECT SUM(c_ab) FROM bgall)::BIGINT AS b_total
+         |), scored AS (
+         |  SELECT b.t1, b.t2, b.c_ab, a.c AS c_a, c.c AS c_b,
+         |         round(ln((b.c_ab::DOUBLE * t.t_total::DOUBLE * t.t_total::DOUBLE)
+         |                  / (t.b_total::DOUBLE * a.c::DOUBLE * c.c::DOUBLE)), 6) AS pmi
+         |  FROM bgall b
+         |  JOIN uc a ON a.term = b.t1
+         |  JOIN uc c ON c.term = b.t2
+         |  CROSS JOIN tot t
+         |  WHERE b.c_ab >= 5
+         |)
+         |SELECT t1, t2, c_ab, c_a, c_b, pmi FROM scored
+         |ORDER BY pmi DESC, t1 ASC, t2 ASC
+         |LIMIT 50""".stripMargin,
     // d71: the d66 pipeline re-parameterized with seed-doc texts as
     // queries (lexical leg, self dropped after ranking), the d6 cosine
     // convention for the semantic leg, the d68 RRF fold to fuse

@@ -478,4 +478,33 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
       r(3L).getAs[Long]("n_ips") == 0L)
     assert(r(3L).getAs[String]("red") == "No pii here, just words and the number 42.")
   }
+
+  test("pmiCollocations matches a naive count-based PMI, floors support, orders by PMI") {
+    val corpus = Seq(
+      "new york new york new york",
+      "new york is big",
+      "the the the the the",
+      "big apple big apple big apple new york").map(Tuple1(_)).toDF("text")
+    val got = TF.pmiCollocations(corpus, "text", minCount = 3, topK = 10)
+      .select($"t1", $"t2", $"c_ab", $"pmi").as[(String, String, Long, Double)]
+      .collect().toSeq
+    // naive twin
+    val toks = Seq("new york new york new york", "new york is big",
+      "the the the the the", "big apple big apple big apple new york")
+      .map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = toks.flatten.size.toDouble
+    val bgs = toks.flatMap(ts => ts.zip(ts.tail))
+    val bTot = bgs.size.toDouble
+    val bc = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = bc.filter(_._2 >= 3).map { case ((a, b2), cab) =>
+      (a, b2, cab,
+        math.rint(math.log(cab * t * t / (bTot * uni(a) * uni(b2))) * 1e6) / 1e6)
+    }.toSeq.sortBy { case (a, b2, _, p) => (-p, a, b2) }
+    assert(got == want, s"got=$got want=$want")
+    // 'new york' (always adjacent) must out-PMI 'the the' (self-pair of
+    // a frequent word) — the discrimination the measure exists for
+    val gm = got.map(r2 => (r2._1, r2._2) -> r2._4).toMap
+    assert(gm(("new", "york")) > gm(("the", "the")))
+  }
 }
