@@ -261,6 +261,47 @@ object Retrieval {
         col("first_pos"))
   }
 
+  /** Context snippets around each document's FIRST occurrence of a
+    * phrase: `window` tokens either side of the [[phraseSearch]] match,
+    * clamped to the document bounds — the context-window assembly step
+    * a RAG / decontamination-triage pipeline runs after the exact-match
+    * audit ("show me the hit in context"). One extra broadcast join of
+    * the (phrase, doc, first_pos) hit table back to the tokenized docs
+    * and an in-row `slice` — no further shuffle; all offsets are exact
+    * integers so the snippet strings are bit-stable. Output:
+    * (phrase_id, phrase, doc_id, first_pos, snippet_start, snippet). */
+  def snippets(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      window: Int): DataFrame = {
+    val hits = phraseSearch(docs, textCol, docIdCol, phrases, phraseIdCol, phraseCol)
+      .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
+        col("doc_id"), col("first_pos"))
+      .withColumn("p_len", size(TextFunctions.tokens(col("phrase"))).cast("long"))
+    val toks = docs.select(
+      col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    // hits ≤ |phrases|·|matched docs| — the small side by construction
+    toks
+      .join(broadcast(hits), Seq("doc_id"))
+      .withColumn("snippet_start", greatest(col("first_pos") - window, lit(0L)))
+      .withColumn("snippet", array_join(
+        slice(col("toks"),
+          (col("snippet_start") + 1).cast("int"),
+          (col("first_pos") - col("snippet_start") + col("p_len") + window).cast("int")),
+        " "))
+      .select(
+        col("phrase_id").as(phraseIdCol),
+        col("phrase").as(phraseCol),
+        col("doc_id"),
+        col("first_pos"),
+        col("snippet_start"),
+        col("snippet"))
+  }
+
   /** Jaccard term-overlap top-`k`: ranks documents by
     * |q ∩ d| / |q ∪ d| over DISTINCT tokens — the set-similarity
     * ranker that complements BM25 (no tf, no length prior; pure

@@ -315,6 +315,17 @@ object TextQueries {
       graft.functions.Retrieval.rrfFuse(Seq(lexical, semantic), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // context snippets around each doc's first phrase hit — the
+    // triage view after the d70 exact-match audit
+    "d73_snippets" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"))).toDF("phrase_id", "phrase")
+      graft.functions.Retrieval
+        .snippets(docs(s, dir), "text", "doc_id", ph, "phrase_id", "phrase", window = 3)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
     // PMI collocations: top bigrams by pointwise mutual information
     // with a support floor — multiword-expression discovery for
     // tokenizer vocab curation / boilerplate fingerprinting
@@ -991,6 +1002,41 @@ object TextQueries {
       |    (5::BIGINT, 'dup missingterm')) v(query_id, query)""".stripMargin)
 
   private def phash(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shared DuckDB replay of [[graft.functions.Retrieval.phraseSearch]]
+    * for a VALUES phrase list: positional postings (zipped parallel
+    * UNNESTs) + the anchor fold. Yields CTEs `dt(doc_id, toks)` and
+    * `occ(phrase_id, phrase, p_len, doc_id, anchor, n_off)` — an
+    * occurrence is a row with n_off = p_len. */
+  private def phraseCte(phraseValues: String): String =
+    s"""WITH ph(phrase_id, phrase) AS (
+       |  SELECT * FROM (VALUES
+       |    $phraseValues) v(phrase_id, phrase)
+       |), dt AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), post AS (
+       |  SELECT doc_id, UNNEST(toks) AS term,
+       |         UNNEST(range(0, len(toks))) AS pos
+       |  FROM dt
+       |), pt AS (
+       |  SELECT phrase_id, phrase,
+       |         UNNEST(string_split_regex(lower(trim(phrase)), '\\s+')) AS pterm,
+       |         UNNEST(range(0, len(string_split_regex(lower(trim(phrase)), '\\s+')))) AS off
+       |  FROM ph
+       |), plen AS (
+       |  SELECT phrase_id, COUNT(DISTINCT off)::BIGINT AS p_len FROM pt GROUP BY 1
+       |), hits AS (
+       |  SELECT pt.phrase_id, pt.phrase, pl.p_len, p.doc_id, pt.off,
+       |         (p.pos - pt.off)::BIGINT AS anchor
+       |  FROM post p
+       |  JOIN pt ON p.term = pt.pterm
+       |  JOIN plen pl ON pl.phrase_id = pt.phrase_id
+       |  WHERE p.pos - pt.off >= 0
+       |), occ AS (
+       |  SELECT phrase_id, phrase, p_len, doc_id, anchor,
+       |         COUNT(DISTINCT off) AS n_off
+       |  FROM hits GROUP BY 1, 2, 3, 4, 5
+       |)""".stripMargin
   private val enList = TF.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val shingleCte =
@@ -1917,43 +1963,38 @@ object TextQueries {
     // witnesses anchor p−j; an occurrence = an anchor with ALL
     // distinct offsets witnessed) — all-integer, bit-exact
     "d70_phrase" ->
-      s"""WITH ph(phrase_id, phrase) AS (
-         |  SELECT * FROM (VALUES
-         |    (1::BIGINT, 'table table'),
-         |    (2::BIGINT, 'fast table'),
-         |    (3::BIGINT, 'key agg row scan'),
-         |    (4::BIGINT, 'vector'),
-         |    (5::BIGINT, 'spark missingterm')) v(phrase_id, phrase)
-         |), dt AS (
-         |  SELECT doc_id, $toks AS toks FROM documents
-         |), post AS (
-         |  SELECT doc_id, UNNEST(toks) AS term,
-         |         UNNEST(range(0, len(toks))) AS pos
-         |  FROM dt
-         |), pt AS (
-         |  SELECT phrase_id, phrase,
-         |         UNNEST(string_split_regex(lower(trim(phrase)), '\\s+')) AS pterm,
-         |         UNNEST(range(0, len(string_split_regex(lower(trim(phrase)), '\\s+')))) AS off
-         |  FROM ph
-         |), plen AS (
-         |  SELECT phrase_id, COUNT(DISTINCT off)::BIGINT AS p_len FROM pt GROUP BY 1
-         |), hits AS (
-         |  SELECT pt.phrase_id, pt.phrase, pl.p_len, p.doc_id, pt.off,
-         |         (p.pos - pt.off)::BIGINT AS anchor
-         |  FROM post p
-         |  JOIN pt ON p.term = pt.pterm
-         |  JOIN plen pl ON pl.phrase_id = pt.phrase_id
-         |  WHERE p.pos - pt.off >= 0
-         |), occ AS (
-         |  SELECT phrase_id, phrase, p_len, doc_id, anchor,
-         |         COUNT(DISTINCT off) AS n_off
-         |  FROM hits GROUP BY 1, 2, 3, 4, 5
-         |)
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan'),
+               |    (4::BIGINT, 'vector'),
+               |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
          |SELECT phrase_id, phrase, doc_id,
          |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
          |FROM occ WHERE n_off = p_len
          |GROUP BY 1, 2, 3
          |ORDER BY phrase_id, doc_id""".stripMargin,
+    // d73: the d70 chain reduced to first hits, then an in-row list
+    // slice clamped to the doc bounds — integer offsets, bit-stable
+    // snippet strings
+    "d73_snippets" ->
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan')""".stripMargin)}, res AS (
+         |  SELECT phrase_id, phrase, p_len, doc_id, MIN(anchor)::BIGINT AS first_pos
+         |  FROM occ WHERE n_off = p_len
+         |  GROUP BY 1, 2, 3, 4
+         |), sn AS (
+         |  SELECT r.phrase_id, r.phrase, r.doc_id, r.first_pos, r.p_len,
+         |         GREATEST(r.first_pos - 3, 0)::BIGINT AS snippet_start, d.toks
+         |  FROM res r JOIN dt d ON d.doc_id = r.doc_id
+         |)
+         |SELECT phrase_id, phrase, doc_id, first_pos, snippet_start,
+         |       array_to_string(
+         |         toks[(snippet_start + 1)::INT : (first_pos + p_len + 3)::INT],
+         |         ' ') AS snippet
+         |FROM sn ORDER BY phrase_id, doc_id""".stripMargin,
     // d72: exact integer counts, the PMI argument in ONE pinned float
     // order (cab·T·T)/(B·ca·cb), one ln, round-6 ordering with term
     // tie-breaks; bigrams via zipped parallel UNNESTs of the two

@@ -108,6 +108,20 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!out.keys.exists(_._1 == 5L))
   }
 
+  test("snippets clamp the window at both document bounds") {
+    val ph = Seq((1L, "spark hash"), (2L, "table scan"), (3L, "merge sort")).toDF("phrase_id", "phrase")
+    val out = Retrieval.snippets(corpus, "text", "doc_id", ph, "phrase_id", "phrase", window = 2)
+      .select($"phrase_id", $"doc_id", $"first_pos", $"snippet_start", $"snippet")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // hit at position 0: start clamps to 0, tail extends 2 past the match
+    assert(out((1L, 1L)) == ((0L, 0L, "spark hash join fast")))
+    // hit at the end of doc 3 ('table scan' at 1): window truncates at the doc tail
+    assert(out((2L, 3L)) == ((1L, 0L, "slow table scan over rows")))
+    // hit at the very start of doc 5
+    assert(out((3L, 5L)) == ((0L, 0L, "merge sort join table")))
+  }
+
   test("jaccardTopK matches hand-computed distinct-token overlap ratios") {
     // doc 2: toks {hash, table, scan}; query {hash, table}: nm=2, dn=3,
     // nq=2 → 2/3. docs 1 {spark, hash, join, fast} and 5 {merge, sort,
