@@ -558,6 +558,18 @@ object MappingQueries {
           w = 4, minLen = 8, minOverlap = 10, topK = 50)
         .select(col("key_a"), col("key_b"), col("word"),
           col("correlation"), col("n_overlap"))
+    }),
+    // SAX discord screen (the HOT-SAX heuristic, Keogh et al. 2005):
+    // keys whose shape word is RAREST are the anomaly candidates — the
+    // inverse use of the m39 bucket join, same one-pass word table plus
+    // a partial-aggregated word count joined back
+    "m40_sax_discord" -> ((s, dir) => {
+      val words = Sax.saxWords(Tables.engagementSeries(s, dir), w = 6, minLen = 8)
+      val buckets = words.groupBy(col("word")).agg(count(lit(1)).as("bucket"))
+      words.join(buckets, Seq("word"))
+        .select(col("key"), col("word"), col("bucket"))
+        .orderBy(col("bucket").asc, col("key").asc)
+        .limit(25)
     })
   )
 
@@ -830,6 +842,15 @@ object MappingQueries {
     "m38_sax" ->
       s"""$seriesCte${saxCte(6)}
          |SELECT key, n, word FROM saxwords""".stripMargin,
+    // m40: rarest-word keys — the discord screen inverse of m39
+    "m40_sax_discord" ->
+      s"""$seriesCte${saxCte(6)}, buckets AS (
+         |  SELECT word, COUNT(*)::BIGINT AS bucket FROM saxwords GROUP BY 1
+         |)
+         |SELECT w.key, w.word, b.bucket
+         |FROM saxwords w JOIN buckets b ON b.word = w.word
+         |ORDER BY b.bucket ASC, w.key ASC
+         |LIMIT 25""".stripMargin,
     // m39: the word-bucket screen verified with the exact aligned corr —
     // m32's scoring restricted to same-word candidate pairs
     "m39_sax_screen" ->

@@ -1309,12 +1309,24 @@ object ScaleBench {
     val (nServed, serveSec) = time {
       Retrieval.bm25FromIndex(spark, root, queries, "query_id", "query", 10).count()
     }
+    // exact phrase audit at corpus scale: positional postings explode +
+    // anchor fold, restricted to phrase-term postings by the broadcast
+    val phrases = spark.range(5).select(
+      col("id").as("phrase_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(12)), lit(2000)))).as("phrase"))
+    val (nPhraseHits, phraseSec) = time {
+      Retrieval.phraseSearch(docs, "text", "doc_id", phrases, "phrase_id", "phrase").count()
+    }
     println(
       s"""{"workload":{"docs":$total,"queries":$nQueries,"k":10},
          |"rank":{"sec":$rankSec,"docs_per_s":${(total / rankSec).toLong},"rows":$nRanked},
          |"rank_plus_eval":{"sec":$evalSec,"mean_ndcg":$meanNdcg},
          |"index":{"build_sec":$buildSec,"append_sec":$appendSec,
-         |"serve_sec":$serveSec,"rows":$nServed}}"""
+         |"serve_sec":$serveSec,"rows":$nServed},
+         |"phrase":{"sec":$phraseSec,"docs_per_s":${(total / phraseSec).toLong},
+         |"hit_docs":$nPhraseHits}}"""
         .stripMargin.replace("\n", ""))
     docs.unpersist(); queries.unpersist()
   }
