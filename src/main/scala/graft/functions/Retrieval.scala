@@ -56,10 +56,8 @@ object Retrieval {
       queryIdCol: String,
       queryCol: String,
       k: Int): DataFrame = {
-    // tokenize once per doc; postings and stats share the projection
-    val toks = docs.select(
-      col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-    bm25FromParts(postingsOf(toks), statsOf(toks), queries, queryIdCol, queryCol, k)
+    val (postings, stats) = indexParts(docs, textCol, docIdCol)
+    bm25FromParts(postings, stats, queries, queryIdCol, queryCol, k)
       .withColumnRenamed("doc_id", docIdCol)
   }
 
@@ -153,7 +151,14 @@ object Retrieval {
     * row is additive, so append == full rebuild exactly (locked by
     * RetrievalIndexSpec). Cost is batch-proportional: nothing
     * re-tokenizes, nothing retrains, df/avgdl re-derive at query time
-    * from the unioned parts. */
+    * from the unioned parts.
+    *
+    * Replay contract: a batch id whose BOTH dirs already committed is
+    * skipped (a legitimate replay carries the same data, and an
+    * in-place rewrite would transiently delete committed files under a
+    * concurrent reader that already listed the id); a half-committed
+    * id — the crash-between-writes case — is completed, which races
+    * nothing because readers only see the id intersection. */
   def appendToIndex(
       batch: DataFrame,
       textCol: String,
@@ -161,11 +166,23 @@ object Retrieval {
       root: String,
       batchId: Long): Unit = {
     import graft.streaming.StateStore
-    val (postings, stats) = indexParts(batch, textCol, docIdCol)
-    StateStore.writeBatchDir(
-      postings.repartition(col("term")).sortWithinPartitions(col("term")),
-      s"$root/postings", batchId)
-    StateStore.writeBatchDir(stats, s"$root/stats", batchId)
+    val spark = batch.sparkSession
+    // A FULLY-committed batch id is a completed append: skip the
+    // rewrite. A replay only ever carries the same data, and rewriting
+    // a committed dir in place would DELETE its files (overwrite =
+    // delete-then-write) under any concurrent reader that already
+    // listed the id — the race the id-intersection read cannot see.
+    // Half-committed ids (crash between the two writes) are invisible
+    // to readers, so completing them here races nothing.
+    val done = StateStore.committedBatchIds(spark, s"$root/postings")
+      .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
+    if (!done.contains(batchId)) {
+      val (postings, stats) = indexParts(batch, textCol, docIdCol)
+      StateStore.writeBatchDir(
+        postings.repartition(col("term")).sortWithinPartitions(col("term")),
+        s"$root/postings", batchId)
+      StateStore.writeBatchDir(stats, s"$root/stats", batchId)
+    }
   }
 
   /** One batch's index contribution: (postings, additive stats row) —
@@ -284,9 +301,11 @@ object Retrieval {
       .withColumn("p_len", size(TextFunctions.tokens(col("phrase"))).cast("long"))
     val toks = docs.select(
       col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-    // hits ≤ |phrases|·|matched docs| — the small side by construction
+    // NOT broadcast: |hits| is |phrases|·|matched docs| — a frequent
+    // single-term phrase over a large corpus matches millions of docs,
+    // so the join strategy is left to AQE's runtime sizes
     toks
-      .join(broadcast(hits), Seq("doc_id"))
+      .join(hits, Seq("doc_id"))
       .withColumn("snippet_start", greatest(col("first_pos") - window, lit(0L)))
       .withColumn("snippet", array_join(
         slice(col("toks"),
@@ -397,7 +416,11 @@ object Retrieval {
     * established d12 contract) and DCG/IDCG are integer sums —
     * order-free — with one float division per ratio at the end.
     * Queries with an empty relevant set emit NULL recall/nDCG (0/0 has
-    * no honest value) and rr = 0. */
+    * no honest value) and rr = 0. A query with qrels but NO ranked
+    * rows at all (the ranker returned nothing) emits hits=0 /
+    * precision=0 / recall=0 / rr=0 / nDCG=0 rather than vanishing —
+    * dropping it would inflate averages exactly when the ranker fails
+    * hardest. */
   def rankingMetrics(
       ranked: DataFrame,
       qrels: DataFrame,
@@ -417,6 +440,10 @@ object Retrieval {
       col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id")).distinct()
       .withColumn("rel", lit(1L))
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    // FULL outer against the qrel queries: a query with labeled
+    // relevant docs but ZERO ranked rows must surface as hits=0 /
+    // recall=0 / rr=0 — silently dropping it would inflate averaged
+    // metrics exactly when the ranker fails hardest
     val perQuery = ranked
       .select(col(queryIdCol).as("query_id"), col(docIdCol).as("doc_id"), col("rank"))
       .filter(col("rank") <= k)
@@ -426,8 +453,10 @@ object Retrieval {
         sum(coalesce(col("rel"), lit(0L))).as("hits"),
         min(when(col("rel").isNotNull, col("rank"))).as("first_rel_rank"),
         sum(when(col("rel").isNotNull, gainU(col("rank"))).otherwise(lit(0L))).as("dcg_u"))
-      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(nRel), Seq("query_id"), "full_outer")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("dcg_u", coalesce(col("dcg_u"), lit(0L)))
     // IDCG: the best achievable DCG puts a relevant doc at every
     // position 1..min(n_rel, k) — a k-row lookup, prefix-summed
     import spark.implicits._

@@ -42,7 +42,10 @@ import org.apache.spark.sql.functions._
 object Sax {
 
   /** Standard SAX breakpoints for alphabet size 4: the N(0,1) quartile
-    * boundaries. Letter = # breakpoints strictly below z. */
+    * boundaries. Letter = # breakpoints at or below z (a z exactly ON a
+    * breakpoint takes the HIGHER letter — the code's `<` compares test
+    * z < bp, so equality falls through to the next branch; this is what
+    * makes the flat series' z = 0 read 'c'). */
   val breakpoints4: Seq[Double] = Seq(-0.6745, 0.0, 0.6745)
 
   /** Per-key SAX word table: (key, n, word) for every key with at
@@ -54,7 +57,13 @@ object Sax {
   def saxWords(series: DataFrame, w: Int, minLen: Int): DataFrame = {
     require(w >= 2, s"SAX needs at least 2 frames, got $w")
     require(minLen >= w, s"minLen ($minLen) must be >= w ($w) so no frame is empty")
-    val wOrd = Window.partitionBy(col("key")).orderBy(col("period"))
+    // tie-break duplicate periods on u: row_number over period alone
+    // would assign frame membership arbitrarily when a key carries two
+    // rows for one period (fine for the canonical deduped series, but
+    // this operator is public) — and two rows with equal (period, u)
+    // are interchangeable, so this order is a deterministic total
+    // order OF THE SUMS even when rows tie
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("period"), col("u"))
     val wAll = Window.partitionBy(col("key"))
     // integer centi-units; pos/n/moments all ride ONE key exchange
     val posed = series

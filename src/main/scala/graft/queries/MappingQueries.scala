@@ -617,7 +617,8 @@ object MappingQueries {
     s""", posed AS (
        |  SELECT key,
        |         CAST(round(v1 * 100::DOUBLE) AS BIGINT) AS u,
-       |         row_number() OVER (PARTITION BY key ORDER BY period) - 1 AS pos,
+       |         row_number() OVER (PARTITION BY key
+       |           ORDER BY period, CAST(round(v1 * 100::DOUBLE) AS BIGINT)) - 1 AS pos,
        |         COUNT(*) OVER (PARTITION BY key) AS n,
        |         SUM(CAST(round(v1 * 100::DOUBLE) AS BIGINT)) OVER (PARTITION BY key) AS s1,
        |         SUM(CAST(round(v1 * 100::DOUBLE) AS BIGINT)

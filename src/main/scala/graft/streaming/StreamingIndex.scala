@@ -40,9 +40,15 @@ object StreamingIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Retrieval.appendToIndex(batch, textCol, docIdCol, indexRoot, batchId)
-        }
+        // cache: the emptiness probe plus the postings and stats writes
+        // are three actions — without this the source is re-read and
+        // re-tokenized per action on the always-on path
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            Retrieval.appendToIndex(cached, textCol, docIdCol, indexRoot, batchId)
+          }
+        } finally cached.unpersist()
       }
     trigger.fold(writer)(writer.trigger).start()
   }

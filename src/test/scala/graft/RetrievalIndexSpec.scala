@@ -82,6 +82,17 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
         qs, "query_id", "query", 5)))
   }
 
+  test("replaying a FULLY-committed batch id is a no-op (committed files never deleted)") {
+    val root = tmp()
+    Retrieval.buildIndex(base, "text", "doc_id", root)
+    val before = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    // a replay carries the same data by contract; passing DIFFERENT
+    // data under the committed id proves the skip (nothing rewritten)
+    Retrieval.appendToIndex(batch, "text", "doc_id", root, batchId = 0L)
+    val after = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    assert(after == before)
+  }
+
   test("serving an unbuilt index fails loudly") {
     val e = intercept[IllegalStateException] {
       Retrieval.bm25FromIndex(spark, tmp(), qs, "query_id", "query", 5).collect()

@@ -184,6 +184,18 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       r.getAs[Double]("recall_at_k") == 1.0 && r.getAs[Double]("ndcg_at_k") == 1.0)
   }
 
+  test("rankingMetrics: a qrel query with ZERO ranked rows surfaces as all-zero, not dropped") {
+    val ranked = Seq((1L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 5L), (2L, 9L), (2L, 10L)).toDF("query_id", "doc_id")
+    val rows = Retrieval.rankingMetrics(ranked, qrels, "query_id", "doc_id", 3)
+      .orderBy($"query_id").collect()
+    assert(rows.length == 2, rows.mkString(", "))
+    val r2 = rows(1)
+    assert(r2.getLong(0) == 2L && r2.getAs[Long]("n_rel") == 2L && r2.getAs[Long]("hits") == 0L)
+    assert(r2.getAs[Double]("precision_at_k") == 0.0 && r2.getAs[Double]("recall_at_k") == 0.0)
+    assert(r2.getAs[Double]("rr") == 0.0 && r2.getAs[Double]("ndcg_at_k") == 0.0)
+  }
+
   test("rankingMetrics: perfect ranking scores ndcg 1.0 and rr 1.0") {
     val ranked = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 5L), (1L, 6L)).toDF("query_id", "doc_id")
