@@ -515,6 +515,34 @@ object TextFunctions {
       .withColumn("abs_err", round(abs(col("est_cos") - col("cos")), 6))
   }
 
+  /** Cross-document n-gram novelty: per doc, the fraction of its
+    * DISTINCT word n-gram shingles that appear in NO other document —
+    * the corpus-uniqueness signal a curation pipeline reads alongside
+    * the within-doc repetition metrics (d20) and the substring-dup
+    * screen (d30): low novelty = boilerplate/template mass; for docs
+    * that mirror a reference set it is the memorization-risk prior.
+    *
+    * Scale shape: one explode of per-doc distinct shingles, one
+    * partial-aggregated df count, one shuffle equi-join back on the
+    * shingle key (the shingle vocabulary is unbounded — never
+    * broadcast), one per-doc fold. All counts are exact integers; the
+    * single float division rounds to 6. */
+  def novelty(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    // sh is distinct per doc, so the count per shingle IS its document
+    // frequency
+    val dfv = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh
+      .join(dfv, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** PMI collocation extraction (Church & Hanks 1990, public paper):
     * the top bigrams by pointwise mutual information
     * ln(P(ab) / (P(a)·P(b))) — the multiword-expression discovery pass

@@ -332,6 +332,13 @@ object TextQueries {
     "d72_pmi" -> ((s, dir) => {
       TF.pmiCollocations(docs(s, dir), "text", minCount = 5, topK = 50)
     }),
+    // cross-document shingle novelty: corpus-uniqueness per doc — the
+    // complement of d20's within-doc repetition and d30's shared-
+    // substring screen
+    "d74_novelty" -> ((s, dir) => {
+      TF.novelty(docs(s, dir), "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"), col("novelty"))
+    }),
     // language-ID heuristic vs labeled lang: confusion counts
     "d8_lang_id" -> ((s, dir) => {
       docs(s, dir)
@@ -1995,6 +2002,25 @@ object TextQueries {
          |         toks[(snippet_start + 1)::INT : (first_pos + p_len + 3)::INT],
          |         ' ') AS snippet
          |FROM sn ORDER BY phrase_id, doc_id""".stripMargin,
+    // d74: per-doc distinct shingles (the shared 3-gram form) → df
+    // counts → df==1 fold; exact integers, one rounded division
+    "d74_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, greatest(len($toks) - 3, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 3], ' '))) AS shingles
+         |  FROM documents
+         |), ex AS (
+         |  SELECT doc_id, UNNEST(shingles) AS g FROM sh
+         |), dfv AS (
+         |  SELECT g, COUNT(*)::BIGINT AS df FROM ex GROUP BY 1
+         |)
+         |SELECT e.doc_id,
+         |       COUNT(*)::BIGINT AS n_shingles,
+         |       SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |       round(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS novelty
+         |FROM ex e JOIN dfv d ON d.g = e.g
+         |GROUP BY 1""".stripMargin,
     // d72: exact integer counts, the PMI argument in ONE pinned float
     // order (cab·T·T)/(B·ca·cb), one ln, round-6 ordering with term
     // tie-breaks; bigrams via zipped parallel UNNESTs of the two

@@ -479,6 +479,25 @@ class TextSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r(3L).getAs[String]("red") == "No pii here, just words and the number 42.")
   }
 
+  test("novelty: shared shingles score low, unique docs score 1.0, self-repeats don't inflate df") {
+    val corpus = Seq(
+      (1L, "a b c d e"),            // shares 'a b c'/'b c d' with doc 2
+      (2L, "a b c d x"),
+      (3L, "p q r s t"),            // fully unique
+      (4L, "m n o m n o m n o")     // self-repeating: distinct shingles still df=1
+    ).toDF("doc_id", "text")
+    val got = TF.novelty(corpus, "text", "doc_id", n = 3)
+      .select($"doc_id", $"n_shingles", $"n_novel", $"novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: shingles {abc, bcd, cde} — abc/bcd shared with doc 2 → 1/3
+    assert(got(1L) == ((1L, 3L, 1L, 0.333333)))
+    assert(got(2L) == ((2L, 3L, 1L, 0.333333)))
+    assert(got(3L) == ((3L, 3L, 3L, 1.0)))
+    // doc 4: distinct shingles {mno, nom, onm←no...} appear ONLY here —
+    // within-doc repetition must not make them look shared
+    assert(got(4L)._4 == 1.0)
+  }
+
   test("pmiCollocations matches a naive count-based PMI, floors support, orders by PMI") {
     val corpus = Seq(
       "new york new york new york",
