@@ -79,19 +79,35 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       sum(size(col("toks")).cast("long")).as("sum_dl"))
 
+  /** Per-batch document frequency (term, df_partial) of a postings
+    * batch. Batches are doc-disjoint (the append contract), so df is
+    * ADDITIVE across batches — the same exact-integer argument as
+    * `sum_dl` — which is what lets the serve path probe a
+    * vocabulary-sized table instead of paying a second postings scan
+    * per query batch (see [[bm25FromParts]]). */
+  def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df_partial"))
+
   /** The BM25 scorer over prepared parts: `postings` as from
     * [[postingsOf]] (one or many batches unioned — doc ids must be
     * unique across batches), `stats` as one or many additive
     * [[statsOf]] rows. This is the serve path of the persistent index
     * ([[bm25FromIndex]]) and the direct path ([[bm25TopK]]) — one
-    * scorer, so index parity is structural. */
+    * scorer, so index parity is structural.
+    *
+    * `dfRows` (optional): one or many additive [[dfOf]] tables. When
+    * given, per-term df is an exact integer fold of the stored partials
+    * — the SAME integer the postings scan would count, so scores are
+    * bit-identical — and the plan touches postings ONCE per query batch
+    * (the contribution join) instead of twice (df + contributions). */
   def bm25FromParts(
       postings: DataFrame,
       statsRows: DataFrame,
       queries: DataFrame,
       queryIdCol: String,
       queryCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      dfRows: Option[DataFrame] = None): DataFrame = {
     // fold per-batch stats additively, then one cast to double each —
     // bit-identical to the single-corpus aggregate
     val stats = statsRows.agg(
@@ -99,14 +115,21 @@ object Retrieval {
       sum(col("sum_dl")).cast("double").as("sum_dl"))
     // document frequency per term — restricted to query terms before it
     // is broadcast, so the plan carries |query vocabulary| rows of df,
-    // not the corpus vocabulary
+    // not the corpus vocabulary. With a stored df table the probe scans
+    // a vocabulary-sized relation; without one it falls back to the
+    // postings scan (identical integers either way).
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"), col(queryCol).as("query"),
         explode(TextFunctions.tokens(col(queryCol))).as("term"))
       .distinct()
-    val docFreq = postings
-      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docFreq = dfRows match {
+      case Some(df) => df
+        .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("term")).agg(sum(col("df_partial")).as("df"))
+      case None => postings
+        .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
     val contrib = postings
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(docFreq), Seq("term"))
@@ -153,12 +176,14 @@ object Retrieval {
     * re-tokenizes, nothing retrains, df/avgdl re-derive at query time
     * from the unioned parts.
     *
-    * Replay contract: a batch id whose BOTH dirs already committed is
-    * skipped (a legitimate replay carries the same data, and an
-    * in-place rewrite would transiently delete committed files under a
-    * concurrent reader that already listed the id); a half-committed
-    * id — the crash-between-writes case — is completed, which races
-    * nothing because readers only see the id intersection. */
+    * Replay contract: a batch id whose postings/stats/df dirs ALL
+    * committed is skipped (a legitimate replay carries the same data,
+    * and an in-place rewrite would transiently delete committed files
+    * under a concurrent reader that already listed the id); an id
+    * invisible to readers (postings or stats missing) is completed
+    * wholesale, which races nothing; an id that is visible but missing
+    * only its df dir gets JUST the df write, derived from the committed
+    * postings. */
   def appendToIndex(
       batch: DataFrame,
       textCol: String,
@@ -172,16 +197,36 @@ object Retrieval {
     // a committed dir in place would DELETE its files (overwrite =
     // delete-then-write) under any concurrent reader that already
     // listed the id — the race the id-intersection read cannot see.
-    // Half-committed ids (crash between the two writes) are invisible
-    // to readers, so completing them here races nothing.
-    val done = StateStore.committedBatchIds(spark, s"$root/postings")
+    // Ids invisible to readers (postings or stats missing — the crash-
+    // between-writes case) are completed wholesale, which races
+    // nothing. The in-between case — postings+stats committed, df torn
+    // — is VISIBLE (visibility is postings∩stats; df only shortcuts
+    // cost), so the replay completes ONLY the df dir, derived from the
+    // committed postings themselves.
+    val visible = StateStore.committedBatchIds(spark, s"$root/postings")
       .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
-    if (!done.contains(batchId)) {
+      .contains(batchId)
+    val dfDone = StateStore.committedBatchIds(spark, s"$root/df").contains(batchId)
+    if (visible && !dfDone) {
+      val stored = StateStore
+        .readBatchDirsById(spark, s"$root/postings", Seq(batchId)).get
+      StateStore.writeBatchDir(dfOf(stored), s"$root/df", batchId)
+    } else if (!visible) {
       val (postings, stats) = indexParts(batch, textCol, docIdCol)
-      StateStore.writeBatchDir(
-        postings.repartition(col("term")).sortWithinPartitions(col("term")),
-        s"$root/postings", batchId)
+      val stored = postings
+        .repartition(col("term")).sortWithinPartitions(col("term"))
+        // cache: the df fold below would otherwise re-run the whole
+        // tokenize → postings aggregation a second time at build time
+        .persist()
+      StateStore.writeBatchDir(stored, s"$root/postings", batchId)
       StateStore.writeBatchDir(stats, s"$root/stats", batchId)
+      // the additive per-term df table: batch VISIBILITY never depends
+      // on it (a crash before this write leaves postings+stats
+      // committed — the batch serves with postings-derived df, same
+      // integers), but a complete batch serves df from this
+      // vocabulary-sized table instead of a second postings pass
+      StateStore.writeBatchDir(dfOf(stored), s"$root/df", batchId)
+      stored.unpersist()
     }
   }
 
@@ -205,7 +250,14 @@ object Retrieval {
     * writes of [[appendToIndex]] leaves that batch wholly invisible
     * (never a half-applied view where the postings score against
     * stats that don't include them), and the replay overwrites both
-    * sides. Throws if no batch has committed at `root`. */
+    * sides. Throws if no batch has committed at `root`.
+    *
+    * df serving: when every visible batch also committed its df dir,
+    * per-term df probes the vocabulary-sized df table (one postings
+    * pass per query batch instead of two); any batch whose df write was
+    * torn demotes the WHOLE read to postings-derived df — correctness
+    * never depends on the df table, only cost does (a partial df fold
+    * would undercount df and silently inflate idf). */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
@@ -220,7 +272,12 @@ object Retrieval {
       .readBatchDirsById(spark, s"$root/$name", ids)
       .getOrElse(throw new IllegalStateException(
         s"no fully-committed index batch at $root — run buildIndex first"))
-    bm25FromParts(part("postings"), part("stats"), queries, queryIdCol, queryCol, k)
+    val dfIds = StateStore.committedBatchIds(spark, s"$root/df")
+    val dfRows =
+      if (ids.nonEmpty && ids.forall(dfIds.contains))
+        StateStore.readBatchDirsById(spark, s"$root/df", ids)
+      else None
+    bm25FromParts(part("postings"), part("stats"), queries, queryIdCol, queryCol, k, dfRows)
   }
 
   /** Exact phrase search over POSITIONAL postings: for each phrase,
@@ -240,8 +297,9 @@ object Retrieval {
     * of phrase terms are touched (the inverted-index discipline);
     * repeated tokens inside a phrase are handled by counting DISTINCT
     * offsets, and anchors < 0 are dropped. All-integer — bit-exact by
-    * construction. Output: (phrase_id, phrase, doc_id, n_occurrences,
-    * first_pos) with 0-based positions. */
+    * construction. Output: (phraseIdCol, phraseCol, docIdCol,
+    * n_occurrences, first_pos) with 0-based positions — the doc column
+    * keeps the caller's name, the bm25TopK/jaccardTopK convention. */
   def phraseSearch(
       docs: DataFrame,
       textCol: String,
@@ -249,10 +307,25 @@ object Retrieval {
       phrases: DataFrame,
       phraseIdCol: String,
       phraseCol: String,
+      minOccurrences: Int = 1): DataFrame =
+    phraseSearchFromPostings(
+      positionalIndexParts(docs, textCol, docIdCol),
+      phrases, phraseIdCol, phraseCol, docIdCol, minOccurrences)
+
+  /** The phrase scorer over prepared POSITIONAL postings (doc_id, pos,
+    * term) — one or many [[positionalIndexParts]] batches unioned (doc
+    * ids must be unique across batches; a doc's positions never span
+    * batches, so union == whole-corpus posexplode row-for-row and
+    * split-invariance is structural). Serve path of the persistent
+    * positional index ([[phraseSearchFromIndex]]) and the direct path
+    * ([[phraseSearch]]) — one scorer, same anchor trick. */
+  def phraseSearchFromPostings(
+      postings: DataFrame,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      docIdCol: String,
       minOccurrences: Int = 1): DataFrame = {
-    val postings = docs
-      .select(col(docIdCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
     val pTerms = phrases
       .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
         posexplode(TextFunctions.tokens(col(phraseCol))).as(Seq("off", "pterm")))
@@ -273,10 +346,138 @@ object Retrieval {
       .select(
         col("phrase_id").as(phraseIdCol),
         col("phrase").as(phraseCol),
-        col("doc_id"),
+        col("doc_id").as(docIdCol),
         col("n_occurrences"),
         col("first_pos"))
   }
+
+  // ---- persistent positional index (phrase search + snippets) -----------
+
+  /** One batch's positional-index contribution: POSITIONAL postings
+    * (doc_id, pos, term) — a pure posexplode, no aggregation, so the
+    * stored rows ARE the tokenized corpus (each doc is exactly
+    * reconstructible from its rows, which is what lets
+    * [[snippetsFromPostings]] assemble context windows without a
+    * separate forward index). Public so the split-invariance gate (d75/
+    * d76) and any external store can use the same parts. */
+  def positionalIndexParts(
+      batch: DataFrame,
+      textCol: String,
+      docIdCol: String): DataFrame =
+    batch.select(col(docIdCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Build a persistent POSITIONAL index at `root` — the write-once
+    * complement of [[buildIndex]] for the phrase/decontamination
+    * workload: [[phraseSearch]] pays the corpus tokenize on EVERY call,
+    * while a decontamination sweep audits the same corpus against
+    * thousands of eval sentences repeatedly; storing the positional
+    * postings once makes each audit a probe of phrase-term postings
+    * only. Postings are term-clustered (repartition + sort by term) so
+    * parquet min/max prunes row groups to the phrase vocabulary. */
+  def buildPositionalIndex(
+      docs: DataFrame, textCol: String, docIdCol: String, root: String): Unit =
+    appendToPositionalIndex(docs, textCol, docIdCol, root, batchId = 0L)
+
+  /** Append a batch of NEW documents (doc ids must not repeat across
+    * batches) to the positional index as batch `batchId`. Positional
+    * postings are per-doc rows, so doc-disjoint batches make append ==
+    * full rebuild EXACTLY (no cross-batch state at all — not even an
+    * additive stats row). Same replay contract as [[appendToIndex]]:
+    * a fully-committed id is skipped (rewriting a committed dir in
+    * place would transiently delete its files under a concurrent
+    * reader), a torn dir has no `_SUCCESS` and is invisible. */
+  def appendToPositionalIndex(
+      batch: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      root: String,
+      batchId: Long): Unit = {
+    import graft.streaming.StateStore
+    val spark = batch.sparkSession
+    val done = StateStore.committedBatchIds(spark, s"$root/postings")
+    if (!done.contains(batchId)) {
+      StateStore.writeBatchDir(
+        positionalIndexParts(batch, textCol, docIdCol)
+          .repartition(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"), col("pos")),
+        s"$root/postings", batchId)
+    }
+  }
+
+  private def positionalPostingsAt(
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import graft.streaming.StateStore
+    StateStore.readCommittedBatchDirs(spark, s"$root/postings")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed positional-index batch at $root — run " +
+          "buildPositionalIndex first"))
+  }
+
+  /** [[phraseSearch]] served from a stored positional index — identical
+    * output (same scorer over the same postings rows), corpus-tokenize
+    * cost paid once at build time instead of per audit. */
+  def phraseSearchFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      minOccurrences: Int = 1): DataFrame =
+    phraseSearchFromPostings(positionalPostingsAt(spark, root),
+      phrases, phraseIdCol, phraseCol, "doc_id", minOccurrences)
+
+  /** [[snippets]] served from POSITIONAL postings: the context window is
+    * REASSEMBLED from the stored (doc_id, pos, term) rows — tokens with
+    * pos in [snippet_start, first_pos + p_len + window), ordered by pos
+    * — so neither the audit nor the snippet assembly re-tokenizes the
+    * corpus. Bit-identical to [[snippets]]: the postings of a doc ARE
+    * its token sequence, and the position-range filter is exactly the
+    * direct path's clamped `slice`. The hit⋈postings join is a plain
+    * equi-join on doc_id deliberately left to AQE (the hit table is
+    * |phrases|·|matched docs| — unbounded, the [[snippets]] rule). */
+  def snippetsFromPostings(
+      postings: DataFrame,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      docIdCol: String,
+      window: Int): DataFrame = {
+    val hits = phraseSearchFromPostings(
+        postings, phrases, phraseIdCol, phraseCol, "doc_id")
+      .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
+        col("doc_id"), col("first_pos"))
+      .withColumn("p_len", size(TextFunctions.tokens(col("phrase"))).cast("long"))
+      .withColumn("snippet_start", greatest(col("first_pos") - window, lit(0L)))
+    postings
+      .join(hits, Seq("doc_id"))
+      .filter(col("pos") >= col("snippet_start") &&
+        col("pos") < col("first_pos") + col("p_len") + window)
+      .groupBy(col("phrase_id"), col("phrase"), col("doc_id"),
+        col("first_pos"), col("snippet_start"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")), " ").as("snippet"))
+      .select(
+        col("phrase_id").as(phraseIdCol),
+        col("phrase").as(phraseCol),
+        col("doc_id").as(docIdCol),
+        col("first_pos"),
+        col("snippet_start"),
+        col("snippet"))
+  }
+
+  /** [[snippets]] served from a stored positional index. */
+  def snippetsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      window: Int): DataFrame =
+    snippetsFromPostings(positionalPostingsAt(spark, root),
+      phrases, phraseIdCol, phraseCol, "doc_id", window)
 
   /** Context snippets around each document's FIRST occurrence of a
     * phrase: `window` tokens either side of the [[phraseSearch]] match,
@@ -285,8 +486,8 @@ object Retrieval {
     * audit ("show me the hit in context"). One extra broadcast join of
     * the (phrase, doc, first_pos) hit table back to the tokenized docs
     * and an in-row `slice` — no further shuffle; all offsets are exact
-    * integers so the snippet strings are bit-stable. Output:
-    * (phrase_id, phrase, doc_id, first_pos, snippet_start, snippet). */
+    * integers so the snippet strings are bit-stable. Output: (phraseIdCol,
+    * phraseCol, docIdCol, first_pos, snippet_start, snippet). */
   def snippets(
       docs: DataFrame,
       textCol: String,
@@ -297,7 +498,7 @@ object Retrieval {
       window: Int): DataFrame = {
     val hits = phraseSearch(docs, textCol, docIdCol, phrases, phraseIdCol, phraseCol)
       .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
-        col("doc_id"), col("first_pos"))
+        col(docIdCol).as("doc_id"), col("first_pos"))
       .withColumn("p_len", size(TextFunctions.tokens(col("phrase"))).cast("long"))
     val toks = docs.select(
       col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
@@ -315,7 +516,7 @@ object Retrieval {
       .select(
         col("phrase_id").as(phraseIdCol),
         col("phrase").as(phraseCol),
-        col("doc_id"),
+        col("doc_id").as(docIdCol),
         col("first_pos"),
         col("snippet_start"),
         col("snippet"))

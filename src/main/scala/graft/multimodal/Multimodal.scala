@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * steps as partition-wise batch functions.
   *
-  * The decode itself is STUBBED (this environment has no image/audio
-  * codecs): `decodeStub` derives a deterministic fake feature vector from
-  * the bytes. The Spark-side contract — schema, binary payload column,
-  * partition-wise batched execution, feature vector output — is real and
-  * tested; swap `decodeStub` for a JNI/codec call in production.
+  * The image leg decodes REAL PNGs (`javax.imageio`, x3) and the audio
+  * leg decodes REAL RIFF/WAV PCM (`javax.sound.sampled`, x4) — both
+  * JDK-native, no external codecs. Only VIDEO demuxing remains stubbed
+  * (no demuxer ships in the JDK): `decodeStub`/`sampleFrames` derive
+  * deterministic fake features/frames from the bytes, keeping the
+  * Spark-side contract — schema, binary payload column, partition-wise
+  * batched execution — real and tested; swap the byte-slice "decode"
+  * for a JNI/demuxer call in production.
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end; the
   * decode runs via `mapPartitions` so per-batch setup (codec init) is
@@ -160,6 +163,76 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---- real JDK-native audio codec (javax.sound.sampled: WAV) -----------
+
+  final case class WavStats(
+      doc_id: Long, n_samples: Long, sample_rate: Long,
+      sum_amp: Long, min_amp: Long, max_amp: Long)
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` ships in the
+    * JDK, so RIFF/WAV PCM needs no external codecs (closing the audio
+    * leg the same way x3 closed the image leg; video demux remains the
+    * one documented stub). The stream format and frame bytes come from
+    * the decoded WAV, amplitude stats from the decoded samples — exact
+    * integers, so the whole path is bit-contractable. */
+  def decodeWavStats(id: Long, payload: Array[Byte]): WavStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"id=$id: expected 8-bit mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    require(bytes.nonEmpty, s"id=$id: WAV stream decoded to zero samples")
+    var (sum, mn, mx) = (0L, 255L, 0L)
+    var i = 0
+    while (i < bytes.length) {
+      val a = bytes(i) & 0xff // 8-bit WAV is unsigned by the RIFF spec
+      sum += a
+      if (a < mn) mn = a
+      if (a > mx) mx = a
+      i += 1
+    }
+    WavStats(id, bytes.length.toLong, fmt.getSampleRate.toLong, sum, mn, mx)
+  }
+
+  /** Deterministic synthetic clip: every sample a pure closed-form
+    * function of (id, i) — so downstream decoded stats are independently
+    * recomputable by any engine WITHOUT a codec, the syntheticPng
+    * convention applied to audio. 8-bit unsigned mono PCM at 8 kHz (the
+    * 8-bit leg of the RIFF spec, which javax.sound writes natively). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (id % 40 + 8).toInt
+    val samples = Array.tabulate[Byte](n)(i => ((id * 31 + i * 17) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The full audio leg end-to-end: synthesize a deterministic WAV per
+    * row (stage 1), carry it through the plan as a real `binary` column,
+    * then DECODE it with the JDK audio stack and emit per-clip sample
+    * stats (stage 2). PCM is lossless, so the output equals the
+    * closed-form sample sums IFF the encoder and decoder both work on
+    * real RIFF bytes — that equality is the x4 oracle. Both stages are
+    * mapPartitions (codec state amortized per partition), zero shuffle. */
+  def audioSampleStats(df: DataFrame, idCol: String): Dataset[WavStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded: DataFrame = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .toDF("id", "payload")
+    encoded.select(col("id"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => decodeWavStats(id, bytes) })
   }
 
   /** The full image leg end-to-end: synthesize a deterministic PNG per

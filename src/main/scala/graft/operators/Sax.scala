@@ -151,8 +151,17 @@ object Sax {
     val cands = words.select(col("key").as("key_a"), col("word"))
       .join(words.select(col("key").as("key_b"), col("word")), Seq("word"))
       .filter(col("key_a") < col("key_b"))
-    val a = series.select(col("key").as("key_a"), col("period"), col("value").as("va"))
-    val b = series.select(col("key").as("key_b"), col("period"), col("value").as("vb"))
+    // duplicate (key, period) rows are AVERAGED before the verify join —
+    // without this, duplicates fan out the a⋈b join quadratically and
+    // bias both the correlation and n_overlap, while saxWords above
+    // deliberately tolerates them (tie-broken total order). On the
+    // canonical deduped series avg is the identity (one row per group),
+    // so the bit-exact contract is untouched; with real duplicates the
+    // verify becomes a well-defined per-period-mean correlation.
+    val dedup = series.groupBy(col("key"), col("period"))
+      .agg(avg(col("value")).as("v"))
+    val a = dedup.select(col("key").as("key_a"), col("period"), col("v").as("va"))
+    val b = dedup.select(col("key").as("key_b"), col("period"), col("v").as("vb"))
     cands
       .join(a, Seq("key_a"))
       .join(b, Seq("key_b", "period"))

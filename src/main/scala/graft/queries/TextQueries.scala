@@ -256,8 +256,10 @@ object TextQueries {
     // the incremental-index serve path: corpus split into base +
     // append batches (the buildIndex/appendToIndex layout, disk layer
     // spec-gated in RetrievalIndexSpec), scored from the UNIONED parts
-    // with additively-folded stats. Oracle = the WHOLE-corpus BM25
-    // replay — passing proves split-invariance bit-for-bit
+    // with additively-folded stats AND the additive per-term df tables
+    // (the vocabulary-sized probe — postings scanned once per query
+    // batch, not twice). Oracle = the WHOLE-corpus BM25 replay —
+    // passing proves split-invariance of all THREE parts bit-for-bit
     "d69_bm25_index" -> ((s, dir) => {
       val q = s.createDataFrame(Seq(
         (1L, "hash join table"),
@@ -274,7 +276,9 @@ object TextQueries {
       graft.functions.Retrieval.bm25FromParts(
           splits.map(_._1).reduce(_.unionByName(_)),
           splits.map(_._2).reduce(_.unionByName(_)),
-          q, "query_id", "query", 5)
+          q, "query_id", "query", 5,
+          dfRows = Some(splits.map(p => graft.functions.Retrieval.dfOf(p._1))
+            .reduce(_.unionByName(_))))
         .orderBy(col("query_id"), col("rank"))
     }),
     // exact phrase occurrences over positional postings — the
@@ -324,6 +328,50 @@ object TextQueries {
         (3L, "key agg row scan"))).toDF("phrase_id", "phrase")
       graft.functions.Retrieval
         .snippets(docs(s, dir), "text", "doc_id", ph, "phrase_id", "phrase", window = 3)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // the positional-index serve path for the phrase audit: corpus
+    // split into doc-disjoint batches (the buildPositionalIndex/append
+    // layout, disk layer spec-gated in PhraseIndexSpec), the d70 audit
+    // scored from the UNIONED positional postings — the corpus
+    // tokenize paid once at build, not per audit. Oracle = the WHOLE-
+    // corpus d70 replay — split invariance bit-for-bit
+    "d75_phrase_index" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"),
+        (4L, "vector"),
+        (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
+      val d = docs(s, dir)
+      val parts = Seq(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0),
+        d.filter(pmod(col("doc_id"), lit(3)) === 1),
+        d.filter(pmod(col("doc_id"), lit(3)) === 2))
+        .map(b => graft.functions.Retrieval.positionalIndexParts(b, "text", "doc_id"))
+        .reduce(_.unionByName(_))
+      graft.functions.Retrieval
+        .phraseSearchFromPostings(parts, ph, "phrase_id", "phrase", "doc_id")
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // index-served snippets: the context window REASSEMBLED from the
+    // stored positional postings (tokens in the clamped pos range,
+    // ordered by pos) — no re-tokenize in the audit OR the triage
+    // view. Oracle = the WHOLE-corpus d73 replay
+    "d76_snippets_index" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"))).toDF("phrase_id", "phrase")
+      val d = docs(s, dir)
+      val parts = Seq(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0),
+        d.filter(pmod(col("doc_id"), lit(3)) === 1),
+        d.filter(pmod(col("doc_id"), lit(3)) === 2))
+        .map(b => graft.functions.Retrieval.positionalIndexParts(b, "text", "doc_id"))
+        .reduce(_.unionByName(_))
+      graft.functions.Retrieval
+        .snippetsFromPostings(parts, ph, "phrase_id", "phrase", "doc_id", window = 3)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // PMI collocations: top bigrams by pointwise mutual information
@@ -947,6 +995,20 @@ object TextQueries {
           round(col("sum_r") / col("n_pixels"), 6).as("mean_r"),
           round(col("sum_g") / col("n_pixels"), 6).as("mean_g"),
           round(col("sum_b") / col("n_pixels"), 6).as("mean_b"))
+    }),
+    // REAL audio decode: per-doc deterministic 8-bit mono PCM clip
+    // synthesized with the JDK WAV encoder, carried as a binary column,
+    // decoded back with javax.sound.sampled, per-clip amplitude stats
+    // emitted. PCM is lossless, so the decoded stats equal the
+    // closed-form sample formula — which is exactly what the oracle
+    // recomputes codec-free; any encoder OR decoder fault breaks the
+    // equality. Zero shuffle (two fused mapPartitions stages).
+    "x4_audio_decode" -> ((s, dir) => {
+      Multimodal.audioSampleStats(docs(s, dir), "doc_id").toDF()
+        .select(
+          col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("sum_amp"), col("min_amp"), col("max_amp"),
+          round(col("sum_amp") / col("n_samples"), 6).as("mean_amp"))
     })
   )
 
@@ -1905,17 +1967,24 @@ object TextQueries {
          |    ON p.p <= LEAST(n.n_rel, 5)
          |  GROUP BY 1
          |)
-         |SELECT p.query_id,
+         |-- FULL join mirrors Spark's full_outer: a query with qrels but
+         |-- ZERO ranked rows must surface as hits=0 / recall=0 / rr=0 /
+         |-- ndcg=0 (unreachable under today's AND-relevance qrels, which
+         |-- guarantee ranked candidates, but the library explicitly
+         |-- supports the zero-ranked edge — so the gate replays it too)
+         |SELECT COALESCE(p.query_id, n.query_id) AS query_id,
          |       COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
-         |       p.hits,
-         |       round(p.hits::DOUBLE / 5, 6) AS precision_at_k,
-         |       CASE WHEN n.n_rel > 0 THEN round(p.hits::DOUBLE / n.n_rel, 6) END AS recall_at_k,
+         |       COALESCE(p.hits, 0)::BIGINT AS hits,
+         |       round(COALESCE(p.hits, 0)::DOUBLE / 5, 6) AS precision_at_k,
+         |       CASE WHEN n.n_rel > 0
+         |            THEN round(COALESCE(p.hits, 0)::DOUBLE / n.n_rel, 6) END AS recall_at_k,
          |       round(COALESCE(1.0::DOUBLE / p.first_rel_rank, 0::DOUBLE), 6) AS rr,
-         |       CASE WHEN n.n_rel > 0 THEN round(p.dcg_u::DOUBLE / i.idcg_u, 6) END AS ndcg_at_k
+         |       CASE WHEN n.n_rel > 0
+         |            THEN round(COALESCE(p.dcg_u, 0)::DOUBLE / i.idcg_u, 6) END AS ndcg_at_k
          |FROM pq p
-         |LEFT JOIN nrel n ON n.query_id = p.query_id
-         |LEFT JOIN idcg i ON i.query_id = p.query_id
-         |ORDER BY p.query_id""".stripMargin,
+         |FULL JOIN nrel n ON n.query_id = p.query_id
+         |LEFT JOIN idcg i ON i.query_id = COALESCE(p.query_id, n.query_id)
+         |ORDER BY 1""".stripMargin,
     // d68: both rankers replayed (BM25 from rk, Jaccard from the same
     // dt/qt), micro-unit RRF contributions, integer fused sums
     "d68_rrf_hybrid" ->
@@ -1985,6 +2054,42 @@ object TextQueries {
     // slice clamped to the doc bounds — integer offsets, bit-stable
     // snippet strings
     "d73_snippets" ->
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan')""".stripMargin)}, res AS (
+         |  SELECT phrase_id, phrase, p_len, doc_id, MIN(anchor)::BIGINT AS first_pos
+         |  FROM occ WHERE n_off = p_len
+         |  GROUP BY 1, 2, 3, 4
+         |), sn AS (
+         |  SELECT r.phrase_id, r.phrase, r.doc_id, r.first_pos, r.p_len,
+         |         GREATEST(r.first_pos - 3, 0)::BIGINT AS snippet_start, d.toks
+         |  FROM res r JOIN dt d ON d.doc_id = r.doc_id
+         |)
+         |SELECT phrase_id, phrase, doc_id, first_pos, snippet_start,
+         |       array_to_string(
+         |         toks[(snippet_start + 1)::INT : (first_pos + p_len + 3)::INT],
+         |         ' ') AS snippet
+         |FROM sn ORDER BY phrase_id, doc_id""".stripMargin,
+    // d75: the oracle is the WHOLE-corpus d70 replay — Spark scores
+    // from three doc-disjoint positional-postings splits, so equality
+    // IS the split-invariance proof for the positional index
+    "d75_phrase_index" ->
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan'),
+               |    (4::BIGINT, 'vector'),
+               |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
+         |SELECT phrase_id, phrase, doc_id,
+         |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
+         |FROM occ WHERE n_off = p_len
+         |GROUP BY 1, 2, 3
+         |ORDER BY phrase_id, doc_id""".stripMargin,
+    // d76: the d73 snippet replay — Spark reassembles the window from
+    // stored positional postings instead of slicing the token array;
+    // the strings must match byte-for-byte
+    "d76_snippets_index" ->
       s"""${phraseCte(
              """(1::BIGINT, 'table table'),
                |    (2::BIGINT, 'fast table'),
@@ -2504,6 +2609,21 @@ object TextQueries {
         |       round(sum_g::DOUBLE / n_pixels, 6) AS mean_g,
         |       round(sum_b::DOUBLE / n_pixels, 6) AS mean_b
         |FROM agg""".stripMargin,
+    // x4: the codec-free recomputation of the decoded amplitude stats —
+    // the Spark side round-trips every sample through real RIFF/WAV
+    // bytes (javax.sound encode → binary column → decode); this side
+    // just evaluates the closed-form sample function over 0..n-1
+    "x4_audio_decode" ->
+      """WITH sm AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 17) % 256 AS amp
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 40 + 8) - 1)) AS t(i)
+        |)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+        |       SUM(amp)::BIGINT AS sum_amp,
+        |       MIN(amp)::BIGINT AS min_amp, MAX(amp)::BIGINT AS max_amp,
+        |       round(SUM(amp)::DOUBLE / COUNT(*), 6) AS mean_amp
+        |FROM sm GROUP BY doc_id""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)

@@ -93,6 +93,42 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after == before)
   }
 
+  test("stored additive df table serves the EXACT scores of postings-derived df") {
+    val root = tmp()
+    Retrieval.buildIndex(base, "text", "doc_id", root)
+    Retrieval.appendToIndex(batch, "text", "doc_id", root, batchId = 1L)
+    // every batch committed its df dir → the serve path probes the df
+    // table (one postings pass); the direct path derives df from the
+    // postings scan — the integers must be identical
+    val ids = graft.streaming.StateStore.committedBatchIds(spark, s"$root/df")
+    assert(ids == Seq(0L, 1L), s"df dirs not committed per batch: $ids")
+    val fromIndex = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    val direct = rows(Retrieval.bm25TopK(base.unionByName(batch), "text", "doc_id",
+      qs, "query_id", "query", 5))
+    assert(fromIndex == direct)
+  }
+
+  test("a torn df dir demotes the read to postings-derived df — scores unchanged") {
+    // a crash AFTER postings+stats but BEFORE the df write: the batch
+    // is visible (postings∩stats) and must score exactly — a partial
+    // df fold would undercount df and inflate idf, so the whole read
+    // falls back to the postings scan until the replay completes df
+    val root = tmp()
+    Retrieval.buildIndex(base, "text", "doc_id", root)
+    val (postings, stats) = Retrieval.indexParts(batch, "text", "doc_id")
+    graft.streaming.StateStore.writeBatchDir(postings, s"$root/postings", 1L)
+    graft.streaming.StateStore.writeBatchDir(stats, s"$root/stats", 1L)
+    val fromIndex = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
+    val direct = rows(Retrieval.bm25TopK(base.unionByName(batch), "text", "doc_id",
+      qs, "query_id", "query", 5))
+    assert(fromIndex == direct)
+    // the replay completes the df dir and the probe path takes over,
+    // still exact
+    Retrieval.appendToIndex(batch, "text", "doc_id", root, batchId = 1L)
+    assert(graft.streaming.StateStore.committedBatchIds(spark, s"$root/df") == Seq(0L, 1L))
+    assert(rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5)) == direct)
+  }
+
   test("serving an unbuilt index fails loudly") {
     val e = intercept[IllegalStateException] {
       Retrieval.bm25FromIndex(spark, tmp(), qs, "query_id", "query", 5).collect()
