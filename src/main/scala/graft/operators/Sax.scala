@@ -129,7 +129,11 @@ object Sax {
     * deployment hunts: trending/seasonal co-movement tolerates a tight
     * cap; sub-frame-granularity correlation needs the uncapped screen
     * (or the m35 sign-LSH bands when the series are dense). 0 disables
-    * (the registered m39 form, so its oracle replays cap-free). */
+    * (the registered m39 form, so its oracle replays cap-free); the
+    * capped regime is registered as m41 with its own exact replay —
+    * the cap is pure integer bucket counting, so both forms are
+    * oracle-gated, and capped candidate pairs ⊆ uncapped by
+    * construction (asserted in SaxSpec). */
   def saxScreen(
       series: DataFrame,
       w: Int,

@@ -559,6 +559,17 @@ object MappingQueries {
         .select(col("key_a"), col("key_b"), col("word"),
           col("correlation"), col("n_overlap"))
     }),
+    // the CAPPED screen — the production regime for a web-scale key
+    // population (hot near-mean words otherwise create mega-buckets;
+    // the cap is a priced recall tradeoff, measured in ScaleBench sax).
+    // The cap is pure integer bucket counting, so it replays in DuckDB
+    // exactly like m39; capped candidate pairs ⊆ uncapped (SaxSpec)
+    "m41_sax_screen_capped" -> ((s, dir) => {
+      Sax.saxScreen(Tables.engagementSeries(s, dir),
+          w = 4, minLen = 8, minOverlap = 10, topK = 50, maxBucket = 8)
+        .select(col("key_a"), col("key_b"), col("word"),
+          col("correlation"), col("n_overlap"))
+    }),
     // SAX discord screen (the HOT-SAX heuristic, Keogh et al. 2005):
     // keys whose shape word is RAREST are the anomaly candidates — the
     // inverse use of the m39 bucket join, same one-pass word table plus
@@ -858,6 +869,31 @@ object MappingQueries {
       s"""$seriesCte${saxCte(4)}, cands AS (
          |  SELECT x.key AS key_a, y.key AS key_b, x.word
          |  FROM saxwords x JOIN saxwords y ON x.word = y.word AND x.key < y.key
+         |), pairs AS (
+         |  SELECT c.key_a, c.key_b, c.word,
+         |         corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap
+         |  FROM cands c
+         |  JOIN t1 a ON a.key = c.key_a
+         |  JOIN t1 b ON b.key = c.key_b AND b.period = a.period
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) >= 10
+         |)
+         |SELECT key_a, key_b, word, round(correlation, 6) AS correlation, n_overlap
+         |FROM pairs
+         |WHERE correlation IS NOT NULL AND NOT isnan(correlation)
+         |ORDER BY abs(round(correlation, 6)) DESC, key_a ASC, key_b ASC
+         |LIMIT 50""".stripMargin,
+    // m41: the m39 chain with the integer bucket-cap filter applied to
+    // the word table BEFORE the self-join — hot words never become
+    // join keys (the d50 rule), replayed with the same exact counting
+    "m41_sax_screen_capped" ->
+      s"""$seriesCte${saxCte(4)}, capped AS (
+         |  SELECT w.key, w.word FROM saxwords w
+         |  JOIN (SELECT word FROM saxwords GROUP BY word
+         |        HAVING COUNT(*) <= 8) s ON s.word = w.word
+         |), cands AS (
+         |  SELECT x.key AS key_a, y.key AS key_b, x.word
+         |  FROM capped x JOIN capped y ON x.word = y.word AND x.key < y.key
          |), pairs AS (
          |  SELECT c.key_a, c.key_b, c.word,
          |         corr(a.v1, b.v1) AS correlation, COUNT(*) AS n_overlap

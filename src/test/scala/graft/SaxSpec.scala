@@ -83,6 +83,53 @@ class SaxSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top._3 == 1.0)
   }
 
+  test("capped screen pairs are contained in the uncapped pairs and hot buckets are dropped") {
+    // 8 keys share one hot flat word ('cccc'); 2 planted ramps share a
+    // distinctive word. cap=4 must drop every hot-bucket pair and keep
+    // the planted pair; every surviving (pair, correlation) must appear
+    // IDENTICALLY in the uncapped output (the cap filters candidates,
+    // never changes a verified score). topK large enough that neither
+    // output truncates, so containment is over the full pair sets.
+    // all 8 hot keys share one SHAPE (scaled copies → identical word,
+    // SAX z-normalization is affine-invariant) so they pool in one
+    // bucket of 8; their pairwise corr is a well-defined 1.0
+    val hot = (1 to 8).flatMap { k =>
+      (1 to 12).map(i => (f"h$k%02d", f"2024-01-$i%02d", (5.0 + i % 3) * (1.0 + 0.01 * k)))
+    }
+    val planted = (1 to 12).flatMap { i =>
+      Seq(("pa", f"2024-01-$i%02d", 10.0 + i * 3), ("pb", f"2024-01-$i%02d", 100.0 + i * 7))
+    }
+    def pairs(maxBucket: Int) =
+      Sax.saxScreen(seriesDf(hot ++ planted), w = 4, minLen = 8,
+          minOverlap = 10, topK = 10000, maxBucket = maxBucket)
+        .select($"key_a", $"key_b", $"correlation")
+        .as[(String, String, Double)].collect().toSet
+    val (capped, uncapped) = (pairs(4), pairs(0))
+    assert(capped.subsetOf(uncapped), s"capped ⊄ uncapped: ${capped.diff(uncapped)}")
+    assert(capped.exists(p => (p._1, p._2) == ("pa", "pb")), s"planted pair lost: $capped")
+    assert(!capped.exists(_._1.startsWith("h")), s"hot bucket survived the cap: $capped")
+    assert(uncapped.exists(_._1.startsWith("h")))
+  }
+
+  test("duplicate (key, period) rows are averaged before the verify join, not fanned out") {
+    // 'dup' carries TWO rows per period whose mean equals 'clean's
+    // value; correlations against the deduplicated twin must match
+    // exactly and n_overlap must count PERIODS, not row combinations
+    val base = (1 to 12).map(i => 10.0 + i * 3)
+    val clean = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("ca", f"2024-01-${i + 1}%02d", v), ("cb", f"2024-01-${i + 1}%02d", v * 2 + 1)) }
+    val dup = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("da", f"2024-01-${i + 1}%02d", v - 1.0), ("da", f"2024-01-${i + 1}%02d", v + 1.0),
+        ("db", f"2024-01-${i + 1}%02d", v * 2 + 1)) }
+    val out = Sax.saxScreen(seriesDf(clean ++ dup), w = 4, minLen = 8,
+        minOverlap = 10, topK = 10000)
+      .select($"key_a", $"key_b", $"correlation", $"n_overlap")
+      .as[(String, String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("da", "db")) == ((1.0, 12L)), s"dup pair wrong: $out")
+    assert(out(("ca", "cb")) == ((1.0, 12L)))
+  }
+
   test("screen candidates are word-bucketed: output pairs share their word") {
     val rows = (1 to 30).flatMap { k =>
       (1 to 12).map(i => (f"k$k%02d", f"2024-01-$i%02d", ((k + i * k) % 17).toDouble))
