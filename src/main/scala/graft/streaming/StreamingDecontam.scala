@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Retrieval
+
+/** Continuous decontamination monitoring: each micro-batch of crawled
+  * documents is (1) appended to the persistent POSITIONAL index
+  * ([[graft.functions.Retrieval.appendToPositionalIndex]]) and (2)
+  * audited against a fixed eval-sentence list with the exact phrase
+  * search — verbatim hits land in the alert table under the batch's
+  * own partition. The always-on form of the d19/d48/d70 contamination
+  * audits: the check a training pipeline actually SCHEDULES, catching
+  * an eval sentence within one micro-batch of it entering the corpus
+  * instead of at the next full-corpus sweep. The accumulated index
+  * simultaneously serves ad-hoc triage at any time
+  * ([[graft.functions.Retrieval.snippetsFromIndex]] for hit contexts,
+  * or re-audits with a GROWN phrase list over all history).
+  *
+  * The batch is tokenized ONCE: the audit reads the batch's own
+  * positional postings back from the committed index dir it just wrote
+  * rather than re-running posexplode over the documents — the
+  * write-once discipline the positional index exists for, applied even
+  * inside a single micro-batch.
+  *
+  * Scale shape: per-batch cost is the batch's own postings probe —
+  * phrase terms broadcast (the eval list is small by construction:
+  * thousands of sentences), corpus side only the NEW docs — so the
+  * monitor's cost is batch-proportional regardless of accumulated
+  * corpus size, and nothing rescans history (a doc's contamination is
+  * a per-doc property; history was audited when it arrived).
+  *
+  * Durability/replay: the index append is the committed batch-dir
+  * layout (a replayed id is skipped, a torn dir is invisible —
+  * PhraseIndexSpec), and alerts dynamic-overwrite their own batch_id
+  * partition (the StreamingShift convention), so a replayed batch
+  * replaces rather than duplicates its hits. A crash BETWEEN the index
+  * write and the alert write replays cleanly: the append skips, the
+  * audit re-reads the committed postings, the alert partition is
+  * rewritten — both tables end as a single clean run's. */
+object StreamingDecontam {
+
+  def start(
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      indexRoot: String,
+      outPath: String,
+      checkpoint: String,
+      minOccurrences: Int = 1,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, textCol, docIdCol,
+          phrases, phraseIdCol, phraseCol, indexRoot, outPath, minOccurrences)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One micro-batch — package-private so StreamingDecontamSpec can
+    * replay a batch directly and assert both tables end as a single
+    * clean run's. */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      docIdCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      indexRoot: String,
+      outPath: String,
+      minOccurrences: Int): Unit = {
+    val spark = batch.sparkSession
+    // cache: the emptiness probe and the index append are two actions
+    // on the batch (the audit below reads the STORED postings, not the
+    // batch) — without this the source is re-read per action
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        Retrieval.appendToPositionalIndex(cached, textCol, docIdCol, indexRoot, batchId)
+        // audit THIS batch's postings only — read back from the dir the
+        // append just committed (or had already committed, on a replay)
+        val batchPostings = StateStore
+          .readBatchDirsById(spark, s"$indexRoot/postings", Seq(batchId))
+          .getOrElse(throw new IllegalStateException(
+            s"positional index batch $batchId missing at $indexRoot after append"))
+        val hits = Retrieval
+          .phraseSearchFromPostings(batchPostings, phrases,
+            phraseIdCol, phraseCol, docIdCol, minOccurrences)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint(true)
+        // empty guard: a clean batch must not leave a schema-less dir
+        if (!hits.isEmpty)
+          hits.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+      }
+    } finally cached.unpersist()
+  }
+}
