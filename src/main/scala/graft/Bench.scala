@@ -59,8 +59,14 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    // verifier tier (Gates.verifierTier): exact quadratic forms kept to
+    // gate their deployable twins — reported separately so the headline
+    // can be read as deployment plans vs verification-only plans
+    val deployTotal = steady.filterNot(q => Gates.verifierTier(q._1)).map(_._2).sum
+    val verifierJson = Gates.verifierTier.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
       s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,""" +
+      s""""deploy_value":$deployTotal,"verifier_tier":$verifierJson,""" +
       s""""loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
       s""""loadavg_end":${loadEnd.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)

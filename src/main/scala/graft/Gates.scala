@@ -23,4 +23,18 @@ object Gates {
     // bit-contract exists (COVERAGE.md round 5). Kept as the float
     // accuracy upper bound beside the bit-exact classifiers d63/d65.
     "d36_source_classifier")
+
+  /** VERIFIER-tier queries: intrinsically-quadratic exact forms kept in
+    * the registry to PROVE their deployable twins lossless (the
+    * screen-then-verify contract) — each names the gated twin that is
+    * the plan a deployment actually runs. Bench reports them separately
+    * so per-query timing totals distinguish deployment plans from
+    * verification-only plans; ContractSpec asserts every name is
+    * registered. */
+  val verifierTier: Set[String] = Set(
+    "d6_embed_topk", // brute-force ANN — twin: d7/d14 (IVF/LSH)
+    "d41_hard_negatives", // exact negatives — twin: d64 (ANN candidates)
+    "d50_setsim_join", // AllPairs/PPJoin vs brute oracle — twin: d3/d5
+    "d61_bitext_mining", // exact margin mining — twin: d62 (ANN)
+    "m32_pair_corr") // exact all-pairs corr — twins: m35 bands, m39/m41 SAX
 }

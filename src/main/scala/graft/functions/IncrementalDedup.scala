@@ -112,7 +112,47 @@ object IncrementalDedup {
     *
     * `corpusIndex` must have a long `fp` column (from [[shingleFps]] —
     * distinct is applied here). Exact semantics; the bloom is purely the
-    * scan-side prune. */
+    * scan-side prune.
+    *
+    * `assumeDistinctIndex`: callers whose index is distinct BY
+    * CONSTRUCTION (StreamingDedup's per-batch dirs land first-
+    * contributor fps only) skip the per-call distinct — on a stream
+    * that distinct is a full shuffle plus cache materialization of the
+    * ACCUMULATED index on EVERY micro-batch, the dominant super-
+    * constant cost the ScaleBench `stream` gate flagged. With it (and a
+    * `prebuiltBloom`) the accumulated index is only SCANNED, never
+    * shuffled. */
+  /** Per-doc dup stats from a PRECOMPUTED confirmed-dup fp table — the
+    * one-index-scan streaming path: the caller computes `existingFps` =
+    * (bloom-suspect batch fps ⋈ index) ONCE and derives both these
+    * stats and the first-contributor novel append from that same small
+    * set, so the accumulated index is scanned a single time per
+    * micro-batch. Bit-identical to [[passageDedupStats]] when
+    * `existingFps` is exactly the batch∩index fp set (the bloom only
+    * prunes fps that are definitely absent) — locked by
+    * StreamingDedupSpec's parity against the batch operator. */
+  def passageDedupStatsFromConfirmed(
+      batchFps: DataFrame,
+      existingFps: DataFrame,
+      dropAt: Double): DataFrame = {
+    val dup = batchFps
+      .join(broadcast(existingFps.select(col("fp"))), Seq("fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_shingles"))
+    batchFps
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(dup, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      .withColumn(
+        "dup_fraction",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+      .withColumn("keep", col("dup_fraction") < dropAt)
+  }
+
   def passageDedupStats(
       newDocs: DataFrame,
       corpusIndex: DataFrame,
@@ -123,13 +163,20 @@ object IncrementalDedup {
       dropAt: Double = 0.5,
       useBloom: Boolean = true,
       portable: Boolean = true,
-      prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
+      prebuiltBloom: Option[Array[Byte]] = None,
+      assumeDistinctIndex: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
     BloomMightContain.register(spark)
-    // the index is read three times (count, bloom build, semi-join) —
-    // cached like the LSH signature tables; in production it is a stored
-    // parquet table and this cache is the read of that table
-    val idx = corpusIndex.select(col("fp")).distinct().cache()
+    // the index is read up to three times (bloom sizing, bloom build,
+    // semi-join) — cached like the LSH signature tables; in production
+    // it is a stored parquet table and this cache is the read of that
+    // table. The distinct-by-construction path skips both the shuffle
+    // AND the cache: with a prebuilt bloom the index is read exactly
+    // once (the confirm join), and a columnar scan of a stored fp table
+    // is cheaper than materializing it into executor memory per batch.
+    val idx =
+      if (assumeDistinctIndex) corpusIndex.select(col("fp"))
+      else corpusIndex.select(col("fp")).distinct().cache()
 
     // cached: the (id, fp) table is read twice (per-doc totals + the
     // probe/verify branch) and the narrow post-projection rows are ~16

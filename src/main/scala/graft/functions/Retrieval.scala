@@ -44,6 +44,27 @@ object Retrieval {
   val k1 = 1.2
   val b = 0.75
 
+  /** Above this many distinct query/phrase terms the stored-postings
+    * scan filter is skipped: a giant literal IN array costs more than
+    * the row groups it prunes (the BloomPrune ≤64k-words lesson,
+    * applied conservatively). */
+  val maxTermPushdown = 10000
+
+  /** Literal-predicate pushdown for the index SERVE paths: the stored
+    * postings are term-clustered precisely so parquet min/max can prune
+    * row groups to the query/phrase vocabulary — but a broadcast JOIN
+    * alone never reaches the scan as a pushable filter, so the serve
+    * paths collect the (small by construction: a query batch or an
+    * eval-sentence list) distinct term set on the driver and plant it
+    * as an `isin` literal. Results are unchanged — every downstream
+    * join already restricts to these terms — only the scan shrinks. */
+  private def pruneToTerms(postings: DataFrame, termCol: DataFrame): DataFrame = {
+    val terms = termCol.distinct().collect().map(_.getString(0)).toSeq
+    if (terms.nonEmpty && terms.length <= maxTermPushdown)
+      postings.filter(col("term").isin(terms: _*))
+    else postings
+  }
+
   /** Top-`k` documents per query by BM25. `queries` is a small
     * (queryIdCol, queryCol) table; query terms are deduplicated (the
     * short-query convention: query tf is not modeled). Output:
@@ -277,7 +298,12 @@ object Retrieval {
       if (ids.nonEmpty && ids.forall(dfIds.contains))
         StateStore.readBatchDirsById(spark, s"$root/df", ids)
       else None
-    bm25FromParts(part("postings"), part("stats"), queries, queryIdCol, queryCol, k, dfRows)
+    // row-group pruning: plant the query vocabulary as a scan literal —
+    // the term-clustered layout only pays off if the filter REACHES the
+    // parquet scan, which the broadcast join alone never does
+    val qv = queries.select(explode(TextFunctions.tokens(col(queryCol))).as("term"))
+    bm25FromParts(pruneToTerms(part("postings"), qv), part("stats"),
+      queries, queryIdCol, queryCol, k, dfRows)
   }
 
   /** Exact phrase search over POSITIONAL postings: for each phrase,
@@ -423,9 +449,15 @@ object Retrieval {
       phrases: DataFrame,
       phraseIdCol: String,
       phraseCol: String,
-      minOccurrences: Int = 1): DataFrame =
-    phraseSearchFromPostings(positionalPostingsAt(spark, root),
+      minOccurrences: Int = 1): DataFrame = {
+    // row-group pruning: only phrase-term postings participate in the
+    // anchor fold, so the scan can be cut to the eval vocabulary as a
+    // literal predicate (NOT valid for snippetsFromIndex, whose window
+    // reassembly needs every term of the hit docs)
+    val pv = phrases.select(explode(TextFunctions.tokens(col(phraseCol))).as("term"))
+    phraseSearchFromPostings(pruneToTerms(positionalPostingsAt(spark, root), pv),
       phrases, phraseIdCol, phraseCol, "doc_id", minOccurrences)
+  }
 
   /** [[snippets]] served from POSITIONAL postings: the context window is
     * REASSEMBLED from the stored (doc_id, pos, term) rows — tokens with
@@ -435,7 +467,15 @@ object Retrieval {
     * its token sequence, and the position-range filter is exactly the
     * direct path's clamped `slice`. The hit⋈postings join is a plain
     * equi-join on doc_id deliberately left to AQE (the hit table is
-    * |phrases|·|matched docs| — unbounded, the [[snippets]] rule). */
+    * |phrases|·|matched docs| — unbounded, the [[snippets]] rule).
+    *
+    * When to use which (measured, PERF.md round 9): this path joins the
+    * FULL positional postings on doc_id — no term pushdown is valid
+    * here — so standalone it is SLOWER than [[snippets]]'s in-row slice
+    * (9.3 s vs 6.0 s at 2M docs). It wins when the audit already runs
+    * from the index and the doc text table is not at hand (the
+    * StreamingDecontam triage path), and it is the split-invariance
+    * gate for the stored layout (d76). */
   def snippetsFromPostings(
       postings: DataFrame,
       phrases: DataFrame,

@@ -34,6 +34,17 @@ import graft.functions.IncrementalDedup
   *     torn append could leave a truncated part-file that poisons every
   *     later read of the index, while a torn batch dir has no `_SUCCESS`
   *     and is invisible.
+  *   - Per-batch cost: the accumulated index is SCANNED exactly once
+  *     per micro-batch (bloom-suspect batch fps broadcast against it to
+  *     confirm true duplicates; the dup stats and the novel append both
+  *     derive from that one confirmed set) and is never shuffled,
+  *     distinct-ed, or cache-materialized — the ScaleBench `stream`
+  *     gate measured the earlier shape (per-batch distinct + full
+  *     shuffle anti-join) growing 2.2× over 100 batches. The single
+  *     columnar scan still grows with accumulated novel content — the
+  *     exact-confirm floor for a parquet-backed index (per-batch point
+  *     lookups need a KV store); deployments bound it by windowing or
+  *     compacting the index.
   *   - The bloom sketch is maintained INCREMENTALLY on the driver:
   *     batch partials are built distributed with the SAME geometry
   *     (`sizeFor = expectedTotalKeys`) and merged into the running
@@ -131,10 +142,36 @@ object StreamingDedup {
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos); bos.toByteArray
       }
+      // register on the BATCH's session: inside foreachBatch the micro-
+      // batch runs in the streaming query's cloned session, where the
+      // outer session's function registry is not visible
+      graft.functions.expressions.BloomMightContain.register(batch.sparkSession)
+      // the batch's (id, fp) shingle table — shared by the stats fold,
+      // the kept-doc projection, and the novel append; ONE tokenize
+      val batchFps = IncrementalDedup
+        .shingleFps(batch, textCol, idCol, shingleSize, portable)
+        .cache()
+      // THE one accumulated-index pass of this micro-batch: the
+      // bloom-suspect batch fps (small by construction — true dups +
+      // fpp; a bloom NEGATIVE is definitely absent, the sketch covers
+      // corpus ∪ all committed stream fps, a superset of the
+      // beforeBatch-bounded read) broadcast against the index to
+      // confirm which already exist. The per-doc dup counts AND the
+      // first-contributor novelty both derive from this one confirmed
+      // set, so the index is SCANNED once per batch and never shuffled
+      // or materialized — the previous shape (a per-batch distinct +
+      // cache inside passageDedupStats plus a full shuffle anti-join)
+      // was the super-constant growth the ScaleBench `stream` gate
+      // flagged. The scan itself still grows with the accumulated
+      // novel-fp volume: that is the exact-confirm floor (a per-batch
+      // point lookup needs a KV store, not a parquet table); bound it
+      // in deployment by windowing or compacting the index.
+      val suspects = batchFps.select(col("fp")).distinct().filter(
+        call_function("bloom_might_contain", lit(bloomBytes), col("fp")))
+      val existing = broadcast(suspects).join(idx, Seq("fp"))
+        .select(col("fp")).cache()
       val stats = IncrementalDedup
-        .passageDedupStats(batch, idx, textCol, idCol,
-          shingleSize = shingleSize, fpp = fpp, dropAt = dropAt,
-          portable = portable, prebuiltBloom = Some(bloomBytes))
+        .passageDedupStatsFromConfirmed(batchFps, existing, dropAt)
         .withColumn("batch_id", lit(batchId))
         .cache()
       if (!stats.isEmpty)
@@ -143,16 +180,13 @@ object StreamingDedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outPath)
-      // land the kept docs' NOVEL fps (anti-join: first-contributor
-      // only) in this batch's own committed dir, and extend the
-      // sketch with a geometry-compatible partial
-      val keptFps = IncrementalDedup
-        .shingleFps(
-          batch.join(
-            stats.filter(col("keep")).select(col("id").as(idCol)), Seq(idCol)),
-          textCol, idCol, shingleSize, portable)
+      // land the kept docs' NOVEL fps (first-contributor only) in this
+      // batch's own committed dir, and extend the sketch with a
+      // geometry-compatible partial
+      val keptFps = batchFps
+        .join(stats.filter(col("keep")).select(col("id")), Seq("id"), "left_semi")
         .select(col("fp")).distinct()
-        .join(idx, Seq("fp"), "left_anti")
+        .join(broadcast(existing), Seq("fp"), "left_anti")
         .cache()
       StateStore.writeBatchDir(keptFps, streamIdxPath, batchId)
       val newSketch = IncrementalDedup

@@ -1396,6 +1396,152 @@ object ScaleBench {
     rows.unpersist()
   }
 
+  /** Per-audit cost of the phrase/decontamination workload: the direct
+    * path ([[graft.functions.Retrieval.phraseSearch]]) re-tokenizes the
+    * corpus on EVERY audit; the positional index pays the tokenize once
+    * at build and each audit probes stored term-clustered postings.
+    * `nAudits` repeated audits model the real decontamination sweep
+    * (thousands of eval-sentence batches against one corpus).
+    * Usage: runMain graft.tools.ScaleBench phraseindex [nDocs] [nAudits] */
+  def phraseIndexMain(spark: SparkSession, nDocs: Long, nAudits: Int): Unit = {
+    import graft.functions.Retrieval
+    // the retrieval-mode corpus shape: 20 common-vocab + 10 rare tokens
+    val body = concat_ws(" ",
+      (0 until 20).map(j => concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))) ++
+        (0 until 10).map(j =>
+          concat(lit("r"), pmod(hash(col("id"), lit(100 + j)), lit(math.max(10L, nDocs / 10))))): _*)
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), body.as("text")).cache()
+    val total = docs.count()
+    // each audit uses ITS OWN phrase batch (distinct eval sentences per
+    // sweep) so no result can be cached across audits
+    def phrases(audit: Int) = spark.range(5).select(
+      col("id").as("phrase_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(10 + audit)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(60 + audit)), lit(2000)))).as("phrase"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (directHits, directSec) = time {
+      (0 until nAudits).map(a => Retrieval
+        .phraseSearch(docs, "text", "doc_id", phrases(a), "phrase_id", "phrase")
+        .count()).sum
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_phraseidx").toString
+    val (_, buildSec) = time {
+      Retrieval.buildPositionalIndex(docs, "text", "doc_id", root)
+    }
+    val (servedHits, serveSec) = time {
+      (0 until nAudits).map(a => Retrieval
+        .phraseSearchFromIndex(spark, root, phrases(a), "phrase_id", "phrase")
+        .count()).sum
+    }
+    require(servedHits == directHits, s"index served $servedHits != direct $directHits")
+    val (nSnips, snipDirectSec) = time {
+      Retrieval.snippets(docs, "text", "doc_id", phrases(0), "phrase_id", "phrase", 3).count()
+    }
+    val (nSnipsIdx, snipServeSec) = time {
+      Retrieval.snippetsFromIndex(spark, root, phrases(0), "phrase_id", "phrase", 3).count()
+    }
+    require(nSnipsIdx == nSnips, s"index snippets $nSnipsIdx != direct $nSnips")
+    println(
+      s"""{"workload":{"docs":$total,"audits":$nAudits,"phrases_per_audit":5},
+         |"direct":{"sec":$directSec,"sec_per_audit":${directSec / nAudits},
+         |"docs_per_s":${(total * nAudits / directSec).toLong},"hits":$directHits},
+         |"index":{"build_sec":$buildSec,"serve_sec":$serveSec,
+         |"sec_per_audit":${serveSec / nAudits},"speedup":${directSec / serveSec}},
+         |"snippets":{"direct_sec":$snipDirectSec,"serve_sec":$snipServeSec,
+         |"rows":$nSnips}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist()
+  }
+
+  /** Streaming cost-growth gate: drives `nBatches` micro-batches through
+    * the three accumulating-state shapes — the StampedFold whole-state
+    * rewrite (StreamingHll), the committed-batch-dir index append
+    * (Retrieval.appendToIndex: postings + stats + df dirs), and the
+    * StreamingDedup bloom/exact-confirm fold — and records per-batch
+    * wall. Per-batch cost must stay ~flat as state accumulates: the
+    * gate compares the mean wall of the LAST decile of batches to the
+    * mean of deciles 2-4 (decile 1 excluded — JIT/codegen warmup) and
+    * flags any operator whose ratio exceeds [[streamFlagRatio]].
+    * Usage: runMain graft.tools.ScaleBench stream [nBatches] [batchRows] */
+  def streamMain(spark: SparkSession, nBatches: Int, batchRows: Long): Unit = {
+    import graft.functions.Retrieval
+    import graft.streaming.{StreamingDedup, StreamingHll}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def growth(walls: Seq[Double]): (Double, Double, Double) = {
+      val d = math.max(walls.length / 10, 1)
+      val early = walls.slice(d, 4 * d)
+      val late = walls.takeRight(d)
+      val (e, l) = (early.sum / early.size, late.sum / late.size)
+      (e, l, l / e)
+    }
+    // 1. StampedFold whole-state rewrite: state is O(256 registers)
+    // regardless of history, so the read-merge-commit round trip must
+    // not grow with batch index
+    val hllState = tmp("graft_stream_hll")
+    val hllWalls = (0 until nBatches).map { b =>
+      val regs = (0 until 256).map(k => k -> ((b * 31 + k * 7) % 28 + 1)).toMap
+      time(StreamingHll.foldBatch(spark, hllState, regs, b.toLong))
+    }
+    // 2. index append: each batch writes ONLY its own three dirs; the
+    // skip-check lists committed ids (driver-side listing, O(batches))
+    // but never reads earlier batches' data
+    val idxRoot = tmp("graft_stream_idx")
+    val idxWalls = (0 until nBatches).map { b =>
+      val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))): _*).as("text"))
+      time(Retrieval.appendToIndex(docs, "text", "doc_id", idxRoot, b.toLong))
+    }
+    // 3. streaming dedup: the bloom has FIXED geometry (sized for the
+    // stream's lifetime total up front), so the batch-side prefilter is
+    // flat; the exact-confirm join reads the accumulated novel-fp index
+    // — the shape this gate exists to measure honestly
+    val dedupOut = tmp("graft_stream_dd_out")
+    val dedupIdx = tmp("graft_stream_dd_idx")
+    val emptyStatic = spark.range(0).select(col("id").as("fp"))
+    val session = new StreamingDedup.Session(
+      spark, emptyStatic, dedupOut, dedupIdx, "text", "doc_id",
+      shingleSize = 8, fpp = 0.01, dropAt = 0.5,
+      expectedTotalKeys = math.max(1000000L, nBatches * batchRows * 40L),
+      portable = true)
+    val dedupWalls = (0 until nBatches).map { b =>
+      // ~20% of each batch duplicates batch-0 content (realistic crawl
+      // mix: the dedup decision path and the novel-append path both run)
+      val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j => concat(lit("w"),
+          pmod(hash(when(pmod(col("id"), lit(5)) === 0, col("id") % batchRows)
+            .otherwise(col("id")), lit(j)), lit(100000)))): _*).as("text"))
+      time(session.processBatch(docs, b.toLong))
+    }
+    val ops = Seq(
+      ("hll_stamped_fold", hllWalls), ("index_append", idxWalls),
+      ("dedup_fold", dedupWalls))
+    val rows = ops.map { case (name, walls) =>
+      val (e, l, r) = growth(walls)
+      (name, e, l, r)
+    }
+    val flagged = rows.filter(_._4 > streamFlagRatio).map(_._1)
+    val opsJson = rows.map { case (n, e, l, r) =>
+      s""""$n":{"batches":$nBatches,"early_sec":$e,"late_sec":$l,"ratio":$r}"""
+    }.mkString(",")
+    val flaggedJson =
+      if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
+    println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,"flagged":$flaggedJson}""")
+  }
+
+  /** Last-decile / deciles-2-4 per-batch wall ratio above which a
+    * streaming operator's cost growth needs a documented reason. */
+  val streamFlagRatio = 1.5
+
   def suiteMain(spark: SparkSession, baseDir: String, rest: Seq[String]): Unit = {
     import graft.sources.StagingCache
     val root = rest.headOption.getOrElse("/tmp/graft_scale")
@@ -1592,6 +1738,10 @@ object ScaleBench {
         retrievalMain(s, argL(1, 2000000L), argI(2, 64)))
       case Some("sax") => withSession(tuned = true)(s =>
         saxMain(s, argL(1, 50000L), argI(2, 60)))
+      case Some("phraseindex") => withSession(tuned = true)(s =>
+        phraseIndexMain(s, argL(1, 2000000L), argI(2, 20)))
+      case Some("stream") => withSession(tuned = true)(s =>
+        streamMain(s, argI(1, 100), argL(2, 10000L)))
       case Some("suite") => withSession(tuned = true)(s =>
         suiteMain(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           args.drop(1).toSeq))

@@ -45,6 +45,13 @@ class ContractSpec extends AnyFunSuite {
       s"Gates.oracleQueries=${Gates.oracleQueries} but the oracle set holds ${SparkEntry.oracleSql.size}")
   }
 
+  test("every verifier-tier name is a registered query") {
+    // Bench partitions its totals by this set; a renamed query would
+    // otherwise silently fall back into the deployment tier
+    val unknown = Gates.verifierTier -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"verifier tier names unregistered queries: ${unknown.mkString(", ")}")
+  }
+
   test("every oracle is non-trivial SQL (SELECT present, no stray interpolation)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.toUpperCase.contains("SELECT"), s"$name oracle has no SELECT")

@@ -165,6 +165,34 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p.contains("word"), p)
   }
 
+  test("index serve paths plant the query/phrase vocabulary as a pushed scan filter") {
+    // the stored postings are term-clustered so parquet min/max can
+    // prune row groups — but only a LITERAL predicate reaches the scan
+    // (a broadcast join never does), so the serve paths must plant the
+    // driver-collected term set as an In filter
+    import graft.functions.Retrieval
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val proot = java.nio.file.Files.createTempDirectory("graft_plan_pidx").toString
+    Retrieval.buildPositionalIndex(docs, "text", "doc_id", proot)
+    val ph = Seq((1L, "beta delta")).toDF("phrase_id", "phrase")
+    val pp = Retrieval.phraseSearchFromIndex(spark, proot, ph, "phrase_id", "phrase")
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("In(term") && pp.contains("PushedFilters: ["), pp)
+    val broot = java.nio.file.Files.createTempDirectory("graft_plan_bidx").toString
+    Retrieval.buildIndex(docs, "text", "doc_id", broot)
+    val qs = Seq((1L, "beta zeta")).toDF("query_id", "query")
+    val bp = Retrieval.bm25FromIndex(spark, broot, qs, "query_id", "query", 5)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("In(term") && bp.contains("PushedFilters: ["), bp)
+    // ...but NOT for index-served snippets: the window reassembly needs
+    // every term of the hit docs, so its postings scan must stay unfiltered
+    val sp = Retrieval.snippetsFromIndex(spark, proot, ph, "phrase_id", "phrase", 2)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("In(term"), sp)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)
