@@ -106,22 +106,6 @@ object IncrementalDedup {
     bos.toByteArray
   }
 
-  /** Per-new-doc passage-dup stats against the corpus: (id, n_shingles,
-    * n_dup_shingles, dup_fraction, keep). A doc is kept when less than
-    * `dropAt` of its shingle mass already exists in the corpus.
-    *
-    * `corpusIndex` must have a long `fp` column (from [[shingleFps]] —
-    * distinct is applied here). Exact semantics; the bloom is purely the
-    * scan-side prune.
-    *
-    * `assumeDistinctIndex`: callers whose index is distinct BY
-    * CONSTRUCTION (StreamingDedup's per-batch dirs land first-
-    * contributor fps only) skip the per-call distinct — on a stream
-    * that distinct is a full shuffle plus cache materialization of the
-    * ACCUMULATED index on EVERY micro-batch, the dominant super-
-    * constant cost the ScaleBench `stream` gate flagged. With it (and a
-    * `prebuiltBloom`) the accumulated index is only SCANNED, never
-    * shuffled. */
   /** Per-doc dup stats from a PRECOMPUTED confirmed-dup fp table — the
     * one-index-scan streaming path: the caller computes `existingFps` =
     * (bloom-suspect batch fps ⋈ index) ONCE and derives both these
@@ -153,6 +137,15 @@ object IncrementalDedup {
       .withColumn("keep", col("dup_fraction") < dropAt)
   }
 
+  /** Per-new-doc passage-dup stats against the corpus: (id, n_shingles,
+    * n_dup_shingles, dup_fraction, keep). A doc is kept when less than
+    * `dropAt` of its shingle mass already exists in the corpus.
+    *
+    * `corpusIndex` must have a long `fp` column (from [[shingleFps]] —
+    * distinct is applied here). Exact semantics; the bloom is purely the
+    * scan-side prune. Streaming callers use
+    * [[passageDedupStatsFromConfirmed]] instead — its one-index-scan
+    * shape avoids re-shuffling the accumulated index per micro-batch. */
   def passageDedupStats(
       newDocs: DataFrame,
       corpusIndex: DataFrame,
@@ -163,20 +156,14 @@ object IncrementalDedup {
       dropAt: Double = 0.5,
       useBloom: Boolean = true,
       portable: Boolean = true,
-      prebuiltBloom: Option[Array[Byte]] = None,
-      assumeDistinctIndex: Boolean = false): DataFrame = {
+      prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
     val spark = newDocs.sparkSession
     BloomMightContain.register(spark)
     // the index is read up to three times (bloom sizing, bloom build,
     // semi-join) — cached like the LSH signature tables; in production
     // it is a stored parquet table and this cache is the read of that
-    // table. The distinct-by-construction path skips both the shuffle
-    // AND the cache: with a prebuilt bloom the index is read exactly
-    // once (the confirm join), and a columnar scan of a stored fp table
-    // is cheaper than materializing it into executor memory per batch.
-    val idx =
-      if (assumeDistinctIndex) corpusIndex.select(col("fp"))
-      else corpusIndex.select(col("fp")).distinct().cache()
+    // table
+    val idx = corpusIndex.select(col("fp")).distinct().cache()
 
     // cached: the (id, fp) table is read twice (per-doc totals + the
     // probe/verify branch) and the narrow post-projection rows are ~16

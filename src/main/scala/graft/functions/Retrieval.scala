@@ -59,7 +59,12 @@ object Retrieval {
     * as an `isin` literal. Results are unchanged — every downstream
     * join already restricts to these terms — only the scan shrinks. */
   private def pruneToTerms(postings: DataFrame, termCol: DataFrame): DataFrame = {
-    val terms = termCol.distinct().collect().map(_.getString(0)).toSeq
+    // limit BEFORE collect: the cap must bound the driver transfer
+    // itself, not just the literal it builds — an over-cap vocabulary
+    // collects maxTermPushdown+1 rows and skips pruning, never the
+    // full distinct set
+    val terms = termCol.distinct().limit(maxTermPushdown + 1)
+      .collect().map(_.getString(0)).toSeq
     if (terms.nonEmpty && terms.length <= maxTermPushdown)
       postings.filter(col("term").isin(terms: _*))
     else postings
@@ -469,22 +474,38 @@ object Retrieval {
     * equi-join on doc_id deliberately left to AQE (the hit table is
     * |phrases|·|matched docs| — unbounded, the [[snippets]] rule).
     *
-    * When to use which (measured, PERF.md round 9): this path joins the
-    * FULL positional postings on doc_id — no term pushdown is valid
-    * here — so standalone it is SLOWER than [[snippets]]'s in-row slice
-    * (9.3 s vs 6.0 s at 2M docs). It wins when the audit already runs
-    * from the index and the doc text table is not at hand (the
-    * StreamingDecontam triage path), and it is the split-invariance
-    * gate for the stored layout (d76). */
+    * Cost shape (measured, PERF.md round 9): the hit-finding anchor
+    * fold is prunable to the phrase vocabulary (the stored path's
+    * [[snippetsFromIndex]] does), while the window-reassembly join
+    * genuinely needs every term of the hit docs and stays unpruned.
+    * With that split the stored path beats the direct in-row slice
+    * (4.5 s vs 5.7 s at 2M docs) besides never re-tokenizing. */
   def snippetsFromPostings(
       postings: DataFrame,
       phrases: DataFrame,
       phraseIdCol: String,
       phraseCol: String,
       docIdCol: String,
+      window: Int): DataFrame =
+    snippetsFromParts(postings, postings, phrases, phraseIdCol, phraseCol,
+      docIdCol, window)
+
+  /** The snippet assembly split by postings ROLE: the hit-finding
+    * anchor fold touches only phrase-term postings (prunable), the
+    * window reassembly needs every term of the hit docs (never
+    * prunable) — so the stored-index path can pass a term-pruned scan
+    * for the first and the full postings for the second. */
+  private def snippetsFromParts(
+      hitPostings: DataFrame,
+      allPostings: DataFrame,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      docIdCol: String,
       window: Int): DataFrame = {
+    val postings = allPostings
     val hits = phraseSearchFromPostings(
-        postings, phrases, phraseIdCol, phraseCol, "doc_id")
+        hitPostings, phrases, phraseIdCol, phraseCol, "doc_id")
       .select(col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
         col("doc_id"), col("first_pos"))
       .withColumn("p_len", size(TextFunctions.tokens(col("phrase"))).cast("long"))
@@ -508,16 +529,22 @@ object Retrieval {
         col("snippet"))
   }
 
-  /** [[snippets]] served from a stored positional index. */
+  /** [[snippets]] served from a stored positional index. The
+    * hit-finding scan is pruned to the phrase vocabulary (the
+    * [[phraseSearchFromIndex]] pushdown); only the window-reassembly
+    * join reads the full postings. */
   def snippetsFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
       phrases: DataFrame,
       phraseIdCol: String,
       phraseCol: String,
-      window: Int): DataFrame =
-    snippetsFromPostings(positionalPostingsAt(spark, root),
+      window: Int): DataFrame = {
+    val all = positionalPostingsAt(spark, root)
+    val pv = phrases.select(explode(TextFunctions.tokens(col(phraseCol))).as("term"))
+    snippetsFromParts(pruneToTerms(all, pv), all,
       phrases, phraseIdCol, phraseCol, "doc_id", window)
+  }
 
   /** Context snippets around each document's FIRST occurrence of a
     * phrase: `window` tokens either side of the [[phraseSearch]] match,

@@ -144,17 +144,20 @@ object Multimodal {
     * independently recomputable by any engine WITHOUT a codec, which is
     * what makes the encode→decode round-trip oracle-able. */
   def syntheticPng(id: Long): Array[Byte] = {
-    val w = (id % 7 + 2).toInt
-    val h = (id % 4 + 2).toInt
+    // floorMod throughout, same reason as syntheticWav: a negative id
+    // under Scala's sign-following % would request a negative-dimension
+    // frame. Identical to % on the nonnegative ids the x3 oracle gates.
+    val w = (Math.floorMod(id, 7L) + 2).toInt
+    val h = (Math.floorMod(id, 4L) + 2).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id + 7L * x + 13L * y) % 256).toInt
-        val g = ((3L * id + 5L * x + 11L * y) % 256).toInt
-        val b = ((id + x.toLong * y) % 256).toInt
+        val r = Math.floorMod(id + 7L * x + 13L * y, 256L).toInt
+        val g = Math.floorMod(3L * id + 5L * x + 11L * y, 256L).toInt
+        val b = Math.floorMod(id + x.toLong * y, 256L).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -203,8 +206,14 @@ object Multimodal {
     * convention applied to audio. 8-bit unsigned mono PCM at 8 kHz (the
     * 8-bit leg of the RIFF spec, which javax.sound writes natively). */
   def syntheticWav(id: Long): Array[Byte] = {
-    val n = (id % 40 + 8).toInt
-    val samples = Array.tabulate[Byte](n)(i => ((id * 31 + i * 17) % 256).toByte)
+    // floorMod: Scala's % follows the dividend's sign, so a negative id
+    // would yield a negative clip length (NegativeArraySizeException in
+    // the executor) — the closed form must be the mathematical mod over
+    // the whole Long domain. Identical to % on the nonnegative ids the
+    // x4 oracle gates.
+    val n = (Math.floorMod(id, 40L) + 8).toInt
+    val samples = Array.tabulate[Byte](n)(i =>
+      Math.floorMod(id * 31 + i * 17, 256L).toByte)
     val fmt = new javax.sound.sampled.AudioFormat(
       javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
       8000f, 8, 1, 1, 8000f, false)

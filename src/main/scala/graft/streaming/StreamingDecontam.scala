@@ -79,6 +79,13 @@ object StreamingDecontam {
       outPath: String,
       minOccurrences: Int): Unit = {
     val spark = batch.sparkSession
+    val sc = spark.sparkContext
+    // snapshot so the per-batch transient caches (ours + the hits
+    // localCheckpoint below) can be swept afterwards — an always-on
+    // monitor would otherwise accumulate one pinned checkpoint block
+    // per micro-batch for the stream's lifetime (the StreamingDedup
+    // sweep convention)
+    val persistedBefore = sc.getPersistentRDDs.keySet
     // cache: the emptiness probe and the index append are two actions
     // on the batch (the audit below reads the STORED postings, not the
     // batch) — without this the source is re-read per action
@@ -105,6 +112,10 @@ object StreamingDecontam {
             .partitionBy("batch_id")
             .parquet(outPath)
       }
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      (sc.getPersistentRDDs.keySet -- persistedBefore)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
   }
 }

@@ -1468,6 +1468,10 @@ object ScaleBench {
     * flags any operator whose ratio exceeds [[streamFlagRatio]].
     * Usage: runMain graft.tools.ScaleBench stream [nBatches] [batchRows] */
   def streamMain(spark: SparkSession, nBatches: Int, batchRows: Long): Unit = {
+    // the growth metric compares deciles 2-4 to the last decile; below
+    // 10 batches those windows are empty or warmup-contaminated and the
+    // ratio degenerates to NaN (invalid JSON in the artifact)
+    require(nBatches >= 10, s"stream mode needs >= 10 batches for the decile ratio, got $nBatches")
     import graft.functions.Retrieval
     import graft.streaming.{StreamingDedup, StreamingHll}
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
