@@ -256,6 +256,47 @@ object Retrieval {
     }
   }
 
+  /** Compact the BM25 index's accumulated batch dirs (a long-lived
+    * [[graft.streaming.StreamingIndex]] lands one dir per micro-batch)
+    * into one dir per table, re-clustering postings by term so the
+    * serve path's row-group pruning survives the merge. Only the
+    * FULLY-VISIBLE prefix compacts (ids in the postings∩stats∩df
+    * intersection — a compacted dir cannot be subset-read, so a
+    * half-committed batch must stay in its own dirs until its replay
+    * completes it); absorbed ids stay committed via the manifest, so
+    * replays still skip. Serve results are identical by construction
+    * (same rows, one dir) — locked by RetrievalIndexSpec. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    import graft.streaming.StateStore
+    val visible = StateStore.committedBatchIds(spark, s"$root/postings")
+      .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
+      .intersect(StateStore.committedBatchIds(spark, s"$root/df"))
+    if (visible.nonEmpty) {
+      val upTo = visible.max
+      StateStore.compactBatchDirs(spark, s"$root/postings", upTo,
+        df => df.repartition(col("term")).sortWithinPartitions(col("term")))
+      StateStore.compactBatchDirs(spark, s"$root/stats", upTo)
+      StateStore.compactBatchDirs(spark, s"$root/df", upTo,
+        // per-term partials stay additive; fold them so the df table
+        // shrinks to one row per term
+        df => df.groupBy(col("term")).agg(sum(col("df_partial")).as("df_partial")))
+    }
+  }
+
+  /** Compact the positional index's batch dirs (the
+    * [[graft.streaming.StreamingDecontam]] ingestion lands one per
+    * micro-batch), term-re-clustered; single-table, so every committed
+    * id is fully visible. */
+  def compactPositionalIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    import graft.streaming.StateStore
+    val ids = StateStore.committedBatchIds(spark, s"$root/postings")
+    if (ids.nonEmpty)
+      StateStore.compactBatchDirs(spark, s"$root/postings", ids.max,
+        df => df.repartition(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"), col("pos")))
+  }
+
   /** One batch's index contribution: (postings, additive stats row) —
     * what [[appendToIndex]] persists and [[bm25FromParts]] consumes
     * (unioned across batches). Public so the split-invariance gate

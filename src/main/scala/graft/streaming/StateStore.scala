@@ -52,7 +52,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    non-atomic (a crash can leave a truncated part-file that poisons
   *    every later read of the directory); per-batch dirs keep the
   *    append-proportional write cost AND make a replayed batch
-  *    overwrite its own dir instead of double-appending.
+  *    overwrite its own dir instead of double-appending. Long-lived
+  *    streams bound the dir count with [[compactBatchDirs]]: absorbed
+  *    ids stay "committed" via the compacted dir's manifest, so the
+  *    replay contract survives compaction.
   */
 object StateStore {
 
@@ -183,6 +186,111 @@ object StateStore {
 
   private def batchDir(batchId: Long): String = f"b$batchId%019d"
 
+  private def compactedDir(upTo: Long): String = f"c$upTo%019d"
+
+  /** Committed COMPACTED dirs under `root` with the batch ids each
+    * absorbed, newest-name first, overlap-resolved: a compaction that
+    * crashed between its manifest write and the absorbed-source deletes
+    * leaves both the new dir and (some of) its sources on disk, so any
+    * c-dir whose manifest is a subset of a newer one is ignored (and
+    * swept by the next [[compactBatchDirs]]). A c-dir is committed only
+    * when BOTH its parquet `_SUCCESS` and its `_merged_ids` manifest
+    * exist — the manifest is written after the data, so it is the
+    * commit point and a torn compaction is wholly invisible. */
+  private def compactedManifests(
+      spark: SparkSession, root: String): Seq[(Path, Seq[Long])] = {
+    val all = dirsWithPrefix(spark, root, "c", committedOnly = true)
+      .flatMap { p =>
+        val fs = fsFor(spark, p)
+        val mf = new Path(p, "_merged_ids")
+        if (!fs.exists(mf)) None
+        else {
+          val in = fs.open(mf)
+          val ids =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty).map(_.toLong).toList
+            finally in.close()
+          Some(p -> ids)
+        }
+      }
+      .sortBy(_._1.getName)(Ordering[String].reverse)
+    // overlap resolution: newest manifest wins; older subsets are stale
+    val seen = scala.collection.mutable.Set.empty[Long]
+    all.flatMap { case (p, ids) =>
+      if (ids.forall(seen.contains)) None
+      else { seen ++= ids; Some(p -> ids) }
+    }
+  }
+
+  /** Compact every committed batch dir (and prior compacted dir) with
+    * id <= `upTo` into ONE directory, preserving the replay contract:
+    * the compacted dir carries a `_merged_ids` manifest of every
+    * absorbed batch id, [[committedBatchIds]] keeps reporting those ids
+    * as committed (so a replayed absorbed batch is still skipped by its
+    * writer), and readers resolve absorbed ids to the compacted dir.
+    * `layout` re-clusters the merged data (e.g. re-sort by term for an
+    * inverted index) — identity by default.
+    *
+    * Crash safety: the manifest is written AFTER the parquet commit, so
+    * a torn compaction has no manifest and is invisible; absorbed
+    * sources are deleted only after the manifest lands, and a crash
+    * mid-delete leaves an overlap that readers resolve newest-wins and
+    * the next compaction sweeps.
+    *
+    * Caller contract (multi-table state, bounded reads): only compact a
+    * prefix that is FULLY VISIBLE to every reader — for multi-table
+    * state like the BM25 index, ids in the tables' intersection (a
+    * compacted dir cannot be subset-read, so a half-committed batch
+    * folded into one table's compaction would force the half-applied
+    * view the intersection exists to prevent — [[readBatchDirsById]]
+    * throws on such reads); for streams replaying with a `beforeBatch`
+    * bound, ids strictly below the replay frontier
+    * ([[readCommittedBatchDirs]] throws if a compacted dir spans the
+    * bound). */
+  def compactBatchDirs(
+      spark: SparkSession,
+      root: String,
+      upTo: Long,
+      layout: DataFrame => DataFrame = identity): Unit = {
+    val ids = committedBatchIds(spark, root).filter(_ <= upTo)
+    // no-op when nothing to merge, or when the target dir IS the
+    // current compaction (same name, same ids): mode("overwrite") on
+    // the dir the merged plan reads from would delete its own input
+    def alreadyCompact = compactedManifests(spark, root).exists {
+      case (p, mids) => p.getName == compactedDir(ids.max) && mids.toSet == ids.toSet
+    }
+    if (ids.length >= 2 && !alreadyCompact) {
+      val merged = readBatchDirsById(spark, root, ids).get
+      val target = new Path(root, compactedDir(ids.max))
+      layout(merged).write.mode("overwrite").parquet(target.toString)
+      val fs = fsFor(spark, target)
+      val mf = fs.create(new Path(target, "_merged_ids"), true)
+      try mf.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally mf.close()
+      // commit point passed — sweep the absorbed sources (b-dirs and
+      // stale older c-dirs); a crash mid-sweep is recovered by the
+      // newest-wins overlap rule and the next compaction
+      val absorbed = ids.toSet
+      dirsWithPrefix(spark, root, "b", committedOnly = false)
+        .filter(p => absorbed.contains(p.getName.drop(1).toLong))
+        .foreach(p => fs.delete(p, true))
+      dirsWithPrefix(spark, root, "c", committedOnly = false)
+        .filterNot(_.getName == target.getName)
+        .filter { p =>
+          val m = new Path(p, "_merged_ids")
+          !fs.exists(m) || {
+            val in = fs.open(m)
+            val mids =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                .filter(_.nonEmpty).map(_.toLong).toSet
+              finally in.close()
+            mids.subsetOf(absorbed)
+          }
+        }
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
   /** Land `df` as batch `batchId`'s contribution to an append-only state
     * table. A replayed batch OVERWRITES its own dir (idempotent); a torn
     * write has no `_SUCCESS` and is invisible to readers, unlike a torn
@@ -192,7 +300,9 @@ object StateStore {
     df.write.mode("overwrite").parquet(target.toString)
   }
 
-  /** Committed batch ids under `root`, ascending. For multi-table state
+  /** Committed batch ids under `root`, ascending — per-batch dirs plus
+    * every id absorbed into a committed compacted dir (so a replayed
+    * absorbed batch still sees itself as done). For multi-table state
     * whose tables commit per batch independently (e.g. the BM25 index's
     * postings + stats), readers intersect each table's ids so a crash
     * BETWEEN the two writes of one batch never yields a half-applied
@@ -200,20 +310,47 @@ object StateStore {
     * replay overwrites both sides. */
   def committedBatchIds(spark: SparkSession, root: String): Seq[Long] = {
     guardLegacyState(spark, root)
-    dirsWithPrefix(spark, root, "b", committedOnly = true)
+    val absorbed = compactedManifests(spark, root).flatMap(_._2).toSet
+    val bIds = dirsWithPrefix(spark, root, "b", committedOnly = true)
       .map(_.getName.drop(1).toLong)
+      // a b-dir whose id was absorbed is a leftover from a crash mid-
+      // sweep: the compacted copy is authoritative (newest-wins)
+      .filterNot(absorbed.contains)
+    (bIds ++ absorbed).distinct.sorted
   }
 
   /** The named committed batch dirs under `root` as one multi-path
     * relation; `None` for an empty id list. Ids must come from
-    * [[committedBatchIds]] (no existence re-check here). */
+    * [[committedBatchIds]] (no existence re-check here). Ids absorbed
+    * by a compaction resolve to their compacted dir; requesting a
+    * STRICT SUBSET of a compacted dir's ids throws — the dir can only
+    * be read whole, and silently returning the extra batches' rows
+    * would e.g. score postings against stats that exclude them (the
+    * half-applied view the id-intersection readers exist to prevent).
+    * Compact only fully-visible prefixes and this never fires. */
   def readBatchDirsById(
       spark: SparkSession,
       root: String,
       ids: Seq[Long]): Option[DataFrame] = {
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(
-      ids.map(id => new Path(root, batchDir(id)).toString): _*))
+    else {
+      val manifests = compactedManifests(spark, root)
+      val requested = ids.toSet
+      manifests.foreach { case (p, mids) =>
+        if (mids.exists(requested.contains) && !mids.forall(requested.contains))
+          throw new IllegalStateException(
+            s"compacted dir ${p.getName} at $root holds batches " +
+              s"${mids.mkString(",")} but only ${ids.mkString(",")} were " +
+              "requested — a compacted dir cannot be subset-read; compact " +
+              "only prefixes that are fully visible to every reader")
+      }
+      val absorbed: Map[Long, Path] =
+        manifests.flatMap { case (p, mids) => mids.map(_ -> p) }.toMap
+      val paths = ids
+        .map(id => absorbed.getOrElse(id, new Path(root, batchDir(id))).toString)
+        .distinct
+      Some(spark.read.parquet(paths: _*))
+    }
   }
 
   /** Union of committed batch dirs under `root` as one multi-path
@@ -228,7 +365,12 @@ object StateStore {
       root: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
     guardLegacyState(spark, root)
+    val manifests = compactedManifests(spark, root)
+    val absorbed = manifests.flatMap(_._2).toSet
     val committed = dirsWithPrefix(spark, root, "b", committedOnly = true)
+      // absorbed b-dirs are crash-mid-sweep leftovers; the compacted
+      // copy is authoritative (newest-wins, like committedBatchIds)
+      .filterNot(p => absorbed.contains(p.getName.drop(1).toLong))
     beforeBatch.foreach { n =>
       // Lineage check: during a legitimate replay of batch n the ONLY
       // committed dir at or beyond n is n's own (from the crashed
@@ -238,17 +380,30 @@ object StateStore {
       // would treat the whole accumulated index as invisible (dedup
       // re-admits everything) and then overwrite low-numbered dirs —
       // fail loudly instead, like guardLegacyState.
-      val ahead = committed.map(_.getName).filter(_ > batchDir(n))
+      val ahead = committed.map(_.getName).filter(_ > batchDir(n)) ++
+        manifests.flatMap(_._2).filter(_ > n).map(id => s"compacted:$id")
       if (ahead.nonEmpty) throw new IllegalStateException(
         s"state at $root holds committed batch dirs beyond batch $n " +
           s"(${ahead.mkString(", ")}) — the stream checkpoint does not " +
           "match this state (was the checkpoint deleted or relocated?); " +
           "restore the matching checkpoint or start a fresh state root")
+      // a compacted dir that STRADDLES the bound (some ids < n, its own
+      // id = n from a crashed replay) cannot be subset-read; compaction
+      // below the replay frontier (the caller contract) never creates
+      // one, and the `ahead` throw above already rejects ids > n
+      manifests.foreach { case (p, mids) =>
+        if (mids.exists(_ < n) && mids.exists(_ >= n))
+          throw new IllegalStateException(
+            s"compacted dir ${p.getName} at $root spans the replay bound " +
+              s"$n (ids ${mids.mkString(",")}) — compact only below the " +
+              "replay frontier")
+      }
     }
     val bound = beforeBatch.map(batchDir)
-    val paths = committed
-      .filter(p => bound.forall(p.getName < _))
-      .map(_.toString)
+    val paths = (committed.filter(p => bound.forall(p.getName < _)) ++
+      manifests.collect {
+        case (p, mids) if beforeBatch.forall(n => mids.forall(_ < n)) => p
+      }).map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 }

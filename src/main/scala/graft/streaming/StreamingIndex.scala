@@ -26,7 +26,13 @@ import graft.functions.Retrieval
   * Upstream contract: doc ids must be unique across the stream's
   * lifetime (each doc indexed once). Dedup is its own operator —
   * chain [[StreamingDedup]] in front when the stream can repeat
-  * content. */
+  * content.
+  *
+  * A long-lived stream lands one dir per micro-batch; run
+  * [[graft.functions.Retrieval.compactIndex]] periodically (e.g. from
+  * a maintenance job while the stream is stopped or between batches) —
+  * absorbed batch ids stay committed via the compacted dir's manifest,
+  * so replays still skip and serve results are identical. */
 object StreamingIndex {
 
   def start(

@@ -1526,6 +1526,23 @@ object ScaleBench {
             .otherwise(col("id")), lit(j)), lit(100000)))): _*).as("text"))
       time(session.processBatch(docs, b.toLong))
     }
+    // compaction payoff on the 100-dir index the append loop just
+    // built: serve cost with one dir per micro-batch vs compacted
+    val queries = spark.range(50).select(
+      col("id").as("query_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(1)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(2)), lit(2000)))).as("query"))
+    def serve(): Double = {
+      val t0 = System.nanoTime()
+      Retrieval.bm25FromIndex(spark, idxRoot, queries, "query_id", "query", 10).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val serveFragmented = serve()
+    val tc0 = System.nanoTime()
+    Retrieval.compactIndex(spark, idxRoot)
+    val compactSec = (System.nanoTime() - tc0) / 1e9
+    val serveCompacted = serve()
     val ops = Seq(
       ("hll_stamped_fold", hllWalls), ("index_append", idxWalls),
       ("dedup_fold", dedupWalls))
@@ -1539,7 +1556,10 @@ object ScaleBench {
     }.mkString(",")
     val flaggedJson =
       if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
-    println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,"flagged":$flaggedJson}""")
+    println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,""" +
+      s""""index_compaction":{"serve_fragmented_sec":$serveFragmented,""" +
+      s""""compact_sec":$compactSec,"serve_compacted_sec":$serveCompacted},""" +
+      s""""flagged":$flaggedJson}""")
   }
 
   /** Last-decile / deciles-2-4 per-batch wall ratio above which a
