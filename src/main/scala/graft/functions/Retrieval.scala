@@ -271,12 +271,15 @@ object Retrieval {
     val visible = StateStore.committedBatchIds(spark, s"$root/postings")
       .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
       .intersect(StateStore.committedBatchIds(spark, s"$root/df"))
-    if (visible.nonEmpty) {
-      val upTo = visible.max
-      StateStore.compactBatchDirs(spark, s"$root/postings", upTo,
+      // the NEWEST batch never compacts: it may sit inside a replay
+      // window only the stream checkpoint knows about, and its replay
+      // must be able to skip-check / subset-read its own dirs
+      .sorted.dropRight(1)
+    if (visible.length >= 2) {
+      StateStore.compactBatchDirs(spark, s"$root/postings", visible,
         df => df.repartition(col("term")).sortWithinPartitions(col("term")))
-      StateStore.compactBatchDirs(spark, s"$root/stats", upTo)
-      StateStore.compactBatchDirs(spark, s"$root/df", upTo,
+      StateStore.compactBatchDirs(spark, s"$root/stats", visible)
+      StateStore.compactBatchDirs(spark, s"$root/df", visible,
         // per-term partials stay additive; fold them so the df table
         // shrinks to one row per term
         df => df.groupBy(col("term")).agg(sum(col("df_partial")).as("df_partial")))
@@ -285,14 +288,17 @@ object Retrieval {
 
   /** Compact the positional index's batch dirs (the
     * [[graft.streaming.StreamingDecontam]] ingestion lands one per
-    * micro-batch), term-re-clustered; single-table, so every committed
-    * id is fully visible. */
+    * micro-batch), term-re-clustered. Single-table, so every committed
+    * id is fully visible — but the NEWEST batch still never compacts:
+    * StreamingDecontam's replay reads its own batch dir by id
+    * (subset-read), which must keep working across a restart. */
   def compactPositionalIndex(
       spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
     import graft.streaming.StateStore
     val ids = StateStore.committedBatchIds(spark, s"$root/postings")
-    if (ids.nonEmpty)
-      StateStore.compactBatchDirs(spark, s"$root/postings", ids.max,
+      .sorted.dropRight(1)
+    if (ids.length >= 2)
+      StateStore.compactBatchDirs(spark, s"$root/postings", ids,
         df => df.repartition(col("term"))
           .sortWithinPartitions(col("term"), col("doc_id"), col("pos")))
   }

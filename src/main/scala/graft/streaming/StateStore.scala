@@ -188,18 +188,13 @@ object StateStore {
 
   private def compactedDir(upTo: Long): String = f"c$upTo%019d"
 
-  /** Committed COMPACTED dirs under `root` with the batch ids each
-    * absorbed, newest-name first, overlap-resolved: a compaction that
-    * crashed between its manifest write and the absorbed-source deletes
-    * leaves both the new dir and (some of) its sources on disk, so any
-    * c-dir whose manifest is a subset of a newer one is ignored (and
-    * swept by the next [[compactBatchDirs]]). A c-dir is committed only
-    * when BOTH its parquet `_SUCCESS` and its `_merged_ids` manifest
-    * exist — the manifest is written after the data, so it is the
-    * commit point and a torn compaction is wholly invisible. */
-  private def compactedManifests(
-      spark: SparkSession, root: String): Seq[(Path, Seq[Long])] = {
-    val all = dirsWithPrefix(spark, root, "c", committedOnly = true)
+  /** RAW committed compacted dirs (parquet `_SUCCESS` + `_merged_ids`
+    * manifest both present — the manifest is the commit point, renamed
+    * into place atomically, so a torn compaction is wholly invisible),
+    * newest-name first, NO overlap resolution. */
+  private def rawManifests(
+      spark: SparkSession, root: String): Seq[(Path, Seq[Long])] =
+    dirsWithPrefix(spark, root, "c", committedOnly = true)
       .flatMap { p =>
         val fs = fsFor(spark, p)
         val mf = new Path(p, "_merged_ids")
@@ -214,79 +209,124 @@ object StateStore {
         }
       }
       .sortBy(_._1.getName)(Ordering[String].reverse)
-    // overlap resolution: newest manifest wins; older subsets are stale
+
+  /** Committed compacted dirs with the batch ids each absorbed,
+    * newest-name first, overlap-resolved: compaction keeps absorbed
+    * sources for ONE GENERATION (the grace period for in-flight
+    * readers), so during that window an id can appear in both an older
+    * c-dir/b-dir and the newest manifest — the newest manifest wins,
+    * and older redundant dirs are swept by the NEXT generation's
+    * [[compactBatchDirs]]. */
+  private def compactedManifests(
+      spark: SparkSession, root: String): Seq[(Path, Seq[Long])] = {
     val seen = scala.collection.mutable.Set.empty[Long]
-    all.flatMap { case (p, ids) =>
+    rawManifests(spark, root).flatMap { case (p, ids) =>
       if (ids.forall(seen.contains)) None
       else { seen ++= ids; Some(p -> ids) }
     }
   }
 
-  /** Compact every committed batch dir (and prior compacted dir) with
-    * id <= `upTo` into ONE directory, preserving the replay contract:
-    * the compacted dir carries a `_merged_ids` manifest of every
-    * absorbed batch id, [[committedBatchIds]] keeps reporting those ids
-    * as committed (so a replayed absorbed batch is still skipped by its
-    * writer), and readers resolve absorbed ids to the compacted dir.
-    * `layout` re-clusters the merged data (e.g. re-sort by term for an
-    * inverted index) — identity by default.
+  /** Compact the given COMMITTED batch ids into ONE directory,
+    * preserving the replay contract: the compacted dir carries a
+    * `_merged_ids` manifest of every absorbed batch id (committed
+    * atomically via temp-file + rename — a crash mid-write cannot leave
+    * a partial manifest that marks the wrong ids committed),
+    * [[committedBatchIds]] keeps reporting absorbed ids as committed
+    * (so a replayed absorbed batch is still skipped by its writer), and
+    * readers resolve absorbed ids to the compacted dir. `layout`
+    * re-clusters the merged data (e.g. re-sort by term for an inverted
+    * index) — identity by default.
     *
-    * Crash safety: the manifest is written AFTER the parquet commit, so
-    * a torn compaction has no manifest and is invisible; absorbed
-    * sources are deleted only after the manifest lands, and a crash
-    * mid-delete leaves an overlap that readers resolve newest-wins and
-    * the next compaction sweeps.
+    * Concurrent-reader safety: absorbed sources are NOT deleted by the
+    * compaction that absorbs them — they survive one full generation
+    * (readers that listed paths before the new manifest landed keep
+    * reading live files; readers that list after it resolve to the
+    * compacted dir) and are swept by the NEXT generation's compaction,
+    * the [[writeVersion]] keep-one-predecessor rule applied to batch
+    * dirs. Torn compactions (no manifest) are invisible and swept once
+    * a newer committed compaction exists.
     *
-    * Caller contract (multi-table state, bounded reads): only compact a
-    * prefix that is FULLY VISIBLE to every reader — for multi-table
-    * state like the BM25 index, ids in the tables' intersection (a
-    * compacted dir cannot be subset-read, so a half-committed batch
-    * folded into one table's compaction would force the half-applied
-    * view the intersection exists to prevent — [[readBatchDirsById]]
-    * throws on such reads); for streams replaying with a `beforeBatch`
-    * bound, ids strictly below the replay frontier
-    * ([[readCommittedBatchDirs]] throws if a compacted dir spans the
-    * bound). */
+    * Caller contract: `ids` must all be committed, must cover every
+    * previously-compacted id they overlap (a compacted dir cannot be
+    * split), and must be FULLY VISIBLE to every reader — for
+    * multi-table state like the BM25 index, ids in the tables'
+    * intersection; and NEVER the newest committed id when any writer
+    * may replay (the newest id can sit inside a replay window only the
+    * stream checkpoint knows about: its replay must be able to
+    * subset-read its own dir and to bound reads strictly before itself
+    * — [[Retrieval.compactIndex]]-style wrappers enforce this by
+    * dropping the newest id). */
   def compactBatchDirs(
       spark: SparkSession,
       root: String,
-      upTo: Long,
+      ids: Seq[Long],
       layout: DataFrame => DataFrame = identity): Unit = {
-    val ids = committedBatchIds(spark, root).filter(_ <= upTo)
-    // no-op when nothing to merge, or when the target dir IS the
-    // current compaction (same name, same ids): mode("overwrite") on
-    // the dir the merged plan reads from would delete its own input
-    def alreadyCompact = compactedManifests(spark, root).exists {
-      case (p, mids) => p.getName == compactedDir(ids.max) && mids.toSet == ids.toSet
+    val committed = committedBatchIds(spark, root)
+    val missing = ids.filterNot(committed.contains)
+    require(missing.isEmpty,
+      s"cannot compact uncommitted batch ids ${missing.mkString(",")} at $root")
+    if (ids.length >= 2) {
+      val targetName = compactedDir(ids.max)
+      rawManifests(spark, root).find(_._1.getName == targetName) match {
+        case Some((_, mids)) if mids.toSet == ids.toSet =>
+          // this exact compaction already committed (a retry) — fall
+          // through to the sweep only
+        case Some((p, mids)) =>
+          // same target name, different id set: proceeding would
+          // overwrite the dir the merged plan reads from — the caller
+          // must absorb ALL of the existing compaction's ids
+          throw new IllegalStateException(
+            s"compaction target ${p.getName} at $root already holds ids " +
+              s"${mids.mkString(",")} != requested ${ids.mkString(",")} — " +
+              "include every id of the existing compaction")
+        case None =>
+          val merged = readBatchDirsById(spark, root, ids).get
+          val target = new Path(root, targetName)
+          layout(merged).write.mode("overwrite").parquet(target.toString)
+          val fs = fsFor(spark, target)
+          // atomic manifest commit: a partial _merged_ids (crash mid-
+          // write) would mark truncated ids committed — permanent data
+          // loss when their replayed writers skip. Temp name + rename.
+          val tmp = new Path(target, "_merged_ids.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, new Path(target, "_merged_ids")))
+            throw new IllegalStateException(
+              s"manifest rename failed at $target — compaction not committed")
+      }
     }
-    if (ids.length >= 2 && !alreadyCompact) {
-      val merged = readBatchDirsById(spark, root, ids).get
-      val target = new Path(root, compactedDir(ids.max))
-      layout(merged).write.mode("overwrite").parquet(target.toString)
-      val fs = fsFor(spark, target)
-      val mf = fs.create(new Path(target, "_merged_ids"), true)
-      try mf.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally mf.close()
-      // commit point passed — sweep the absorbed sources (b-dirs and
-      // stale older c-dirs); a crash mid-sweep is recovered by the
-      // newest-wins overlap rule and the next compaction
-      val absorbed = ids.toSet
+    sweepStaleGenerations(spark, root)
+  }
+
+  /** Delete sources a PREVIOUS compaction generation absorbed: b-dirs
+    * and c-dirs whose ids are covered by a manifest NEWER than their
+    * own absorption — i.e. everything except the newest manifest's own
+    * grace copies. Runs on every [[compactBatchDirs]] call (including
+    * retries), so crash-mid-sweep leftovers never need a data rewrite
+    * to clean up. */
+  private def sweepStaleGenerations(spark: SparkSession, root: String): Unit = {
+    val raw = rawManifests(spark, root)
+    raw.headOption.foreach { case (newestPath, newestIds) =>
+      val fs = fsFor(spark, newestPath)
+      // ids absorbed by non-newest generations had their grace window
+      val prevAbsorbed = raw.tail.flatMap(_._2).toSet
       dirsWithPrefix(spark, root, "b", committedOnly = false)
-        .filter(p => absorbed.contains(p.getName.drop(1).toLong))
+        .filter(p => prevAbsorbed.contains(p.getName.drop(1).toLong))
         .foreach(p => fs.delete(p, true))
+      // stale committed c-dirs: the same one-generation grace as
+      // b-dirs — the c-dir the NEWEST manifest absorbed is its grace
+      // copy (in-flight readers may have resolved ids to it) and
+      // survives; a c-dir covered by another NON-newest manifest had
+      // its grace window and goes
+      raw.tail.foreach { case (p, mids) =>
+        val othersPrev = raw.tail.filterNot(_._1.getName == p.getName)
+          .flatMap(_._2).toSet
+        if (mids.toSet.subsetOf(othersPrev)) fs.delete(p, true)
+      }
       dirsWithPrefix(spark, root, "c", committedOnly = false)
-        .filterNot(_.getName == target.getName)
-        .filter { p =>
-          val m = new Path(p, "_merged_ids")
-          !fs.exists(m) || {
-            val in = fs.open(m)
-            val mids =
-              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-                .filter(_.nonEmpty).map(_.toLong).toSet
-              finally in.close()
-            mids.subsetOf(absorbed)
-          }
-        }
+        .filter(p => p.getName < newestPath.getName &&
+          !fs.exists(new Path(p, "_merged_ids")))
         .foreach(p => fs.delete(p, true))
     }
   }

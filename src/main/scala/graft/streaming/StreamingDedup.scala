@@ -65,6 +65,19 @@ import graft.functions.IncrementalDedup
   */
 object StreamingDedup {
 
+  /** Compact the accumulated fp index, never absorbing the NEWEST
+    * committed batch: it may sit inside a replay window only the stream
+    * checkpoint knows about, and its replay's strictly-before bounded
+    * read ([[StateStore.readCommittedBatchDirs]] with `beforeBatch`)
+    * must keep working across a restart. Run from a maintenance job;
+    * absorbed ids stay committed, so the stream's exactly-once
+    * contract is untouched. */
+  def compactFpIndex(
+      spark: org.apache.spark.sql.SparkSession, streamIdxPath: String): Unit = {
+    val ids = StateStore.committedBatchIds(spark, streamIdxPath).sorted.dropRight(1)
+    if (ids.length >= 2) StateStore.compactBatchDirs(spark, streamIdxPath, ids)
+  }
+
   /** Start the dedup stream. `docs` is a streaming DataFrame with
     * (`idCol`, `textCol`); decisions land in `outPath` (one row per doc:
     * id, n_shingles, n_dup_shingles, dup_fraction, keep, batch_id); new

@@ -1,16 +1,18 @@
 package graft
 
 import graft.functions.Retrieval
-import graft.streaming.StateStore
+import graft.streaming.{StateStore, StreamingDedup}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Batch-dir compaction contract: a long-lived stream lands one
   * committed dir per micro-batch forever; [[StateStore.compactBatchDirs]]
   * bounds the dir count while preserving every replay/read contract —
-  * absorbed ids stay committed (manifest), readers see identical data,
-  * torn compactions are invisible, subset reads of a compacted dir fail
-  * loudly, and the beforeBatch-bounded streaming read still works. */
+  * absorbed ids stay committed (atomically-renamed manifest), readers
+  * see identical data, absorbed sources survive ONE GENERATION for
+  * in-flight readers, torn compactions are invisible, subset reads and
+  * frontier straddles fail loudly, and the wrappers never absorb the
+  * newest batch (a replay window only the checkpoint knows about). */
 class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
   import spark.implicits._
 
@@ -23,67 +25,110 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     StateStore.readCommittedBatchDirs(spark, root, before)
       .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
 
-  private def dirCount(root: String): Int =
-    new java.io.File(root).listFiles().count(_.isDirectory)
+  private def dirs(root: String): Seq[String] =
+    new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
 
-  test("compaction preserves data, ids, and replay-skip; dir count drops to one") {
+  test("compaction preserves data, ids, and replay-skip; generations sweep sources") {
     val root = tmp()
     (0L to 4L).foreach(i => write(root, i, Seq(10 * i, 10 * i + 1)))
     val before = readAll(root)
-    assert(dirCount(root) == 5)
-    StateStore.compactBatchDirs(spark, root, upTo = 4L)
-    assert(dirCount(root) == 1, "absorbed sources must be swept")
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 4L)
+    // grace: the absorbed b-dirs SURVIVE their own generation (an
+    // in-flight reader that listed them pre-manifest keeps reading
+    // live files) but readers that list now resolve to the c-dir
+    assert(dirs(root).count(_.startsWith("c")) == 1)
+    assert(dirs(root).count(_.startsWith("b")) == 5)
     assert(readAll(root) == before, "compaction must not change the data")
     assert(StateStore.committedBatchIds(spark, root) == (0L to 4L),
       "absorbed ids must stay committed so replayed writers skip")
-    // further appends coexist with the compacted dir
+    // further appends coexist; the next generation sweeps gen-1 sources
     write(root, 5L, Seq(50L))
     assert(readAll(root) == before + 50L)
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 5L)
+    assert(dirs(root).count(_.startsWith("c")) == 2, "gen-1 c-dir is gen-2's grace copy")
+    assert(dirs(root).count(_.startsWith("b")) == 1, "gen-1 b-dirs swept; gen-2's b5 is grace")
+    assert(readAll(root) == before + 50L)
     assert(StateStore.committedBatchIds(spark, root) == (0L to 5L))
-    // re-compaction absorbs the compacted dir + the new batch
-    StateStore.compactBatchDirs(spark, root, upTo = 5L)
-    assert(dirCount(root) == 1)
-    assert(readAll(root) == before + 50L)
-    // compacting an already-compact root is a no-op (must not delete
-    // its own input via overwrite)
-    StateStore.compactBatchDirs(spark, root, upTo = 5L)
-    assert(readAll(root) == before + 50L)
+    // third generation: gen-2 leftovers go too
+    write(root, 6L, Seq(60L))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 6L)
+    assert(readAll(root) == before + 50L + 60L)
+    assert(dirs(root).count(_.startsWith("c")) == 2)
+    assert(dirs(root).count(_.startsWith("b")) == 1)
   }
 
-  test("a torn compaction (parquet committed, no manifest) is invisible; sources survive") {
+  test("an exact-retry is a no-op that still sweeps previous generations") {
     val root = tmp()
     (0L to 2L).foreach(i => write(root, i, Seq(i)))
-    // simulate the crash window: compacted parquet fully written
-    // (_SUCCESS present) but the manifest — the commit point — missing
-    Seq(0L, 1L, 2L).toDF("fp").write.parquet(s"$root/c${"%019d".format(2L)}")
-    assert(readAll(root) == Set(0L, 1L, 2L))
-    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
-    // the retried compaction commits over it
-    StateStore.compactBatchDirs(spark, root, upTo = 2L)
-    assert(readAll(root) == Set(0L, 1L, 2L))
-    assert(dirCount(root) == 1)
-  }
-
-  test("a crash mid-sweep (absorbed b-dir left behind) does not double-count") {
-    val root = tmp()
-    (0L to 2L).foreach(i => write(root, i, Seq(i)))
-    StateStore.compactBatchDirs(spark, root, upTo = 2L)
-    // resurrect an absorbed b-dir, as a crash between manifest write
-    // and source deletion would leave it
-    write(root, 1L, Seq(1L))
-    assert(readAll(root) == Set(0L, 1L, 2L), "newest-wins: no duplicate rows")
-    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
-    // the next compaction sweeps the leftover
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
     write(root, 3L, Seq(3L))
-    StateStore.compactBatchDirs(spark, root, upTo = 3L)
-    assert(dirCount(root) == 1)
-    assert(readAll(root) == Set(0L, 1L, 2L, 3L))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L)
+    val snapshot = readAll(root)
+    // retry of the SAME compaction (crash-recovery path): no rewrite,
+    // but the gen-1 leftovers still get swept
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L)
+    assert(readAll(root) == snapshot)
+    assert(dirs(root).count(_.startsWith("c")) == 2)
+  }
+
+  test("a torn compaction (parquet committed, no manifest) is invisible and later swept") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    // crash window: compacted parquet fully written (_SUCCESS present)
+    // but the manifest — the commit point — missing
+    Seq(0L, 1L, 2L).toDF("fp").write.parquet(s"$root/c${"%019d".format(1L)}")
+    assert(readAll(root) == Set(0L, 1L, 2L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
+    // a leftover temp manifest must not count as committed either
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/c${"%019d".format(1L)}", "_merged_ids.tmp"),
+      "0\n1\n".getBytes("UTF-8"))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
+    // the retried compaction commits at its own target; the torn dir
+    // (older name) is swept
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
+    assert(readAll(root) == Set(0L, 1L, 2L))
+    assert(!dirs(root).contains("c" + "%019d".format(1L)), "torn c-dir must be swept")
+  }
+
+  test("a resurrected absorbed b-dir does not double-count (newest-wins)") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
+    // a replayed absorbed writer may rewrite its dir (same data by the
+    // replay contract) — readers must not read it twice
+    write(root, 1L, Seq(1L))
+    assert(readAll(root) == Set(0L, 1L, 2L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
+  }
+
+  test("compacting uncommitted ids or splitting an existing compaction fails loudly") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    val e1 = intercept[IllegalArgumentException] {
+      StateStore.compactBatchDirs(spark, root, ids = Seq(0L, 7L))
+    }
+    assert(e1.getMessage.contains("uncommitted"))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
+    write(root, 3L, Seq(3L))
+    // requesting a subset of the existing compaction's ids throws at
+    // the merged read (cannot subset-read a compacted dir)
+    val e2 = intercept[IllegalStateException] {
+      StateStore.compactBatchDirs(spark, root, ids = Seq(1L, 2L, 3L))
+    }
+    assert(e2.getMessage.contains("subset"))
+    // same target name with a different id set is a collision, not an
+    // overwrite of the dir being read
+    val e3 = intercept[IllegalStateException] {
+      StateStore.compactBatchDirs(spark, root, ids = Seq(1L, 2L))
+    }
+    assert(e3.getMessage.contains("include every id"))
   }
 
   test("subset-reading a compacted dir fails loudly") {
     val root = tmp()
     (0L to 2L).foreach(i => write(root, i, Seq(i)))
-    StateStore.compactBatchDirs(spark, root, upTo = 2L)
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
     val e = intercept[IllegalStateException] {
       StateStore.readBatchDirsById(spark, root, Seq(0L, 1L))
     }
@@ -93,44 +138,65 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("the beforeBatch-bounded streaming read works over compacted state and guards the frontier") {
     val root = tmp()
     (0L to 3L).foreach(i => write(root, i, Seq(i)))
-    StateStore.compactBatchDirs(spark, root, upTo = 2L)
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
     // a replay of batch 3 reads strictly-before state: the compacted
     // 0-2 plus nothing of b3's own crashed-attempt dir
     assert(readAll(root, before = Some(3L)) == Set(0L, 1L, 2L))
     // compacting ACROSS the replay frontier is rejected at read time
-    StateStore.compactBatchDirs(spark, root, upTo = 3L)
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L)
     val e = intercept[IllegalStateException] { readAll(root, before = Some(3L)) }
     assert(e.getMessage.contains("spans the replay bound"))
   }
 
-  test("BM25 index compaction: serve identical, df table folded, replayed append still skips") {
+  test("compactFpIndex never absorbs the newest batch: the dedup replay read keeps working") {
+    val root = tmp()
+    (0L to 4L).foreach(i => write(root, i, Seq(100 + i)))
+    StreamingDedup.compactFpIndex(spark, root)
+    // batch 4 (the possible replay window) stays in its own dir
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 4L))
+    assert(dirs(root).contains("b" + "%019d".format(4L)))
+    // the replayed batch 4 can still bound its read strictly before
+    // itself — the exact call StreamingDedup.processBatch makes
+    assert(readAll(root, before = Some(4L)) == Set(100L, 101L, 102L, 103L))
+  }
+
+  test("BM25 index compaction: serve identical, newest batch preserved, replayed append skips") {
     val root = tmp()
     val base = Seq((1L, "spark hash join fast"), (2L, "hash hash table scan")).toDF("doc_id", "text")
-    val batch = Seq((3L, "slow table scan"), (4L, "spark spark spark")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "slow table scan")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "spark spark spark")).toDF("doc_id", "text")
     val qs = Seq((1L, "hash table"), (2L, "spark join")).toDF("query_id", "query")
     def rows(df: DataFrame) =
       df.select($"query_id", $"doc_id", $"n_terms_matched", $"score", $"rank")
         .as[(Long, Long, Long, Double, Long)].collect().toSet
     Retrieval.buildIndex(base, "text", "doc_id", root)
-    Retrieval.appendToIndex(batch, "text", "doc_id", root, batchId = 1L)
+    Retrieval.appendToIndex(b1, "text", "doc_id", root, batchId = 1L)
+    Retrieval.appendToIndex(b2, "text", "doc_id", root, batchId = 2L)
     val before = rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5))
     Retrieval.compactIndex(spark, root)
     assert(rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5)) == before)
-    for (part <- Seq("postings", "stats", "df"))
-      assert(dirCount(s"$root/$part") == 1, s"$part not compacted")
+    for (part <- Seq("postings", "stats", "df")) {
+      assert(StateStore.committedBatchIds(spark, s"$root/$part") == (0L to 2L))
+      // batch 2 (newest) keeps its own dirs for the replay window
+      assert(dirs(s"$root/$part").contains("b" + "%019d".format(2L)), part)
+      assert(dirs(s"$root/$part").count(_.startsWith("c")) == 1, part)
+    }
     // a replayed absorbed append is still a no-op (different data under
     // the committed id proves the skip)
     Retrieval.appendToIndex(base, "text", "doc_id", root, batchId = 1L)
     assert(rows(Retrieval.bm25FromIndex(spark, root, qs, "query_id", "query", 5)) == before)
   }
 
-  test("positional index compaction: phrase audit and snippets identical") {
+  test("positional index compaction: phrase audit, snippets, and the decontam replay read survive") {
     val root = tmp()
-    val base = Seq((1L, "the hash table holds the hash")).toDF("doc_id", "text")
-    val batch = Seq((2L, "hash table hash table")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((1L, "the hash table holds the hash")),
+      Seq((2L, "hash table hash table")),
+      Seq((3L, "a fast hash table scan")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Retrieval.appendToPositionalIndex(b.toDF("doc_id", "text"), "text", "doc_id", root, i.toLong)
+    }
     val ph = Seq((1L, "hash table")).toDF("phrase_id", "phrase")
-    Retrieval.buildPositionalIndex(base, "text", "doc_id", root)
-    Retrieval.appendToPositionalIndex(batch, "text", "doc_id", root, batchId = 1L)
     def hits() = Retrieval.phraseSearchFromIndex(spark, root, ph, "phrase_id", "phrase")
       .select($"doc_id", $"n_occurrences", $"first_pos")
       .as[(Long, Long, Long)].collect().toSet
@@ -138,7 +204,10 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select($"doc_id", $"snippet").as[(Long, String)].collect().toSet
     val (h0, s0) = (hits(), snips())
     Retrieval.compactPositionalIndex(spark, root)
-    assert(dirCount(s"$root/postings") == 1)
     assert(hits() == h0 && snips() == s0)
+    // the newest batch stays readable BY ID — StreamingDecontam's
+    // replay audit reads exactly that dir
+    val own = StateStore.readBatchDirsById(spark, s"$root/postings", Seq(2L))
+    assert(own.isDefined && own.get.count() > 0)
   }
 }
