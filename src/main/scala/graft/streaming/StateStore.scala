@@ -255,20 +255,33 @@ object StateStore {
     * stream checkpoint knows about: its replay must be able to
     * subset-read its own dir and to bound reads strictly before itself
     * — [[Retrieval.compactIndex]]-style wrappers enforce this by
-    * dropping the newest id). */
+    * dropping the newest id). `ids` is canonicalized (distinct, sorted)
+    * before any use, so duplicate caller ids cannot produce a
+    * non-canonical manifest.
+    *
+    * `sweepGraceMs` puts a WALL-CLOCK floor under the one-generation
+    * reader grace: a previous generation's absorbed dirs are only swept
+    * once the manifest that superseded them is at least this old, so
+    * two compactions in quick succession cannot delete dirs out from
+    * under a reader that listed paths just before the newer manifest
+    * landed. The default 0 keeps the pure generation rule — operate
+    * with either a grace ≥ the longest concurrent read, or a compaction
+    * cadence no faster than one per max-reader-lifetime. */
   def compactBatchDirs(
       spark: SparkSession,
       root: String,
       ids: Seq[Long],
-      layout: DataFrame => DataFrame = identity): Unit = {
+      layout: DataFrame => DataFrame = identity,
+      sweepGraceMs: Long = 0L): Unit = {
+    val cids = ids.distinct.sorted
     val committed = committedBatchIds(spark, root)
-    val missing = ids.filterNot(committed.contains)
+    val missing = cids.filterNot(committed.contains)
     require(missing.isEmpty,
       s"cannot compact uncommitted batch ids ${missing.mkString(",")} at $root")
-    if (ids.length >= 2) {
-      val targetName = compactedDir(ids.max)
+    if (cids.length >= 2) {
+      val targetName = compactedDir(cids.max)
       rawManifests(spark, root).find(_._1.getName == targetName) match {
-        case Some((_, mids)) if mids.toSet == ids.toSet =>
+        case Some((_, mids)) if mids.toSet == cids.toSet =>
           // this exact compaction already committed (a retry) — fall
           // through to the sweep only
         case Some((p, mids)) =>
@@ -277,10 +290,10 @@ object StateStore {
           // must absorb ALL of the existing compaction's ids
           throw new IllegalStateException(
             s"compaction target ${p.getName} at $root already holds ids " +
-              s"${mids.mkString(",")} != requested ${ids.mkString(",")} — " +
+              s"${mids.mkString(",")} != requested ${cids.mkString(",")} — " +
               "include every id of the existing compaction")
         case None =>
-          val merged = readBatchDirsById(spark, root, ids).get
+          val merged = readBatchDirsById(spark, root, cids).get
           val target = new Path(root, targetName)
           layout(merged).write.mode("overwrite").parquet(target.toString)
           val fs = fsFor(spark, target)
@@ -289,14 +302,14 @@ object StateStore {
           // loss when their replayed writers skip. Temp name + rename.
           val tmp = new Path(target, "_merged_ids.tmp")
           val out = fs.create(tmp, true)
-          try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+          try out.write(cids.mkString("", "\n", "\n").getBytes("UTF-8"))
           finally out.close()
           if (!fs.rename(tmp, new Path(target, "_merged_ids")))
             throw new IllegalStateException(
               s"manifest rename failed at $target — compaction not committed")
       }
     }
-    sweepStaleGenerations(spark, root)
+    sweepStaleGenerations(spark, root, sweepGraceMs)
   }
 
   /** Delete sources a PREVIOUS compaction generation absorbed: b-dirs
@@ -304,15 +317,41 @@ object StateStore {
     * own absorption — i.e. everything except the newest manifest's own
     * grace copies. Runs on every [[compactBatchDirs]] call (including
     * retries), so crash-mid-sweep leftovers never need a data rewrite
-    * to clean up. */
-  private def sweepStaleGenerations(spark: SparkSession, root: String): Unit = {
+    * to clean up.
+    *
+    * `graceMs` adds a wall-clock floor to the generation rule: a dir is
+    * only swept once every manifest that shadows it (a NEWER committed
+    * manifest sharing any of its ids — the moment readers stopped
+    * resolving to the dir) is at least `graceMs` old, measured by the
+    * manifest file's modification time. Conservative by construction:
+    * the LATEST shadowing manifest's mtime is the clock, so a dir is
+    * never swept earlier than the pure rule would. */
+  private def sweepStaleGenerations(
+      spark: SparkSession, root: String, graceMs: Long = 0L): Unit = {
     val raw = rawManifests(spark, root)
-    raw.headOption.foreach { case (newestPath, newestIds) =>
+    raw.headOption.foreach { case (newestPath, _) =>
       val fs = fsFor(spark, newestPath)
+      val now = System.currentTimeMillis()
+      val mtimes: Map[String, Long] = raw.map { case (p, _) =>
+        p.getName -> fs.getFileStatus(new Path(p, "_merged_ids")).getModificationTime
+      }.toMap
+      // a dir (name `selfName`, holding `selfIds`) is past its grace
+      // when the latest NEWER manifest sharing any of its ids is old
+      // enough that readers who resolved to the dir have finished
+      def graceElapsed(selfName: String, selfIds: Set[Long]): Boolean = {
+        val shadowing = raw.filter { case (p, mids) =>
+          p.getName > selfName && mids.exists(selfIds.contains)
+        }
+        shadowing.nonEmpty &&
+          now - shadowing.map(m => mtimes(m._1.getName)).max >= graceMs
+      }
       // ids absorbed by non-newest generations had their grace window
       val prevAbsorbed = raw.tail.flatMap(_._2).toSet
       dirsWithPrefix(spark, root, "b", committedOnly = false)
-        .filter(p => prevAbsorbed.contains(p.getName.drop(1).toLong))
+        .filter { p =>
+          val id = p.getName.drop(1).toLong
+          prevAbsorbed.contains(id) && graceElapsed(p.getName, Set(id))
+        }
         .foreach(p => fs.delete(p, true))
       // stale committed c-dirs: the same one-generation grace as
       // b-dirs — the c-dir the NEWEST manifest absorbed is its grace
@@ -322,8 +361,11 @@ object StateStore {
       raw.tail.foreach { case (p, mids) =>
         val othersPrev = raw.tail.filterNot(_._1.getName == p.getName)
           .flatMap(_._2).toSet
-        if (mids.toSet.subsetOf(othersPrev)) fs.delete(p, true)
+        if (mids.toSet.subsetOf(othersPrev) &&
+          graceElapsed(p.getName, mids.toSet)) fs.delete(p, true)
       }
+      // torn c-dirs (no manifest) were never visible to any reader —
+      // no grace needed, sweep on sight once a newer commit exists
       dirsWithPrefix(spark, root, "c", committedOnly = false)
         .filter(p => p.getName < newestPath.getName &&
           !fs.exists(new Path(p, "_merged_ids")))

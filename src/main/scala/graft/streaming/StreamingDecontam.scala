@@ -104,13 +104,24 @@ object StreamingDecontam {
             phraseIdCol, phraseCol, docIdCol, minOccurrences)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint(true)
-        // empty guard: a clean batch must not leave a schema-less dir
+        // empty guard: a clean batch must not leave a schema-less dir.
+        // But a REPLAY that recomputes zero hits (legal when the stream
+        // restarts with a changed/grown phrase list — the re-audit
+        // workflow this operator advertises) must still RETRACT the
+        // partition its earlier attempt wrote: dynamic overwrite only
+        // replaces partitions present in the written frame, so an empty
+        // frame would leave the stale alerts standing
         if (!hits.isEmpty)
           hits.write
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(outPath)
+        else {
+          val stale = new org.apache.hadoop.fs.Path(outPath, s"batch_id=$batchId")
+          val fs = stale.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(stale)) fs.delete(stale, true)
+        }
       }
     } finally {
       cached.unpersist()

@@ -160,6 +160,40 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(readAll(root, before = Some(4L)) == Set(100L, 101L, 102L, 103L))
   }
 
+  test("duplicate caller ids canonicalize: the manifest is distinct+sorted") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    StateStore.compactBatchDirs(spark, root, ids = Seq(2L, 0L, 0L, 1L, 1L))
+    val mf = java.nio.file.Paths.get(s"$root/c${"%019d".format(2L)}", "_merged_ids")
+    assert(new String(java.nio.file.Files.readAllBytes(mf), "UTF-8") == "0\n1\n2\n")
+    // a clean retry with the canonical ids is the no-op path
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
+    assert(readAll(root) == Set(0L, 1L, 2L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
+  }
+
+  test("sweepGraceMs floors the reader grace in wall-clock time") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L)
+    write(root, 3L, Seq(3L))
+    // back-to-back second compaction with a long grace: gen-1's b-dirs
+    // and c-dir must SURVIVE (a reader that listed paths just before
+    // the new manifest landed may still be reading them)
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L,
+      sweepGraceMs = 60 * 60 * 1000L)
+    assert(dirs(root).count(_.startsWith("b")) == 4, "b-dirs within grace survive")
+    assert(dirs(root).count(_.startsWith("c")) == 2)
+    assert(readAll(root) == Set(0L, 1L, 2L, 3L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 3L))
+    // once the grace elapses (here: 0) a retrying sweep clears gen-1's
+    // b-dirs; b3 is the newest generation's own grace copy and stays
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L)
+    assert(dirs(root).count(_.startsWith("b")) == 1)
+    assert(dirs(root).count(_.startsWith("c")) == 2, "newest grace copy still kept")
+    assert(readAll(root) == Set(0L, 1L, 2L, 3L))
+  }
+
   test("BM25 index compaction: serve identical, newest batch preserved, replayed append skips") {
     val root = tmp()
     val base = Seq((1L, "spark hash join fast"), (2L, "hash hash table scan")).toDF("doc_id", "text")

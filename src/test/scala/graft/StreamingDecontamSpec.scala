@@ -100,6 +100,25 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkSessionTestWrapper {
       b2.toDF("doc_id", "text"), "text", "doc_id", evalPhrases, "phrase_id", "phrase")))
   }
 
+  test("a replay that recomputes ZERO hits retracts the stale alert partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon5").toString
+    run(b1, 0L, dir)
+    run(b2, 1L, dir) // batch 1 alerts on "hash table"
+    assert(!spark.read.parquet(s"$dir/out").where($"batch_id" === 1L).isEmpty)
+    // the stream restarts with a CHANGED phrase list (the advertised
+    // re-audit workflow) and replays batch 1 — now zero hits: the old
+    // partition must not survive as stale alerts
+    val newPhrases = Seq((9L, "neverseen sentinel")).toDF("phrase_id", "phrase")
+    StreamingDecontam.processBatch(
+      b2.toDF("doc_id", "text"), 1L, "text", "doc_id",
+      newPhrases, "phrase_id", "phrase", s"$dir/idx", s"$dir/out",
+      minOccurrences = 1)
+    assert(spark.read.parquet(s"$dir/out").where($"batch_id" === 1L).isEmpty,
+      "stale batch-1 alerts survived an empty-hit replay")
+    // batch 0's partition is untouched
+    assert(!spark.read.parquet(s"$dir/out").where($"batch_id" === 0L).isEmpty)
+  }
+
   test("a torn index dir (no _SUCCESS) is invisible; the replay commits over it and alerts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_decon4").toString
     run(b1, 0L, dir)
