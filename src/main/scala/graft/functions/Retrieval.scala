@@ -44,10 +44,12 @@ object Retrieval {
   val k1 = 1.2
   val b = 0.75
 
-  /** Above this many distinct query/phrase terms the stored-postings
-    * scan filter is skipped: a giant literal IN array costs more than
-    * the row groups it prunes (the BloomPrune ≤64k-words lesson,
-    * applied conservatively). */
+  /** Above this many distinct query/phrase terms the literal scan
+    * filter is replaced by a codegen'd bloom pre-filter: a giant
+    * literal IN array costs more than the row groups it prunes (the
+    * BloomPrune ≤64k-words lesson, applied conservatively), while the
+    * bloom keeps most of the pruning at ANY vocabulary size — the
+    * 10⁵-10⁶-sentence decontamination sweep lives above this cap. */
   val maxTermPushdown = 10000
 
   /** Literal-predicate pushdown for the index SERVE paths: the stored
@@ -57,17 +59,39 @@ object Retrieval {
     * paths collect the (small by construction: a query batch or an
     * eval-sentence list) distinct term set on the driver and plant it
     * as an `isin` literal. Results are unchanged — every downstream
-    * join already restricts to these terms — only the scan shrinks. */
+    * join already restricts to these terms — only the scan shrinks.
+    *
+    * EAGER: the vocabulary collect is a Spark job that runs at
+    * DataFrame-CONSTRUCTION time, on every call — the serve entry
+    * points that use this ([[bm25FromIndex]], [[phraseSearchFromIndex]],
+    * [[snippetsFromIndex]]) are not fully lazy. Callers composing plans
+    * or wrapping construction in retries/metrics should construct once
+    * and reuse the returned frame. */
   private def pruneToTerms(postings: DataFrame, termCol: DataFrame): DataFrame = {
     // limit BEFORE collect: the cap must bound the driver transfer
     // itself, not just the literal it builds — an over-cap vocabulary
-    // collects maxTermPushdown+1 rows and skips pruning, never the
-    // full distinct set
+    // collects maxTermPushdown+1 rows and never the full distinct set
     val terms = termCol.distinct().limit(maxTermPushdown + 1)
       .collect().map(_.getString(0)).toSeq
-    if (terms.nonEmpty && terms.length <= maxTermPushdown)
-      postings.filter(col("term").isin(terms: _*))
-    else postings
+    if (terms.isEmpty) postings
+    else if (terms.length <= maxTermPushdown) {
+      // chunked so every term stays an exact equality at the reader
+      // (one flat isin above the session threshold would degrade to a
+      // useless min/max range — ScanPrune's rationale)
+      ScanPrune.ensureEqPushdown(postings.sparkSession)
+      postings.filter(ScanPrune.inLiteral(col("term"), terms))
+    }
+    else {
+      // over the literal cap (a 10⁵+-sentence decontamination sweep):
+      // fall back to a codegen'd bloom membership filter on the scan
+      // side — no false negatives, so results are unchanged (the ~fpp
+      // of non-matching postings that pass die in the downstream term
+      // joins); the scan still sheds ~99% of non-vocabulary postings
+      // before any shuffle. The bloom build is one distributed pass
+      // over the vocabulary (driver holds only the bit array).
+      val words = BloomPrune.buildSized(termCol, col("term"))
+      BloomPrune.pruneAuto(postings, col("term"), words)
+    }
   }
 
   /** Top-`k` documents per query by BM25. `queries` is a small
@@ -330,7 +354,10 @@ object Retrieval {
     * pass per query batch instead of two); any batch whose df write was
     * torn demotes the WHOLE read to postings-derived df — correctness
     * never depends on the df table, only cost does (a partial df fold
-    * would undercount df and silently inflate idf). */
+    * would undercount df and silently inflate idf).
+    *
+    * NOT fully lazy: construction runs the [[pruneToTerms]] vocabulary
+    * collect (one small Spark job) before returning. */
   def bm25FromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
@@ -494,7 +521,8 @@ object Retrieval {
 
   /** [[phraseSearch]] served from a stored positional index — identical
     * output (same scorer over the same postings rows), corpus-tokenize
-    * cost paid once at build time instead of per audit. */
+    * cost paid once at build time instead of per audit. NOT fully lazy:
+    * construction runs the [[pruneToTerms]] vocabulary collect. */
   def phraseSearchFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
@@ -579,7 +607,8 @@ object Retrieval {
   /** [[snippets]] served from a stored positional index. The
     * hit-finding scan is pruned to the phrase vocabulary (the
     * [[phraseSearchFromIndex]] pushdown); only the window-reassembly
-    * join reads the full postings. */
+    * join reads the full postings. NOT fully lazy: construction runs
+    * the [[pruneToTerms]] vocabulary collect. */
   def snippetsFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       root: String,

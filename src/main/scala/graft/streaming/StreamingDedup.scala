@@ -40,11 +40,13 @@ import graft.functions.IncrementalDedup
   *     derive from that one confirmed set) and is never shuffled,
   *     distinct-ed, or cache-materialized — the ScaleBench `stream`
   *     gate measured the earlier shape (per-batch distinct + full
-  *     shuffle anti-join) growing 2.2× over 100 batches. The single
-  *     columnar scan still grows with accumulated novel content — the
-  *     exact-confirm floor for a parquet-backed index (per-batch point
-  *     lookups need a KV store); deployments bound it by windowing or
-  *     compacting the index.
+  *     shuffle anti-join) growing 2.2× over 100 batches. And the scan
+  *     itself is ROW-GROUP-PRUNED: fp dirs are written fp-clustered
+  *     ([[fpClustered]]) and the bounded suspect set is planted as a
+  *     literal scan predicate, so parquet min/max skips everything but
+  *     the suspect neighborhoods — per-batch IO tracks the batch's own
+  *     suspect count, not the accumulated novel volume (what earlier
+  *     rounds documented as the exact-confirm floor).
   *   - The bloom sketch is maintained INCREMENTALLY on the driver:
   *     batch partials are built distributed with the SAME geometry
   *     (`sizeFor = expectedTotalKeys`) and merged into the running
@@ -65,17 +67,36 @@ import graft.functions.IncrementalDedup
   */
 object StreamingDedup {
 
+  /** Above this many bloom-suspect fps the per-batch literal scan
+    * filter is skipped (the [[graft.functions.Retrieval.maxTermPushdown]]
+    * pattern applied to fps): the confirm falls back to the broadcast
+    * join alone, which still scans the index exactly once. Typical
+    * suspect sets are true dups + fpp·|batch fps| — well under this. */
+  val maxFpPushdown = 10000
+
+  /** The fp-clustered layout every fp-index write uses: hash-spread
+    * across partitions, SORTED by fp within each file, so every parquet
+    * row group covers a narrow fp range and the bounded suspect-literal
+    * pushdown ([[maxFpPushdown]]) prunes the accumulated-index scan to
+    * the suspect neighborhoods on row-group min/max — the
+    * term-clustering trick of the BM25/positional indexes applied to
+    * fingerprints. */
+  private[graft] def fpClustered(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(col("fp")).sortWithinPartitions(col("fp"))
+
   /** Compact the accumulated fp index, never absorbing the NEWEST
     * committed batch: it may sit inside a replay window only the stream
     * checkpoint knows about, and its replay's strictly-before bounded
     * read ([[StateStore.readCommittedBatchDirs]] with `beforeBatch`)
     * must keep working across a restart. Run from a maintenance job;
     * absorbed ids stay committed, so the stream's exactly-once
-    * contract is untouched. */
+    * contract is untouched. The merged dir is RE-CLUSTERED by fp so the
+    * suspect pushdown keeps row-group-pruning after the merge. */
   def compactFpIndex(
       spark: org.apache.spark.sql.SparkSession, streamIdxPath: String): Unit = {
     val ids = StateStore.committedBatchIds(spark, streamIdxPath).sorted.dropRight(1)
-    if (ids.length >= 2) StateStore.compactBatchDirs(spark, streamIdxPath, ids)
+    if (ids.length >= 2)
+      StateStore.compactBatchDirs(spark, streamIdxPath, ids, fpClustered)
   }
 
   /** Start the dedup stream. `docs` is a streaming DataFrame with
@@ -142,6 +163,14 @@ object StreamingDedup {
       * restart-seeding contract. */
     private[graft] def mightContain(fp: Long): Boolean = bloom.mightContainLong(fp)
 
+    /** Spec hooks: when `capturePlans` is set, each batch records the
+      * executed plan of its confirm join so tests can assert the
+      * bounded suspect literal actually reaches the parquet scan as a
+      * pushed filter. Off in production — extracting the plan string
+      * costs a planning pass per batch. */
+    private[graft] var capturePlans = false
+    private[graft] var lastConfirmPlan = ""
+
     private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
       val sc = spark.sparkContext
       val persistedBefore = sc.getPersistentRDDs.keySet
@@ -157,8 +186,12 @@ object StreamingDedup {
       }
       // register on the BATCH's session: inside foreachBatch the micro-
       // batch runs in the streaming query's cloned session, where the
-      // outer session's function registry is not visible
+      // outer session's function registry is not visible. The eq-
+      // pushdown threshold likewise goes on BOTH sessions — the confirm
+      // plan composes frames from each, and the executing session's
+      // conf decides how the suspect literal translates at the reader
       graft.functions.expressions.BloomMightContain.register(batch.sparkSession)
+      graft.functions.ScanPrune.ensureEqPushdown(batch.sparkSession)
       // the batch's (id, fp) shingle table — shared by the stats fold,
       // the kept-doc projection, and the novel append; ONE tokenize
       val batchFps = IncrementalDedup
@@ -175,14 +208,35 @@ object StreamingDedup {
       // or materialized — the previous shape (a per-batch distinct +
       // cache inside passageDedupStats plus a full shuffle anti-join)
       // was the super-constant growth the ScaleBench `stream` gate
-      // flagged. The scan itself still grows with the accumulated
-      // novel-fp volume: that is the exact-confirm floor (a per-batch
-      // point lookup needs a KV store, not a parquet table); bound it
-      // in deployment by windowing or compacting the index.
+      // flagged.
       val suspects = batchFps.select(col("fp")).distinct().filter(
         call_function("bloom_might_contain", lit(bloomBytes), col("fp")))
-      val existing = broadcast(suspects).join(idx, Seq("fp"))
+        .cache() // read twice: the bounded collect + the confirm join
+      // Bounded suspect PUSHDOWN: the stored fp dirs are fp-clustered
+      // ([[fpClustered]]), so planting the suspect set as a literal
+      // scan predicate lets parquet row-group min/max prune the
+      // accumulated-index scan to the suspect neighborhoods — the scan
+      // no longer reads volume proportional to ACCUMULATED novel
+      // content, only to the batch's own suspect set (what used to be
+      // called the exact-confirm floor). Over-cap suspect sets skip
+      // the literal (never collecting past the cap) and fall back to
+      // the unpruned single scan.
+      val suspectVals = {
+        val rows = suspects.limit(maxFpPushdown + 1).collect()
+        if (rows.length <= maxFpPushdown) Some(rows.map(_.getLong(0)).toSeq)
+        else None
+      }
+      val probedIdx = suspectVals match {
+        case Some(fps) if fps.isEmpty => idx.limit(0)
+        case Some(fps) =>
+          graft.functions.ScanPrune.ensureEqPushdown(spark)
+          idx.filter(graft.functions.ScanPrune.inLiteral(col("fp"), fps))
+        case None => idx
+      }
+      val existing = broadcast(suspects).join(probedIdx, Seq("fp"))
         .select(col("fp")).cache()
+      if (capturePlans)
+        lastConfirmPlan = existing.queryExecution.executedPlan.toString
       val stats = IncrementalDedup
         .passageDedupStatsFromConfirmed(batchFps, existing, dropAt)
         .withColumn("batch_id", lit(batchId))
@@ -201,7 +255,9 @@ object StreamingDedup {
         .select(col("fp")).distinct()
         .join(broadcast(existing), Seq("fp"), "left_anti")
         .cache()
-      StateStore.writeBatchDir(keptFps, streamIdxPath, batchId)
+      // fp-clustered so later batches' suspect pushdown row-group-
+      // prunes this dir too
+      StateStore.writeBatchDir(fpClustered(keptFps), streamIdxPath, batchId)
       val newSketch = IncrementalDedup
         .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
       bloom.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))

@@ -123,6 +123,27 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(idxFps() == n0, "replay emptied the batch's fp dir")
   }
 
+  test("the bounded suspect set reaches the stored fp scan as a pushed literal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_pd").toString
+    val staticIdx = IncrementalDedup.shingleFps(
+      Seq((0L, doc(0))).toDF("doc_id", "text"), "text", "doc_id", 4)
+    val s1 = newSession(dir, staticIdx)
+    s1.processBatch(Seq((50L, doc(50))).toDF("doc_id", "text"), 0L)
+    // batch 1 duplicates kept doc 50 → its fps are bloom suspects that
+    // must be confirmed against the STORED (fp-clustered) batch dir,
+    // with the suspect set planted as a pushed In(fp) literal
+    val s2 = newSession(dir, staticIdx)
+    s2.capturePlans = true
+    s2.processBatch(Seq((51L, mostlyDup(50, 51))).toDF("doc_id", "text"), 1L)
+    val p = s2.lastConfirmPlan
+    assert(p.contains("In(fp") && p.contains("PushedFilters: ["),
+      s"suspect literal did not reach the scan:\n$p")
+    // and the decisions are unchanged by the pruning (parity)
+    val keep = spark.read.parquet(s"$dir/out")
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(50L -> true, 51L -> false))
+  }
+
   test("a restarted session screens against fps the stream already kept") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd_rs").toString
     val staticIdx = IncrementalDedup.shingleFps(
