@@ -213,7 +213,7 @@ object Retrieval {
     * its own dir). This is the deployment shape: the corpus-side work
     * of [[bm25TopK]] (tokenize → explode → postings groupBy) runs
     * ONCE at build time; every query batch afterwards reads stored
-    * postings. Postings are repartitioned and sorted by term so a
+    * postings. Postings are RANGE-partitioned and sorted by term so a
     * query-term probe prunes row groups on parquet min/max. */
   def buildIndex(docs: DataFrame, textCol: String, docIdCol: String, root: String): Unit =
     appendToIndex(docs, textCol, docIdCol, root, batchId = 0L)
@@ -264,7 +264,11 @@ object Retrieval {
     } else if (!visible) {
       val (postings, stats) = indexParts(batch, textCol, docIdCol)
       val stored = postings
-        .repartition(col("term")).sortWithinPartitions(col("term"))
+        // range-partitioned so FILES carry disjoint term ranges — a
+        // k-term probe touches ~k row groups in the whole dir, not k
+        // per file (which is what a hash repartition + sort degrades
+        // to once k exceeds one file's row-group count)
+        .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
         // cache: the df fold below would otherwise re-run the whole
         // tokenize → postings aggregation a second time at build time
         .persist()
@@ -301,7 +305,7 @@ object Retrieval {
       .sorted.dropRight(1)
     if (visible.length >= 2) {
       StateStore.compactBatchDirs(spark, s"$root/postings", visible,
-        df => df.repartition(col("term")).sortWithinPartitions(col("term")))
+        df => df.repartitionByRange(col("term")).sortWithinPartitions(col("term")))
       StateStore.compactBatchDirs(spark, s"$root/stats", visible)
       StateStore.compactBatchDirs(spark, s"$root/df", visible,
         // per-term partials stay additive; fold them so the df table
@@ -323,7 +327,7 @@ object Retrieval {
       .sorted.dropRight(1)
     if (ids.length >= 2)
       StateStore.compactBatchDirs(spark, s"$root/postings", ids,
-        df => df.repartition(col("term"))
+        df => df.repartitionByRange(col("term"))
           .sortWithinPartitions(col("term"), col("doc_id"), col("pos")))
   }
 
@@ -478,7 +482,7 @@ object Retrieval {
     * while a decontamination sweep audits the same corpus against
     * thousands of eval sentences repeatedly; storing the positional
     * postings once makes each audit a probe of phrase-term postings
-    * only. Postings are term-clustered (repartition + sort by term) so
+    * only. Postings are term-clustered (range-partition + sort) so
     * parquet min/max prunes row groups to the phrase vocabulary. */
   def buildPositionalIndex(
       docs: DataFrame, textCol: String, docIdCol: String, root: String): Unit =
@@ -504,7 +508,7 @@ object Retrieval {
     if (!done.contains(batchId)) {
       StateStore.writeBatchDir(
         positionalIndexParts(batch, textCol, docIdCol)
-          .repartition(col("term"))
+          .repartitionByRange(col("term"))
           .sortWithinPartitions(col("term"), col("doc_id"), col("pos")),
         s"$root/postings", batchId)
     }

@@ -74,15 +74,16 @@ object StreamingDedup {
     * suspect sets are true dups + fpp·|batch fps| — well under this. */
   val maxFpPushdown = 10000
 
-  /** The fp-clustered layout every fp-index write uses: hash-spread
-    * across partitions, SORTED by fp within each file, so every parquet
-    * row group covers a narrow fp range and the bounded suspect-literal
-    * pushdown ([[maxFpPushdown]]) prunes the accumulated-index scan to
-    * the suspect neighborhoods on row-group min/max — the
-    * term-clustering trick of the BM25/positional indexes applied to
-    * fingerprints. */
+  /** The fp-clustered layout every fp-index write uses: RANGE-
+    * partitioned and sorted, so files carry DISJOINT fp ranges and row
+    * groups within each file carry narrow sub-ranges — a k-suspect
+    * literal probe ([[maxFpPushdown]]) then touches ~k row groups in
+    * the WHOLE index. (A hash repartition + sort would leave every
+    * file spanning the full fp domain: the same k suspects would hit
+    * up to k row groups PER FILE, and pruning would stop mattering as
+    * soon as k exceeded one file's row-group count.) */
   private[graft] def fpClustered(df: org.apache.spark.sql.DataFrame) =
-    df.repartition(col("fp")).sortWithinPartitions(col("fp"))
+    df.repartitionByRange(col("fp")).sortWithinPartitions(col("fp"))
 
   /** Compact the accumulated fp index, never absorbing the NEWEST
     * committed batch: it may sit inside a replay window only the stream
@@ -179,7 +180,6 @@ object StreamingDedup {
       val streamIdx = StateStore
         .readCommittedBatchDirs(spark, streamIdxPath, beforeBatch = Some(batchId))
         .getOrElse(spark.emptyDataFrame.select(lit(0L).as("fp")).limit(0))
-      val idx = static.unionByName(streamIdx.select(col("fp")))
       val bloomBytes = { // serialize the CURRENT sketch for this batch
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos); bos.toByteArray
@@ -213,27 +213,39 @@ object StreamingDedup {
         call_function("bloom_might_contain", lit(bloomBytes), col("fp")))
         .cache() // read twice: the bounded collect + the confirm join
       // Bounded suspect PUSHDOWN: the stored fp dirs are fp-clustered
-      // ([[fpClustered]]), so planting the suspect set as a literal
-      // scan predicate lets parquet row-group min/max prune the
-      // accumulated-index scan to the suspect neighborhoods — the scan
-      // no longer reads volume proportional to ACCUMULATED novel
-      // content, only to the batch's own suspect set (what used to be
-      // called the exact-confirm floor). Over-cap suspect sets skip
-      // the literal (never collecting past the cap) and fall back to
-      // the unpruned single scan.
+      // ([[fpClustered]] — files range-disjoint, rows sorted), so
+      // planting the suspect set as a literal scan predicate lets
+      // parquet row-group min/max prune the accumulated-index scan to
+      // ~|suspects| row groups — per-batch IO then tracks the batch's
+      // own suspect count, not the accumulated novel volume (what
+      // earlier rounds called the exact-confirm floor). Pruning is a
+      // DENSITY game (ScaleBench `pushdown` measures the law): a
+      // multi-chunk literal also costs per-row evaluation on every
+      // SURVIVING row group, so it only engages when it can prune —
+      // |suspects| within one cheap isin chunk, or at most the stored
+      // side's estimated row-group count (committed fp files are below
+      // one parquet block, so files ≈ row groups). Over-cap or
+      // over-density suspect sets fall back to the unpruned single
+      // scan; the literal-cap collect never pulls past maxFpPushdown+1.
       val suspectVals = {
         val rows = suspects.limit(maxFpPushdown + 1).collect()
         if (rows.length <= maxFpPushdown) Some(rows.map(_.getLong(0)).toSeq)
         else None
       }
-      val probedIdx = suspectVals match {
-        case Some(fps) if fps.isEmpty => idx.limit(0)
-        case Some(fps) =>
+      val rowGroupEst = streamIdx.inputFiles.length
+      val probedStream = suspectVals match {
+        case Some(fps) if fps.nonEmpty &&
+            (fps.length <= graft.functions.ScanPrune.eqChunk ||
+              fps.length <= rowGroupEst) =>
           graft.functions.ScanPrune.ensureEqPushdown(spark)
-          idx.filter(graft.functions.ScanPrune.inLiteral(col("fp"), fps))
-        case None => idx
+          streamIdx.filter(graft.functions.ScanPrune.inLiteral(col("fp"), fps))
+        case _ => streamIdx
       }
-      val existing = broadcast(suspects).join(probedIdx, Seq("fp"))
+      // the static corpus side is a memory-cached distinct table — the
+      // broadcast-hash confirm probes it directly; only the parquet
+      // stream side benefits from (and pays for) the literal
+      val idx = static.unionByName(probedStream.select(col("fp")))
+      val existing = broadcast(suspects).join(idx, Seq("fp"))
         .select(col("fp")).cache()
       if (capturePlans)
         lastConfirmPlan = existing.queryExecution.executedPlan.toString

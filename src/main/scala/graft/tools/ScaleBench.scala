@@ -1585,6 +1585,55 @@ object ScaleBench {
     * streaming operator's cost growth needs a documented reason. */
   val streamFlagRatio = 1.5
 
+  /** Suspect-literal pushdown law on a range-clustered fp index: scan
+    * wall vs probe-set size. Pruning is a DENSITY game — a k-key literal
+    * probe reads ~min(k, G) of the index's G row groups (keys uniform,
+    * files range-disjoint, rows sorted), so the win appears exactly when
+    * k < G and grows with index size while k stays batch-proportional.
+    * Locally G is bounded by what fits on disk, so `blockMB` shrinks the
+    * row groups to reproduce the at-scale GEOMETRY (a 10^12-fp
+    * production index at default 128 MB blocks has ~64k row groups —
+    * far more than any batch's suspect set; 160M fps at 8 MB gives
+    * ~160, enough to see the law's both regimes). Measured per k: the
+    * literal-pushdown probe, the broadcast-join-only confirm (the
+    * over-cap fallback shape — always a full scan), and the plain full
+    * scan. Usage: runMain graft.tools.ScaleBench pushdown [nFps] [blockMB] */
+  def pushdownMain(spark: SparkSession, nFps: Long, blockMB: Int): Unit = {
+    import graft.functions.ScanPrune
+    val dir = java.nio.file.Files.createTempDirectory("graft_pushdown").toString + "/idx"
+    val t0 = System.nanoTime()
+    spark.range(nFps).select(xxhash64(col("id")).as("fp"))
+      .repartitionByRange(32, col("fp")).sortWithinPartitions(col("fp"))
+      .write.option("parquet.block.size", (blockMB * 1024 * 1024).toString)
+      .parquet(dir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    ScanPrune.ensureEqPushdown(spark)
+    val idx = spark.read.parquet(dir)
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    idx.count() // warm footers/page cache once
+    val fullScan = time(assert(idx.count() == nFps))
+    val rows = Seq(16, 256, 4096, 65536).map { k =>
+      // true members, uniformly scattered: the index is xxhash64(0..n)
+      val suspects = spark.range(k).select(xxhash64(col("id")).as("fp"))
+      val vals = suspects.collect().map(_.getLong(0)).toSeq.distinct
+      val lit =
+        if (vals.length <= graft.streaming.StreamingDedup.maxFpPushdown)
+          time(assert(
+            idx.filter(ScanPrune.inLiteral(col("fp"), vals)).count() == vals.length))
+        else -1.0 // over the cap: the literal path never engages
+      val join = time(assert(
+        broadcast(suspects.distinct()).join(idx, Seq("fp")).count() == vals.length))
+      (k, lit, join)
+    }
+    val rowsJson = rows.map { case (k, lit, join) =>
+      s"""{"k":$k,"literal_scan_sec":$lit,"broadcast_confirm_sec":$join}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"suite":"pushdown","n_fps":$nFps,"block_mb":$blockMB,""" +
+      s""""build_sec":$buildSec,"full_scan_sec":$fullScan,"probes":$rowsJson}""")
+  }
+
   def suiteMain(spark: SparkSession, baseDir: String, rest: Seq[String]): Unit = {
     import graft.sources.StagingCache
     val root = rest.headOption.getOrElse("/tmp/graft_scale")
@@ -1785,6 +1834,8 @@ object ScaleBench {
         phraseIndexMain(s, argL(1, 2000000L), argI(2, 20)))
       case Some("stream") => withSession(tuned = true)(s =>
         streamMain(s, argI(1, 100), argL(2, 10000L)))
+      case Some("pushdown") => withSession(tuned = true)(s =>
+        pushdownMain(s, argL(1, 160000000L), argI(2, 8)))
       case Some("suite") => withSession(tuned = true)(s =>
         suiteMain(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           args.drop(1).toSeq))
