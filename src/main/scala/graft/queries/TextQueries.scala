@@ -32,6 +32,49 @@ object TextQueries {
       Dedup.nearDupGroups(docs(s, dir), "text", "doc_id", minEstJaccard = 0.5)
     }
 
+  /** On-disk staged index roots for the compaction-invariance gates
+    * (d77/d78): the corpus appended as three doc-disjoint batches
+    * through the REAL committed-batch-dir store, then compacted —
+    * batches 0-1 absorbed into a manifest-carrying c-dir, batch 2 left
+    * in its own dir (the never-absorb-the-newest replay rule), so the
+    * serve path exercises the mixed compacted + live read. Built once
+    * per (session, corpus dir) per JVM; the root is DELETED first so a
+    * leftover from an earlier process can never satisfy the gate. */
+  private val builtStagedIndexes =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
+
+  private def stagedCompactedRoot(
+      s: SparkSession, dir: String, kind: String)(
+      build: (DataFrame, String) => Unit): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_${kind}_$key"
+    builtStagedIndexes.synchronized {
+      builtStagedIndexes.filterInPlace(!_._1.sparkContext.isStopped)
+      if (!builtStagedIndexes((s, root))) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        build(docs(s, dir), root)
+        builtStagedIndexes += ((s, root))
+      }
+    }
+    root
+  }
+
+  private def compactedBm25Root(s: SparkSession, dir: String): String =
+    stagedCompactedRoot(s, dir, "d77_idx") { (d, root) =>
+      (0 to 2).foreach(i => graft.functions.Retrieval.appendToIndex(
+        d.filter(pmod(col("doc_id"), lit(3)) === i), "text", "doc_id", root, i.toLong))
+      graft.functions.Retrieval.compactIndex(s, root)
+    }
+
+  private def compactedPositionalRoot(s: SparkSession, dir: String): String =
+    stagedCompactedRoot(s, dir, "d78_pidx") { (d, root) =>
+      (0 to 2).foreach(i => graft.functions.Retrieval.appendToPositionalIndex(
+        d.filter(pmod(col("doc_id"), lit(3)) === i), "text", "doc_id", root, i.toLong))
+      graft.functions.Retrieval.compactPositionalIndex(s, root)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
@@ -372,6 +415,38 @@ object TextQueries {
         .reduce(_.unionByName(_))
       graft.functions.Retrieval
         .snippetsFromPostings(parts, ph, "phrase_id", "phrase", "doc_id", window = 3)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // the COMPACTION-invariance gate for the BM25 disk layer: the d69
+    // corpus appended as three batches through the real batch-dir
+    // store, batches 0-1 absorbed into a compacted dir (newest stays
+    // live — the replay-window rule), BM25 served from the mixed
+    // c-dir + b-dir read WITH the stored additive df tables. Oracle =
+    // the same whole-corpus replay as d69 — absorb-invariance
+    // end-to-end under the driver's bit-exact gate
+    "d77_bm25_compacted" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, "hash join table"),
+        (2L, "spark fast scan"),
+        (3L, "slow batch merge dup"),
+        (4L, "vector column group sort"),
+        (5L, "dup missingterm"))).toDF("query_id", "query")
+      graft.functions.Retrieval.bm25FromIndex(
+          s, compactedBm25Root(s, dir), q, "query_id", "query", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the positional twin of d77: phrase audit served from a COMPACTED
+    // positional index (re-clustered by term on merge). Oracle = the
+    // whole-corpus d70 replay, the d75 convention
+    "d78_phrase_compacted" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"),
+        (4L, "vector"),
+        (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
+      graft.functions.Retrieval.phraseSearchFromIndex(
+          s, compactedPositionalRoot(s, dir), ph, "phrase_id", "phrase")
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // PMI collocations: top bigrams by pointwise mutual information
@@ -2071,6 +2146,29 @@ object TextQueries {
          |         toks[(snippet_start + 1)::INT : (first_pos + p_len + 3)::INT],
          |         ' ') AS snippet
          |FROM sn ORDER BY phrase_id, doc_id""".stripMargin,
+    // d77: the oracle is the SAME whole-corpus replay as d69 — Spark
+    // serves from the compacted on-disk store (manifest-resolved c-dir
+    // + the live newest b-dir, stored additive df), so equality is the
+    // absorb-invariance proof for the whole disk layer
+    "d77_bm25_compacted" ->
+      s"""$bm25Cte
+         |SELECT query_id, query, doc_id, n_terms_matched,
+         |       round(su::DOUBLE / 1e6, 6) AS score, rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // d78: the whole-corpus d70 replay — Spark serves the phrase audit
+    // from the compacted positional store (term-re-clustered on merge)
+    "d78_phrase_compacted" ->
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan'),
+               |    (4::BIGINT, 'vector'),
+               |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
+         |SELECT phrase_id, phrase, doc_id,
+         |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
+         |FROM occ WHERE n_off = p_len
+         |GROUP BY 1, 2, 3
+         |ORDER BY phrase_id, doc_id""".stripMargin,
     // d75: the oracle is the WHOLE-corpus d70 replay — Spark scores
     // from three doc-disjoint positional-postings splits, so equality
     // IS the split-invariance proof for the positional index
