@@ -42,6 +42,12 @@ import graft.functions.Retrieval
   * rewritten — both tables end as a single clean run's. */
 object StreamingDecontam {
 
+  /** `compactEvery`: run
+    * [[graft.functions.Retrieval.compactPositionalIndex]] inside
+    * foreachBatch every N committed batches so the always-on monitor's
+    * dir count is self-maintaining (the wrapper never absorbs the
+    * newest id — the per-batch audit's subset-read of its OWN dir and
+    * any replay keep working). Leave None to schedule it externally. */
   def start(
       docs: DataFrame,
       textCol: String,
@@ -53,13 +59,17 @@ object StreamingDecontam {
       outPath: String,
       checkpoint: String,
       minOccurrences: Int = 1,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    val outer = docs.sparkSession
     val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, docIdCol,
           phrases, phraseIdCol, phraseCol, indexRoot, outPath, minOccurrences)
+        if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
+          Retrieval.compactPositionalIndex(outer, indexRoot)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

@@ -103,7 +103,14 @@ object StreamingDedup {
   /** Start the dedup stream. `docs` is a streaming DataFrame with
     * (`idCol`, `textCol`); decisions land in `outPath` (one row per doc:
     * id, n_shingles, n_dup_shingles, dup_fraction, keep, batch_id); new
-    * fps append to `streamIdxPath`. */
+    * fps append to `streamIdxPath`.
+    *
+    * `compactEvery`: run [[compactFpIndex]] inside foreachBatch every N
+    * committed batches, so the fp-dir count stays bounded without a
+    * separate maintenance job — the wrapper never absorbs the newest
+    * committed id, so the replay contract survives an in-stream
+    * compaction. The compaction batch pays the merge cost (amortized:
+    * O(index)/N per batch); leave None to schedule it externally. */
   def start(
       docs: DataFrame,
       staticIndex: DataFrame,
@@ -117,15 +124,19 @@ object StreamingDedup {
       dropAt: Double = 0.5,
       expectedTotalKeys: Long = 10000000L,
       portable: Boolean = true,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    val outer = docs.sparkSession
     val session = new Session(
-      docs.sparkSession, staticIndex, outPath, streamIdxPath, textCol, idCol,
+      outer, staticIndex, outPath, streamIdxPath, textCol, idCol,
       shingleSize, fpp, dropAt, expectedTotalKeys, portable)
     val writer = docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         session.processBatch(batch, batchId)
+        if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
+          compactFpIndex(outer, streamIdxPath)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

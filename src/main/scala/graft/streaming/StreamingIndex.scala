@@ -28,11 +28,12 @@ import graft.functions.Retrieval
   * chain [[StreamingDedup]] in front when the stream can repeat
   * content.
   *
-  * A long-lived stream lands one dir per micro-batch; run
-  * [[graft.functions.Retrieval.compactIndex]] periodically (e.g. from
-  * a maintenance job while the stream is stopped or between batches) —
-  * absorbed batch ids stay committed via the compacted dir's manifest,
-  * so replays still skip and serve results are identical. */
+  * A long-lived stream lands one dir per micro-batch; `compactEvery`
+  * runs [[graft.functions.Retrieval.compactIndex]] from inside
+  * foreachBatch every N committed batches so the dir count is
+  * self-maintaining — absorbed batch ids stay committed via the
+  * compacted dir's manifest, so replays still skip and serve results
+  * are identical. Leave None to schedule compaction externally. */
 object StreamingIndex {
 
   def start(
@@ -41,7 +42,9 @@ object StreamingIndex {
       docIdCol: String,
       indexRoot: String,
       checkpoint: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    val outer = docs.sparkSession
     val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -55,6 +58,11 @@ object StreamingIndex {
             Retrieval.appendToIndex(cached, textCol, docIdCol, indexRoot, batchId)
           }
         } finally cached.unpersist()
+        // the wrapper compacts only the fully-visible prefix and never
+        // the newest id, so an in-stream compaction cannot break a
+        // replay of the batch that just committed
+        if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
+          Retrieval.compactIndex(outer, indexRoot)
       }
     trigger.fold(writer)(writer.trigger).start()
   }
