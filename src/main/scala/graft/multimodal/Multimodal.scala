@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * steps as partition-wise batch functions.
   *
-  * The image leg decodes REAL PNGs (`javax.imageio`, x3) and the audio
-  * leg decodes REAL RIFF/WAV PCM (`javax.sound.sampled`, x4) — both
-  * JDK-native, no external codecs. Only VIDEO demuxing remains stubbed
-  * (no demuxer ships in the JDK): `decodeStub`/`sampleFrames` derive
-  * deterministic fake features/frames from the bytes, keeping the
-  * Spark-side contract — schema, binary payload column, partition-wise
-  * batched execution — real and tested; swap the byte-slice "decode"
-  * for a JNI/demuxer call in production.
+  * ALL THREE modalities decode real bytes with JDK-native codecs, no
+  * external libraries: images are REAL PNGs (`javax.imageio`, x3),
+  * audio is REAL RIFF/WAV PCM (`javax.sound.sampled`, x4), and video
+  * is a REAL multi-frame animated GIF demuxed frame-by-frame
+  * (`javax.imageio`'s frame-indexed gif plugin, x5) — the stub list is
+  * empty. `decodeStub`/`sampleFrames` remain as the generic-container
+  * plumbing (schema, binary payload column, partition-wise batched
+  * execution) for formats whose demuxers live outside the JDK
+  * (MP4/H.264 etc. — swap the byte-slice "decode" for a JNI/demuxer
+  * call; the batch shape does not change).
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end; the
   * decode runs via `mapPartitions` so per-batch setup (codec init) is
@@ -223,6 +225,118 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  // ---- real JDK-native video demux (animated GIF via javax.imageio) -----
+
+  final case class VideoFrameStats(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_pixels: Long, sum_v: Long)
+
+  /** REAL multi-frame demux + decode — `javax.imageio`'s GIF plugin
+    * ships in the JDK and is frame-indexed, so an animated GIF is the
+    * one video-shaped container that needs no external demuxer. Each
+    * frame is read independently (`reader.read(f)` returns the raw
+    * frame, no compositing), per-frame pixel sums are exact integers —
+    * the whole demux → decode → stats path is bit-contractable. Closes
+    * the LAST documented multimodal stub (x3 closed images, x4 audio). */
+  def decodeGifFrameStats(id: Long, payload: Array[Byte]): Seq[VideoFrameStats] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, s"id=$id: no frames in GIF container")
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xff) // grayscale palette: B==G==R
+            x += 1
+          }
+          y += 1
+        }
+        VideoFrameStats(id, f.toLong, w, h, w.toLong * h, sum)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Deterministic synthetic CLIP: every pixel of every frame a pure
+    * closed-form function of (id, frame, x, y) — the syntheticPng
+    * convention extended to the time axis. Frames are TYPE_BYTE_INDEXED
+    * over an explicit 256-gray palette: GIF is an indexed format, so an
+    * explicit palette makes the encode LOSSLESS by construction (the
+    * writer would otherwise quantize RGB input). */
+  def syntheticGif(id: Long): Array[Byte] = {
+    // floorMod: same negative-id reasoning as syntheticWav/syntheticPng
+    val w = (Math.floorMod(id, 6L) + 2).toInt
+    val h = (Math.floorMod(id, 3L) + 2).toInt
+    val nf = (Math.floorMod(id, 4L) + 2).toInt
+    val gray = Array.tabulate[Byte](256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      // interlace OFF, explicitly: the JDK GIF writer's default leaves
+      // the interlace decision to (absent) metadata, and its interlaced
+      // path silently DROPS every row after the first for images of
+      // height 2-4 (measured: a w×h image came back with w·(h−1) wrong
+      // pixels for h<5, bit-exact for h≥5) — the lossless-by-
+      // construction claim of the indexed palette only holds with
+      // progressive mode disabled
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              Math.floorMod(id + 7L * x + 13L * y + 29L * f, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** The full video leg end-to-end: synthesize a deterministic animated
+    * GIF per row (stage 1), carry it through the plan as a real `binary`
+    * column, then DEMUX + decode every frame with the JDK reader and
+    * emit per-frame pixel stats (stage 2, a flatMap — payload rows fan
+    * OUT to frame rows, the video explode direction). Indexed GIF is
+    * lossless, so the output equals the closed-form per-frame pixel
+    * sums IFF the encoder, the container framing, and the decoder all
+    * work on real bytes — that equality is the x5 oracle. Both stages
+    * are mapPartitions (codec state amortized per partition), zero
+    * shuffle. */
+  def videoFrameStats(df: DataFrame, idCol: String): Dataset[VideoFrameStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded: DataFrame = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
+      .toDF("id", "payload")
+    encoded.select(col("id"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => decodeGifFrameStats(id, bytes) })
   }
 
   /** The full audio leg end-to-end: synthesize a deterministic WAV per

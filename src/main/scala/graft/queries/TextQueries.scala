@@ -1084,6 +1084,23 @@ object TextQueries {
           col("doc_id"), col("n_samples"), col("sample_rate"),
           col("sum_amp"), col("min_amp"), col("max_amp"),
           round(col("sum_amp") / col("n_samples"), 6).as("mean_amp"))
+    }),
+    // REAL video demux + decode: per-doc deterministic multi-frame
+    // animated GIF synthesized with the JDK encoder over an explicit
+    // 256-gray palette (indexed GIF is lossless by construction),
+    // carried as a binary column, demuxed frame-by-frame with
+    // javax.imageio's gif reader, per-frame pixel sums emitted — one
+    // output row per FRAME (the video explode direction). The oracle
+    // recomputes the closed-form per-frame pixel formula codec-free;
+    // any encoder, container-framing, or decoder fault breaks the
+    // equality. Zero shuffle (two fused mapPartitions stages). Closes
+    // the last multimodal stub.
+    "x5_video_decode" -> ((s, dir) => {
+      Multimodal.videoFrameStats(docs(s, dir), "doc_id").toDF()
+        .select(
+          col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("n_pixels"), col("sum_v"),
+          round(col("sum_v") / col("n_pixels"), 6).as("mean_v"))
     })
   )
 
@@ -2722,6 +2739,27 @@ object TextQueries {
         |       MIN(amp)::BIGINT AS min_amp, MAX(amp)::BIGINT AS max_amp,
         |       round(SUM(amp)::DOUBLE / COUNT(*), 6) AS mean_amp
         |FROM sm GROUP BY doc_id""".stripMargin,
+    // x5: the codec-free recomputation of the demuxed per-frame pixel
+    // stats — the Spark side round-trips every frame through real
+    // animated-GIF bytes (javax.imageio sequence encode → binary column
+    // → frame-indexed demux + decode); this side just evaluates the
+    // closed-form pixel functions over the (frame, x, y) grid
+    "x5_video_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, (doc_id % 6 + 2) AS w, (doc_id % 3 + 2) AS h, x, y
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS tf(f),
+        |       UNNEST(generate_series(0, (doc_id % 6 + 2) - 1)) AS tx(x),
+        |       UNNEST(generate_series(0, (doc_id % 3 + 2) - 1)) AS ty(y)
+        |), agg AS (
+        |  SELECT doc_id, f, any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+        |         SUM((doc_id + 7 * x + 13 * y + 29 * f) % 256)::BIGINT AS sum_v
+        |  FROM px GROUP BY doc_id, f
+        |)
+        |SELECT doc_id, f::BIGINT AS frame_idx, width, height, n_pixels, sum_v,
+        |       round(sum_v::DOUBLE / n_pixels, 6) AS mean_v
+        |FROM agg""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)

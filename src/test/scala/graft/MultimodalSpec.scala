@@ -89,4 +89,105 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = out.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"audio decode must not shuffle:\n$plan")
   }
+
+  // ---- video leg (x5) ----------------------------------------------------
+
+  /** A 2-frame 3×2 animated GIF assembled BYTE BY BYTE — header, logical
+    * screen descriptor, 4-entry grayscale color table, two image
+    * descriptors, and hand-packed LZW (clear code, literal codes, end
+    * code; 3-bit pixels → minimum code size 2, 3-bit codes) — so the
+    * decoder is checked against an independent encoder, not itself.
+    * Frame 0 pixels: 0,1,2 / 3,0,1   frame 1: 1,2,3 / 0,1,2. */
+  private val goldenGif: Array[Byte] = {
+    def lzw(pixels: Seq[Int], minCodeSize: Int): Array[Byte] = {
+      // uncompressed-style LZW: CLEAR, then every pixel as a literal
+      // code, then EOI — packed LSB-first per the GIF spec. The code
+      // WIDTH must track the decoder's table exactly: the decoder adds
+      // one entry per code from the SECOND post-clear code onward, and
+      // widens when its next free code reaches 2^width
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      var width = minCodeSize + 1
+      var nextCode = eoi + 1
+      var first = true
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var cur = 0L; var nbits = 0
+      def write(code: Int): Unit = {
+        cur |= (code.toLong << nbits); nbits += width
+        while (nbits >= 8) { out += (cur & 0xff).toByte; cur >>= 8; nbits -= 8 }
+      }
+      write(clear)
+      pixels.foreach { p =>
+        write(p)
+        if (first) first = false
+        else { nextCode += 1; if (nextCode == (1 << width) && width < 12) width += 1 }
+      }
+      write(eoi)
+      if (nbits > 0) out += (cur & 0xff).toByte
+      out.toArray
+    }
+    def u16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    b ++= "GIF89a".getBytes("US-ASCII")
+    b ++= u16(3); b ++= u16(2) // logical screen 3×2
+    // packed: global color table, 2-bit color resolution, 4 entries (2^(1+1))
+    b += 0xf1.toByte; b += 0; b += 0
+    // 4-entry grayscale table: 0, 85, 170, 255
+    Seq(0, 85, 170, 255).foreach { v =>
+      b += v.toByte; b += v.toByte; b += v.toByte
+    }
+    def frame(pixels: Seq[Int]): Unit = {
+      b += 0x2c // image descriptor
+      b ++= u16(0); b ++= u16(0); b ++= u16(3); b ++= u16(2)
+      b += 0 // no local table, not interlaced
+      b += 2 // LZW minimum code size (4 colors)
+      val data = lzw(pixels, 2)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        b += n.toByte
+        b ++= data.slice(off, off + n)
+        off += n
+      }
+      b += 0 // block terminator
+    }
+    frame(Seq(0, 1, 2, 3, 0, 1))
+    frame(Seq(1, 2, 3, 0, 1, 2))
+    b += 0x3b // trailer
+    b.toArray
+  }
+
+  test("golden video: demux + decode of an independently-assembled animated GIF is exact") {
+    val frames = Multimodal.decodeGifFrameStats(9L, goldenGif)
+    // palette maps index i -> gray 85·i, so sums are 85·(index sums)
+    assert(frames == Seq(
+      Multimodal.VideoFrameStats(9L, 0L, 3L, 2L, 6L, 85L * (0 + 1 + 2 + 3 + 0 + 1)),
+      Multimodal.VideoFrameStats(9L, 1L, 3L, 2L, 6L, 85L * (1 + 2 + 3 + 0 + 1 + 2))))
+  }
+
+  test("syntheticGif produces a real multi-frame container and round-trips every pixel") {
+    Seq(0L, 3L, 7L, 13L, 100L).foreach { id =>
+      val bytes = Multimodal.syntheticGif(id)
+      // GIF89a magic: an actual encoded container, not a fake payload
+      assert(bytes.take(6).map(_.toChar).mkString == "GIF89a")
+      val frames = Multimodal.decodeGifFrameStats(id, bytes)
+      val (w, h, nf) = (id % 6 + 2, id % 3 + 2, id % 4 + 2)
+      assert(frames.length == nf.toInt, s"id=$id demuxed ${frames.length} of $nf frames")
+      frames.foreach { fr =>
+        val want = (for (y <- 0L until h; x <- 0L until w)
+          yield (id + 7 * x + 13 * y + 29 * fr.frame_idx) % 256).sum
+        assert(fr == Multimodal.VideoFrameStats(id, fr.frame_idx, w, h, w * h, want),
+          s"id=$id frame=${fr.frame_idx}")
+      }
+    }
+  }
+
+  test("videoFrameStats fans payload rows out to frame rows, zero shuffle") {
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Multimodal.videoFrameStats(df, "doc_id")
+    // nf = id % 4 + 2 → 3 + 4 + 5 frames
+    assert(out.count() == 12L)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"video demux must not shuffle:\n$plan")
+  }
 }
