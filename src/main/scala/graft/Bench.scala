@@ -53,8 +53,19 @@ object Bench {
     val loadStart = loadavg()
     val cold = pass()
     val warm = pass().toMap
+    // high-load disambiguation: four rounds of verdicts had to hand-
+    // reason "uniform movement = co-tenant drift" from the loadavg
+    // fields. Make the call mechanical instead — when the host is
+    // visibly loaded, spend one more warm pass and keep the min, and
+    // flag the artifact either way so cross-round regression reads are
+    // (load-flagged) data, not judgment.
+    val highLoad = loadStart.headOption.exists(_ > 4.0)
+    val extra: Map[String, Double] = if (highLoad) pass().toMap else Map.empty
+    val passes = if (highLoad) 3 else 2
     val loadEnd = loadavg()
-    val steady = cold.map { case (k, v) => k -> math.min(v, warm(k)) }
+    val steady = cold.map { case (k, v) =>
+      k -> math.min(math.min(v, warm(k)), extra.getOrElse(k, Double.MaxValue))
+    }
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = steady.map(_._2).sum
@@ -65,7 +76,8 @@ object Bench {
     val deployTotal = steady.filterNot(q => Gates.verifierTier(q._1)).map(_._2).sum
     val verifierJson = Gates.verifierTier.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
-      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":2,""" +
+      s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":$passes,""" +
+      s""""high_load":$highLoad,""" +
       s""""deploy_value":$deployTotal,"verifier_tier":$verifierJson,""" +
       s""""loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
       s""""loadavg_end":${loadEnd.mkString("[", ",", "]")},"sf":"$sfDir"}"""

@@ -1458,14 +1458,19 @@ object ScaleBench {
   }
 
   /** Streaming cost-growth gate: drives `nBatches` micro-batches through
-    * the three accumulating-state shapes — the StampedFold whole-state
+    * the four accumulating-state shapes — the StampedFold whole-state
     * rewrite (StreamingHll), the committed-batch-dir index append
-    * (Retrieval.appendToIndex: postings + stats + df dirs), and the
-    * StreamingDedup bloom/exact-confirm fold — and records per-batch
-    * wall. Per-batch cost must stay ~flat as state accumulates: the
-    * gate compares the mean wall of the LAST decile of batches to the
-    * mean of deciles 2-4 (decile 1 excluded — JIT/codegen warmup) and
-    * flags any operator whose ratio exceeds [[streamFlagRatio]].
+    * (Retrieval.appendToIndex: postings + stats + df dirs), the
+    * StreamingDedup bloom/exact-confirm fold, and the StreamingDecontam
+    * per-batch audit against a 10k-sentence eval list — and records
+    * per-batch wall. The dedup and decontam loops run the compactEvery
+    * cadence INSIDE the timed wall (one compaction lands in the early
+    * window, one in the last decile), so the gate prices the
+    * maintenance cost amortized in rather than hiding it. Per-batch
+    * cost must stay ~flat as state accumulates: the gate compares the
+    * mean wall of the LAST decile of batches to the mean of deciles
+    * 2-4 (decile 1 excluded — JIT/codegen warmup) and flags any
+    * operator whose ratio exceeds [[streamFlagRatio]].
     * Usage: runMain graft.tools.ScaleBench stream [nBatches] [batchRows] */
   def streamMain(spark: SparkSession, nBatches: Int, batchRows: Long): Unit = {
     // the growth metric compares deciles 2-4 to the last decile; below
@@ -1529,12 +1534,6 @@ object ScaleBench {
       portable = true)
     val loadDedup = loadavg()
     val dedupWalls = (0 until nBatches).map { b =>
-      // the operational recipe: periodic fp-index compaction (the
-      // maintenance step, timed separately from the per-batch fold) —
-      // without it the per-batch multi-path read opens one dir per
-      // PRIOR batch (footer/listing cost grows with batch index on top
-      // of the documented accumulated-scan floor)
-      if (b > 0 && b % 25 == 0) StreamingDedup.compactFpIndex(spark, dedupIdx)
       // ~20% of each batch duplicates batch-0 content (realistic crawl
       // mix: the dedup decision path and the novel-append path both run)
       val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
@@ -1542,8 +1541,48 @@ object ScaleBench {
         concat_ws(" ", (0 until 40).map(j => concat(lit("w"),
           pmod(hash(when(pmod(col("id"), lit(5)) === 0, col("id") % batchRows)
             .otherwise(col("id")), lit(j)), lit(100000)))): _*).as("text"))
-      time(session.processBatch(docs, b.toLong))
+      time {
+        // the compactEvery cadence, timed INSIDE the per-batch wall —
+        // the gate must stay flat with the maintenance cost amortized
+        // in, not with it hidden in a side channel. Cadence 24 puts one
+        // compaction in the early window (b=24) and one in the last
+        // decile (b=96), so the ratio samples the maintenance cost on
+        // both sides.
+        if (b > 0 && b % 24 == 0) StreamingDedup.compactFpIndex(spark, dedupIdx)
+        session.processBatch(docs, b.toLong)
+      }
     }
+    // 4. streaming decontamination: per-batch cost must be batch-
+    // proportional (the batch's OWN postings probed against the eval
+    // list) no matter how much index has accumulated — history was
+    // audited on arrival. 10k-sentence eval list, 2-token phrases over
+    // the same vocabulary as the corpus so hits actually fire.
+    val deconIdx = tmp("graft_stream_dc_idx")
+    val deconOut = tmp("graft_stream_dc_out")
+    val evalPhrases = spark.range(10000).select(
+      col("id").as("phrase_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(12)), lit(2000)))).as("phrase"))
+      .cache()
+    evalPhrases.count()
+    val loadDecon = loadavg()
+    val deconWalls = (0 until nBatches).map { b =>
+      val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))): _*).as("text"))
+      time {
+        if (b > 0 && b % 24 == 0)
+          graft.functions.Retrieval.compactPositionalIndex(spark, deconIdx)
+        graft.streaming.StreamingDecontam.processBatch(
+          docs, b.toLong, "text", "doc_id",
+          evalPhrases, "phrase_id", "phrase", deconIdx, deconOut,
+          minOccurrences = 1)
+      }
+    }
+    val deconHits =
+      try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
     // compaction payoff on the 100-dir index the append loop just
     // built: serve cost with one dir per micro-batch vs compacted
     val queries = spark.range(50).select(
@@ -1564,7 +1603,7 @@ object ScaleBench {
     val loadEnd = loadavg()
     val ops = Seq(
       ("hll_stamped_fold", hllWalls, loadHll), ("index_append", idxWalls, loadIdx),
-      ("dedup_fold", dedupWalls, loadDedup))
+      ("dedup_fold", dedupWalls, loadDedup), ("decontam", deconWalls, loadDecon))
     val rows = ops.map { case (name, walls, load) =>
       val (e, l, r) = growth(walls)
       (name, e, l, r, load)
@@ -1576,6 +1615,7 @@ object ScaleBench {
     val flaggedJson =
       if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
     println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,""" +
+      s""""decontam_hits":$deconHits,""" +
       s""""index_compaction":{"serve_fragmented_sec":$serveFragmented,""" +
       s""""compact_sec":$compactSec,"serve_compacted_sec":$serveCompacted},""" +
       s""""loadavg_end":$loadEnd,"flagged":$flaggedJson}""")
