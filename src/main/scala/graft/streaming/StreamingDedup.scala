@@ -222,7 +222,6 @@ object StreamingDedup {
       // flagged.
       val suspects = batchFps.select(col("fp")).distinct().filter(
         call_function("bloom_might_contain", lit(bloomBytes), col("fp")))
-        .cache() // read twice: the bounded collect + the confirm join
       // Bounded suspect PUSHDOWN: the stored fp dirs are fp-clustered
       // ([[fpClustered]] — files range-disjoint, rows sorted), so
       // planting the suspect set as a literal scan predicate lets
@@ -256,39 +255,77 @@ object StreamingDedup {
       // broadcast-hash confirm probes it directly; only the parquet
       // stream side benefits from (and pays for) the literal
       val idx = static.unionByName(probedStream.select(col("fp")))
-      val existing = broadcast(suspects).join(idx, Seq("fp"))
-        .select(col("fp")).cache()
+      // bounded suspect sets were just collected — reuse them as a
+      // LOCAL relation on the broadcast side instead of recomputing the
+      // bloom filter over the batch
+      val suspectsSide = suspectVals match {
+        case Some(fps) =>
+          spark.createDataset(fps)(org.apache.spark.sql.Encoders.scalaLong).toDF("fp")
+        case None => suspects
+      }
+      val existingBase = broadcast(suspectsSide).join(idx, Seq("fp"))
+        .select(col("fp"))
       if (capturePlans)
-        lastConfirmPlan = existing.queryExecution.executedPlan.toString
-      val stats = IncrementalDedup
-        .passageDedupStatsFromConfirmed(batchFps, existing, dropAt)
-        .withColumn("batch_id", lit(batchId))
-        .cache()
-      if (!stats.isEmpty)
-        stats.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outPath)
-      // land the kept docs' NOVEL fps (first-contributor only) in this
-      // batch's own committed dir, and extend the sketch with a
-      // geometry-compatible partial
-      val keptFps = batchFps
-        .join(stats.filter(col("keep")).select(col("id")), Seq("id"), "left_semi")
-        .select(col("fp")).distinct()
-        .join(broadcast(existing), Seq("fp"), "left_anti")
-        .cache()
-      // fp-clustered so later batches' suspect pushdown row-group-
-      // prunes this dir too
-      StateStore.writeBatchDir(fpClustered(keptFps), streamIdxPath, batchId)
-      val newSketch = IncrementalDedup
-        .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
-      bloom.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))
-      // drop this batch's transient caches (ours + passageDedupStats'
-      // internal ones) — the stream would otherwise accumulate one
-      // cached shingle table per batch for its whole lifetime
-      (sc.getPersistentRDDs.keySet -- persistedBefore)
-        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        lastConfirmPlan = existingBase.queryExecution.executedPlan.toString
+      // the confirmed-dup set feeds TWO consumers (the stats fold and
+      // the novel-fp anti-join) but the index must be scanned ONCE per
+      // batch. When bounded, materialize it as a LOCAL relation
+      // (|existing| ≤ |suspects| ≤ maxFpPushdown — ≤80 KB of longs):
+      // no cache entry at all. Only the over-cap fallback caches, and
+      // then it is unpersisted through the DATASET handle — the 250-
+      // batch gate run measured what a raw-RDD-level sweep of cached
+      // frames does over hundreds of batches: the CacheManager keeps
+      // the orphaned InMemoryRelations and Spark's cached-stage
+      // machinery eventually dies with an INTERNAL_ERROR null-session
+      // collect (batch ~218).
+      val (existing, toUnpersist) = suspectVals match {
+        case Some(_) =>
+          val confirmed = existingBase.collect().map(_.getLong(0)).toSeq
+          (spark.createDataset(confirmed)(org.apache.spark.sql.Encoders.scalaLong)
+            .toDF("fp"), Seq.empty[DataFrame])
+        case None =>
+          val cached = existingBase.cache()
+          (cached, Seq(cached))
+      }
+      try {
+        val stats = IncrementalDedup
+          .passageDedupStatsFromConfirmed(batchFps, existing, dropAt)
+          .withColumn("batch_id", lit(batchId))
+          .cache()
+        try {
+          if (!stats.isEmpty)
+            stats.write
+              .mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
+          // land the kept docs' NOVEL fps (first-contributor only) in
+          // this batch's own committed dir, and extend the sketch with
+          // a geometry-compatible partial
+          val keptFps = batchFps
+            .join(stats.filter(col("keep")).select(col("id")), Seq("id"), "left_semi")
+            .select(col("fp")).distinct()
+            .join(broadcast(existing), Seq("fp"), "left_anti")
+            .cache()
+          try {
+            // fp-clustered so later batches' suspect pushdown row-
+            // group-prunes this dir too
+            StateStore.writeBatchDir(fpClustered(keptFps), streamIdxPath, batchId)
+            val newSketch = IncrementalDedup
+              .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
+            bloom.mergeInPlace(
+              BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))
+          } finally keptFps.unpersist(false)
+        } finally stats.unpersist(false)
+      } finally {
+        toUnpersist.foreach(_.unpersist(false))
+        batchFps.unpersist(false)
+        // belt-and-braces: any cache a HELPER might add in the future
+        // still gets its storage dropped (the CacheManager entry is the
+        // helper's to manage — per-batch helpers must not cache)
+        (sc.getPersistentRDDs.keySet -- persistedBefore)
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
     }
   }
 }

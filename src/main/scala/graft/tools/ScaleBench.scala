@@ -1403,7 +1403,9 @@ object ScaleBench {
     * `nAudits` repeated audits model the real decontamination sweep
     * (thousands of eval-sentence batches against one corpus).
     * Usage: runMain graft.tools.ScaleBench phraseindex [nDocs] [nAudits] */
-  def phraseIndexMain(spark: SparkSession, nDocs: Long, nAudits: Int): Unit = {
+  def phraseIndexMain(
+      spark: SparkSession, nDocs: Long, nAudits: Int,
+      phrasesPerAudit: Long = 5L): Unit = {
     import graft.functions.Retrieval
     // the retrieval-mode corpus shape: 20 common-vocab + 10 rare tokens
     val body = concat_ws(" ",
@@ -1414,12 +1416,21 @@ object ScaleBench {
       .select(col("id").as("doc_id"), body.as("text")).cache()
     val total = docs.count()
     // each audit uses ITS OWN phrase batch (distinct eval sentences per
-    // sweep) so no result can be cached across audits
-    def phrases(audit: Int) = spark.range(5).select(
+    // sweep) so no result can be cached across audits. Above 2000
+    // phrases the common 2000-term vocabulary can't produce a
+    // >10k-distinct-term eval list, so the second token draws from the
+    // RARE space — the 10⁵-sentence decontamination-sweep shape whose
+    // vocabulary exceeds the literal pushdown cap and exercises the
+    // bloom fallback on the stored path
+    val wideVocab = phrasesPerAudit > 2000
+    def phrases(audit: Int) = spark.range(phrasesPerAudit).select(
       col("id").as("phrase_id"),
       concat_ws(" ",
         concat(lit("t"), pmod(hash(col("id"), lit(10 + audit)), lit(2000))),
-        concat(lit("t"), pmod(hash(col("id"), lit(60 + audit)), lit(2000)))).as("phrase"))
+        if (wideVocab)
+          concat(lit("r"), pmod(hash(col("id"), lit(60 + audit)), lit(math.max(10L, nDocs / 10))))
+        else
+          concat(lit("t"), pmod(hash(col("id"), lit(60 + audit)), lit(2000)))).as("phrase"))
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
@@ -1446,7 +1457,7 @@ object ScaleBench {
     }
     require(nSnipsIdx == nSnips, s"index snippets $nSnipsIdx != direct $nSnips")
     println(
-      s"""{"workload":{"docs":$total,"audits":$nAudits,"phrases_per_audit":5},
+      s"""{"workload":{"docs":$total,"audits":$nAudits,"phrases_per_audit":$phrasesPerAudit},
          |"direct":{"sec":$directSec,"sec_per_audit":${directSec / nAudits},
          |"docs_per_s":${(total * nAudits / directSec).toLong},"hits":$directHits},
          |"index":{"build_sec":$buildSec,"serve_sec":$serveSec,
@@ -1873,7 +1884,7 @@ object ScaleBench {
       case Some("sax") => withSession(tuned = true)(s =>
         saxMain(s, argL(1, 50000L), argI(2, 60)))
       case Some("phraseindex") => withSession(tuned = true)(s =>
-        phraseIndexMain(s, argL(1, 2000000L), argI(2, 20)))
+        phraseIndexMain(s, argL(1, 2000000L), argI(2, 20), argL(3, 5L)))
       case Some("stream") => withSession(tuned = true)(s =>
         streamMain(s, argI(1, 100), argL(2, 10000L)))
       case Some("pushdown") => withSession(tuned = true)(s =>
