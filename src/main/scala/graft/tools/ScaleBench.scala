@@ -1417,18 +1417,31 @@ object ScaleBench {
     val total = docs.count()
     // each audit uses ITS OWN phrase batch (distinct eval sentences per
     // sweep) so no result can be cached across audits. Above 2000
-    // phrases the common 2000-term vocabulary can't produce a
-    // >10k-distinct-term eval list, so the second token draws from the
-    // RARE space — the 10⁵-sentence decontamination-sweep shape whose
-    // vocabulary exceeds the literal pushdown cap and exercises the
-    // bloom fallback on the stored path
+    // phrases BOTH tokens draw from the RARE space — the 10⁵-sentence
+    // decontamination-sweep shape whose vocabulary exceeds the literal
+    // pushdown cap (exercising the bloom fallback on the stored path)
+    // AND stays realistically wide: sampling the 2000-term common
+    // vocabulary at 10⁵ phrases puts every common term in ~50 eval
+    // sentences, a 50× postings⋈phrase fan-out no real eval list has
+    // (measured OOM at 2M docs)
     val wideVocab = phrasesPerAudit > 2000
+    // the wide eval vocabulary draws from a space 100× the corpus'
+    // rare vocabulary: a real eval list is mostly ABSENT from the
+    // corpus (~1% of its terms exist in it), which is what makes the
+    // stored path's bloom probe shed postings. Drawing eval terms from
+    // the corpus vocabulary itself (first attempt) made ~63% of rare
+    // postings TRUE matches — "pruning" that keeps most of the table
+    // measures nothing but overhead.
+    val evalSpace = lit(math.max(1000L, nDocs * 10))
     def phrases(audit: Int) = spark.range(phrasesPerAudit).select(
       col("id").as("phrase_id"),
       concat_ws(" ",
-        concat(lit("t"), pmod(hash(col("id"), lit(10 + audit)), lit(2000))),
         if (wideVocab)
-          concat(lit("r"), pmod(hash(col("id"), lit(60 + audit)), lit(math.max(10L, nDocs / 10))))
+          concat(lit("r"), pmod(hash(col("id"), lit(10 + audit)), evalSpace))
+        else
+          concat(lit("t"), pmod(hash(col("id"), lit(10 + audit)), lit(2000))),
+        if (wideVocab)
+          concat(lit("r"), pmod(hash(col("id"), lit(60 + audit)), evalSpace))
         else
           concat(lit("t"), pmod(hash(col("id"), lit(60 + audit)), lit(2000)))).as("phrase"))
     def time[A](f: => A): (A, Double) = {
