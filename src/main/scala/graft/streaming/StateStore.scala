@@ -320,12 +320,16 @@ object StateStore {
     * to clean up.
     *
     * `graceMs` adds a wall-clock floor to the generation rule: a dir is
-    * only swept once every manifest that shadows it (a NEWER committed
-    * manifest sharing any of its ids — the moment readers stopped
-    * resolving to the dir) is at least `graceMs` old, measured by the
-    * manifest file's modification time. Conservative by construction:
-    * the LATEST shadowing manifest's mtime is the clock, so a dir is
-    * never swept earlier than the pure rule would. */
+    * only swept once EVERY id it holds has been resolvable elsewhere
+    * for at least `graceMs`. Per id, the clock starts at the OLDEST
+    * newer manifest containing it (the moment newest-wins resolution
+    * stopped pointing readers at this dir for that id), measured by
+    * the manifest file's modification time; the dir's clock is the
+    * LAST of its ids' clocks. Using the oldest-containing manifest per
+    * id keeps retention BOUNDED under the wrappers' cumulative
+    * manifests — every later compaction re-lists old ids, and a
+    * latest-manifest clock would reset on each one, retaining dirs
+    * forever under an always-on compactEvery cadence. */
   private def sweepStaleGenerations(
       spark: SparkSession, root: String, graceMs: Long = 0L): Unit = {
     val raw = rawManifests(spark, root)
@@ -336,14 +340,19 @@ object StateStore {
         p.getName -> fs.getFileStatus(new Path(p, "_merged_ids")).getModificationTime
       }.toMap
       // a dir (name `selfName`, holding `selfIds`) is past its grace
-      // when the latest NEWER manifest sharing any of its ids is old
-      // enough that readers who resolved to the dir have finished
+      // when the last of its ids stopped resolving here ≥ graceMs ago
       def graceElapsed(selfName: String, selfIds: Set[Long]): Boolean = {
-        val shadowing = raw.filter { case (p, mids) =>
-          p.getName > selfName && mids.exists(selfIds.contains)
+        val idClocks = selfIds.toSeq.map { id =>
+          raw.collect {
+            case (p, mids) if p.getName > selfName && mids.contains(id) =>
+              mtimes(p.getName)
+          } match {
+            case Nil => Long.MaxValue // unshadowed id: never eligible
+            case ms  => ms.min
+          }
         }
-        shadowing.nonEmpty &&
-          now - shadowing.map(m => mtimes(m._1.getName)).max >= graceMs
+        val clock = idClocks.max
+        clock != Long.MaxValue && now - clock >= graceMs
       }
       // ids absorbed by non-newest generations had their grace window
       val prevAbsorbed = raw.tail.flatMap(_._2).toSet

@@ -194,6 +194,23 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(readAll(root) == Set(0L, 1L, 2L, 3L))
   }
 
+  test("the grace clock is per-id FIRST shadow: cumulative manifests don't reset it") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 2L) // gen 1, t0
+    write(root, 3L, Seq(3L))
+    Thread.sleep(1500)
+    // gen 2's manifest re-lists ids 0-2 (cumulative, the wrapper
+    // pattern). With a latest-shadow clock that would RESET the grace
+    // and retain gen-1's dirs forever under an always-on cadence; the
+    // per-id first-shadow clock (gen 1's manifest, 1.5 s old) has
+    // elapsed, so the sweep proceeds
+    StateStore.compactBatchDirs(spark, root, ids = 0L to 3L, sweepGraceMs = 1000L)
+    assert(dirs(root).count(_.startsWith("b")) == 1, dirs(root)) // b3 = newest grace copy
+    assert(readAll(root) == Set(0L, 1L, 2L, 3L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 3L))
+  }
+
   test("BM25 index compaction: serve identical, newest batch preserved, replayed append skips") {
     val root = tmp()
     val base = Seq((1L, "spark hash join fast"), (2L, "hash hash table scan")).toDF("doc_id", "text")
