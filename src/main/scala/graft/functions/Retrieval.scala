@@ -293,8 +293,17 @@ object Retrieval {
     * half-committed batch must stay in its own dirs until its replay
     * completes it); absorbed ids stay committed via the manifest, so
     * replays still skip. Serve results are identical by construction
-    * (same rows, one dir) — locked by RetrievalIndexSpec. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    * (same rows, one dir) — locked by RetrievalIndexSpec.
+    *
+    * `sweepGraceMs`: wall-clock floor under the one-generation sweep
+    * (see [[graft.streaming.StateStore.compactBatchDirs]]) — set ≥ the
+    * longest concurrent ad-hoc read when the index serves while being
+    * compacted (the in-stream `compactEvery` cadence defaults it to
+    * [[graft.streaming.StateStore.defaultInStreamGraceMs]]). */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      sweepGraceMs: Long = 0L): Unit = {
     import graft.streaming.StateStore
     val visible = StateStore.committedBatchIds(spark, s"$root/postings")
       .intersect(StateStore.committedBatchIds(spark, s"$root/stats"))
@@ -304,13 +313,21 @@ object Retrieval {
       // must be able to skip-check / subset-read its own dirs
       .sorted.dropRight(1)
     if (visible.length >= 2) {
-      StateStore.compactBatchDirs(spark, s"$root/postings", visible,
-        df => df.repartitionByRange(col("term")).sortWithinPartitions(col("term")))
-      StateStore.compactBatchDirs(spark, s"$root/stats", visible)
-      StateStore.compactBatchDirs(spark, s"$root/df", visible,
-        // per-term partials stay additive; fold them so the df table
-        // shrinks to one row per term
-        df => df.groupBy(col("term")).agg(sum(col("df_partial")).as("df_partial")))
+      // losing the postings lease to a concurrent compactor skips the
+      // whole generation — the loser must not compact stats/df under
+      // the winner's feet (each sub-table has its own lease)
+      val won = StateStore.compactBatchDirs(spark, s"$root/postings", visible,
+        df => df.repartitionByRange(col("term")).sortWithinPartitions(col("term")),
+        sweepGraceMs)
+      if (won) {
+        StateStore.compactBatchDirs(spark, s"$root/stats", visible,
+          identity, sweepGraceMs)
+        StateStore.compactBatchDirs(spark, s"$root/df", visible,
+          // per-term partials stay additive; fold them so the df table
+          // shrinks to one row per term
+          df => df.groupBy(col("term")).agg(sum(col("df_partial")).as("df_partial")),
+          sweepGraceMs)
+      }
     }
   }
 
@@ -321,14 +338,17 @@ object Retrieval {
     * StreamingDecontam's replay reads its own batch dir by id
     * (subset-read), which must keep working across a restart. */
   def compactPositionalIndex(
-      spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      sweepGraceMs: Long = 0L): Unit = {
     import graft.streaming.StateStore
     val ids = StateStore.committedBatchIds(spark, s"$root/postings")
       .sorted.dropRight(1)
     if (ids.length >= 2)
       StateStore.compactBatchDirs(spark, s"$root/postings", ids,
         df => df.repartitionByRange(col("term"))
-          .sortWithinPartitions(col("term"), col("doc_id"), col("pos")))
+          .sortWithinPartitions(col("term"), col("doc_id"), col("pos")),
+        sweepGraceMs)
   }
 
   /** One batch's index contribution: (postings, additive stats row) —

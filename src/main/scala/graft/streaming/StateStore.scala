@@ -59,6 +59,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StateStore {
 
+  /** Default wall-clock sweep grace for compactions fired from INSIDE a
+    * running stream (`compactEvery`): the accumulated indexes are
+    * explicitly advertised for concurrent ad-hoc serving while the
+    * stream runs (StreamingDecontam triage, bm25FromIndex at any time),
+    * and two cadence fires within one long ad-hoc read would otherwise
+    * sweep dirs out from under that reader. Ten minutes covers any sane
+    * interactive read; deployments with longer concurrent scans must
+    * raise it to ≥ their longest read. Maintenance-job compaction keeps
+    * the pure one-generation rule (grace 0) — its cadence is the grace. */
+  val defaultInStreamGraceMs: Long = 10 * 60 * 1000L
+
+  /** How long a crashed compactor's `_compact_lease` blocks the next
+    * one before being stolen. Long enough that a live (slow) compaction
+    * is never stolen from; short enough that an always-on cadence
+    * resumes compacting within the hour after a crash mid-compaction. */
+  val defaultCompactLeaseTtlMs: Long = 30 * 60 * 1000L
+
   /** Hadoop-FS existence check for a state path (never java.io.File). */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -266,18 +283,67 @@ object StateStore {
     * under a reader that listed paths just before the newer manifest
     * landed. The default 0 keeps the pure generation rule — operate
     * with either a grace ≥ the longest concurrent read, or a compaction
-    * cadence no faster than one per max-reader-lifetime. */
+    * cadence no faster than one per max-reader-lifetime.
+    *
+    * Concurrent-COMPACTOR safety: a `compactEvery` cadence inside
+    * foreachBatch can race an external maintenance job on the same
+    * root. Each call takes a best-effort `_compact_lease` marker
+    * (atomic create-if-absent) before touching anything; the loser
+    * returns `false` and skips cleanly — never the mid-stream
+    * same-target-different-ids throw a blind race could otherwise hit,
+    * and never a concurrent double-sweep. A lease older than
+    * `leaseTtlMs` is a crashed compactor's and is stolen (the steal's
+    * own small race window is crash-recovery-only; the steady-state
+    * race is closed by the atomic create). Returns `true` when this
+    * call performed (or retry-verified) the compaction and sweep. */
   def compactBatchDirs(
       spark: SparkSession,
       root: String,
       ids: Seq[Long],
       layout: DataFrame => DataFrame = identity,
-      sweepGraceMs: Long = 0L): Unit = {
+      sweepGraceMs: Long = 0L,
+      leaseTtlMs: Long = defaultCompactLeaseTtlMs): Boolean = {
     val cids = ids.distinct.sorted
     val committed = committedBatchIds(spark, root)
     val missing = cids.filterNot(committed.contains)
     require(missing.isEmpty,
       s"cannot compact uncommitted batch ids ${missing.mkString(",")} at $root")
+    val fsRoot = fsFor(spark, new Path(root))
+    if (!acquireCompactLease(fsRoot, root, leaseTtlMs)) return false
+    try {
+      doCompactAndSweep(spark, root, cids, layout, sweepGraceMs)
+      true
+    } finally fsRoot.delete(new Path(root, "_compact_lease"), false)
+  }
+
+  /** Best-effort mutual exclusion between compactors on one root: an
+    * atomic create-if-absent of the lease file wins; a loser checks the
+    * holder's age and steals only past `ttlMs` (crash recovery). */
+  private def acquireCompactLease(
+      fs: FileSystem, root: String, ttlMs: Long): Boolean = {
+    val lp = new Path(root, "_compact_lease")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lp, false)
+        try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    tryCreate() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lp).getModificationTime >= ttlMs
+        catch { case _: java.io.FileNotFoundException => true }
+      stale && { fs.delete(lp, false); tryCreate() }
+    }
+  }
+
+  private def doCompactAndSweep(
+      spark: SparkSession,
+      root: String,
+      cids: Seq[Long],
+      layout: DataFrame => DataFrame,
+      sweepGraceMs: Long): Unit = {
     if (cids.length >= 2) {
       val targetName = compactedDir(cids.max)
       rawManifests(spark, root).find(_._1.getName == targetName) match {

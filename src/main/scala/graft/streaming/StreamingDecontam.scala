@@ -47,7 +47,16 @@ object StreamingDecontam {
     * foreachBatch every N committed batches so the always-on monitor's
     * dir count is self-maintaining (the wrapper never absorbs the
     * newest id — the per-batch audit's subset-read of its OWN dir and
-    * any replay keep working). Leave None to schedule it externally. */
+    * any replay keep working). Leave None to schedule it externally.
+    *
+    * `compactGraceMs`: wall-clock sweep grace for those in-stream
+    * compactions — the accumulated index is exactly what the triage
+    * workflow reads ad hoc WHILE the stream runs
+    * ([[graft.functions.Retrieval.snippetsFromIndex]], grown-list
+    * re-audits), and two cadence fires inside one long read would
+    * otherwise delete dirs under that reader. The default
+    * ([[StateStore.defaultInStreamGraceMs]]) covers interactive reads;
+    * raise it to ≥ the longest concurrent scan. */
   def start(
       docs: DataFrame,
       textCol: String,
@@ -60,7 +69,8 @@ object StreamingDecontam {
       checkpoint: String,
       minOccurrences: Int = 1,
       trigger: Option[Trigger] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      compactGraceMs: Long = StateStore.defaultInStreamGraceMs): StreamingQuery = {
     val outer = docs.sparkSession
     val writer = docs.writeStream
       .outputMode("append")
@@ -69,7 +79,7 @@ object StreamingDecontam {
         processBatch(batch, batchId, textCol, docIdCol,
           phrases, phraseIdCol, phraseCol, indexRoot, outPath, minOccurrences)
         if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
-          Retrieval.compactPositionalIndex(outer, indexRoot)
+          Retrieval.compactPositionalIndex(outer, indexRoot, compactGraceMs)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

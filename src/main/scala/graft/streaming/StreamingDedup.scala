@@ -92,12 +92,17 @@ object StreamingDedup {
     * must keep working across a restart. Run from a maintenance job;
     * absorbed ids stay committed, so the stream's exactly-once
     * contract is untouched. The merged dir is RE-CLUSTERED by fp so the
-    * suspect pushdown keeps row-group-pruning after the merge. */
+    * suspect pushdown keeps row-group-pruning after the merge.
+    * `sweepGraceMs` floors the sweep in wall-clock time — set ≥ the
+    * longest concurrent ad-hoc read of the index (the in-stream
+    * cadence defaults it to [[StateStore.defaultInStreamGraceMs]]). */
   def compactFpIndex(
-      spark: org.apache.spark.sql.SparkSession, streamIdxPath: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      streamIdxPath: String,
+      sweepGraceMs: Long = 0L): Unit = {
     val ids = StateStore.committedBatchIds(spark, streamIdxPath).sorted.dropRight(1)
     if (ids.length >= 2)
-      StateStore.compactBatchDirs(spark, streamIdxPath, ids, fpClustered)
+      StateStore.compactBatchDirs(spark, streamIdxPath, ids, fpClustered, sweepGraceMs)
   }
 
   /** Start the dedup stream. `docs` is a streaming DataFrame with
@@ -110,7 +115,14 @@ object StreamingDedup {
     * separate maintenance job — the wrapper never absorbs the newest
     * committed id, so the replay contract survives an in-stream
     * compaction. The compaction batch pays the merge cost (amortized:
-    * O(index)/N per batch); leave None to schedule it externally. */
+    * O(index)/N per batch); leave None to schedule it externally.
+    *
+    * `compactGraceMs`: wall-clock sweep grace for those in-stream
+    * compactions. The index is advertised for ad-hoc serving WHILE the
+    * stream runs, and two cadence fires inside one long ad-hoc read
+    * would otherwise delete dirs under that reader — the default
+    * ([[StateStore.defaultInStreamGraceMs]]) covers interactive reads;
+    * raise it to ≥ the longest concurrent scan. */
   def start(
       docs: DataFrame,
       staticIndex: DataFrame,
@@ -125,7 +137,8 @@ object StreamingDedup {
       expectedTotalKeys: Long = 10000000L,
       portable: Boolean = true,
       trigger: Option[Trigger] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      compactGraceMs: Long = StateStore.defaultInStreamGraceMs): StreamingQuery = {
     val outer = docs.sparkSession
     val session = new Session(
       outer, staticIndex, outPath, streamIdxPath, textCol, idCol,
@@ -136,7 +149,7 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         session.processBatch(batch, batchId)
         if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
-          compactFpIndex(outer, streamIdxPath)
+          compactFpIndex(outer, streamIdxPath, compactGraceMs)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

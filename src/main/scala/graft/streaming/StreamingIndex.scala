@@ -33,7 +33,14 @@ import graft.functions.Retrieval
   * foreachBatch every N committed batches so the dir count is
   * self-maintaining — absorbed batch ids stay committed via the
   * compacted dir's manifest, so replays still skip and serve results
-  * are identical. Leave None to schedule compaction externally. */
+  * are identical. Leave None to schedule compaction externally.
+  *
+  * `compactGraceMs`: wall-clock sweep grace for those in-stream
+  * compactions — the index serves ad-hoc queries WHILE the stream
+  * runs, and two cadence fires inside one long read would otherwise
+  * delete dirs under that reader. The default
+  * ([[StateStore.defaultInStreamGraceMs]]) covers interactive reads;
+  * raise it to ≥ the longest concurrent scan. */
 object StreamingIndex {
 
   def start(
@@ -43,7 +50,8 @@ object StreamingIndex {
       indexRoot: String,
       checkpoint: String,
       trigger: Option[Trigger] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      compactGraceMs: Long = StateStore.defaultInStreamGraceMs): StreamingQuery = {
     val outer = docs.sparkSession
     val writer = docs.writeStream
       .outputMode("append")
@@ -62,7 +70,7 @@ object StreamingIndex {
         // the newest id, so an in-stream compaction cannot break a
         // replay of the batch that just committed
         if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
-          Retrieval.compactIndex(outer, indexRoot)
+          Retrieval.compactIndex(outer, indexRoot, compactGraceMs)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

@@ -211,6 +211,54 @@ class CompactionStateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(StateStore.committedBatchIds(spark, root) == (0L to 3L))
   }
 
+  test("an ad-hoc reader survives two back-to-back in-stream compactions under grace") {
+    val root = tmp()
+    (0L to 3L).foreach(i => write(root, i, Seq(i)))
+    // the ad-hoc reader resolves its file listing NOW — exactly the
+    // serve-while-streaming shape (bm25FromIndex / snippetsFromIndex
+    // construct a frame over the dirs committed at call time)
+    val reader = StateStore.readCommittedBatchDirs(spark, root).get
+    val grace = 60 * 60 * 1000L
+    // TWO cadence fires land while the read is notionally in flight —
+    // without the grace floor the second generation would sweep the
+    // first's b-dirs out from under the reader
+    graft.streaming.StreamingDedup.compactFpIndex(spark, root, sweepGraceMs = grace)
+    write(root, 4L, Seq(4L))
+    graft.streaming.StreamingDedup.compactFpIndex(spark, root, sweepGraceMs = grace)
+    assert(dirs(root).count(_.startsWith("b")) == 5, "all listed b-dirs survive the grace")
+    assert(reader.as[Long].collect().toSet == Set(0L, 1L, 2L, 3L),
+      "the in-flight read completes with the data it listed")
+    // fresh readers resolve newest-wins as usual
+    assert(readAll(root) == Set(0L, 1L, 2L, 3L, 4L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 4L))
+  }
+
+  test("a concurrent compactor's lease makes the loser skip cleanly, and a stale lease is stolen") {
+    val root = tmp()
+    (0L to 2L).foreach(i => write(root, i, Seq(i)))
+    // another compactor (external maintenance job racing the in-stream
+    // cadence) holds a FRESH lease on the same root
+    val lease = java.nio.file.Paths.get(root, "_compact_lease")
+    java.nio.file.Files.write(lease, "0".getBytes("UTF-8"))
+    assert(!StateStore.compactBatchDirs(spark, root, ids = 0L to 2L),
+      "the loser reports the skip")
+    assert(dirs(root).count(_.startsWith("c")) == 0, "the loser must not compact")
+    // the in-stream cadence path is the same skip — the stream survives
+    // the race with no throw and no partial work
+    graft.streaming.StreamingDedup.compactFpIndex(spark, root)
+    assert(dirs(root).count(_.startsWith("c")) == 0)
+    assert(readAll(root) == Set(0L, 1L, 2L))
+    assert(StateStore.committedBatchIds(spark, root) == (0L to 2L))
+    // a lease older than the TTL is a crashed compactor's: stolen, and
+    // the compaction proceeds; the winner releases on completion
+    assert(lease.toFile.setLastModified(System.currentTimeMillis() - 60000L))
+    assert(StateStore.compactBatchDirs(spark, root, ids = 0L to 2L,
+      leaseTtlMs = 30000L))
+    assert(dirs(root).count(_.startsWith("c")) == 1)
+    assert(!lease.toFile.exists, "lease released after the compaction")
+    assert(readAll(root) == Set(0L, 1L, 2L))
+  }
+
   test("BM25 index compaction: serve identical, newest batch preserved, replayed append skips") {
     val root = tmp()
     val base = Seq((1L, "spark hash join fast"), (2L, "hash hash table scan")).toDF("doc_id", "text")

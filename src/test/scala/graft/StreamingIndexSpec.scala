@@ -44,7 +44,11 @@ class StreamingIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val in = MemoryStream[(Long, String)]
     val q = StreamingIndex.start(
       in.toDF().toDF("doc_id", "text"), "text", "doc_id", root, ckpt,
-      compactEvery = Some(2))
+      // grace 0 so the bounded-dir assertions below see the pure
+      // one-generation sweep (the production default retains swept
+      // generations for defaultInStreamGraceMs — reader-grace, not
+      // unboundedness; CompactionStateSpec locks that behavior)
+      compactEvery = Some(2), compactGraceMs = 0L)
     for (b <- batches) { in.addData(b: _*); q.processAllAvailable() }
     q.stop()
     // every id still committed (replays skip); dirs bounded: one live
