@@ -67,30 +67,73 @@ object Retrieval {
     * [[snippetsFromIndex]]) are not fully lazy. Callers composing plans
     * or wrapping construction in retries/metrics should construct once
     * and reuse the returned frame. */
-  private def pruneToTerms(postings: DataFrame, termCol: DataFrame): DataFrame = {
-    // limit BEFORE collect: the cap must bound the driver transfer
-    // itself, not just the literal it builds — an over-cap vocabulary
-    // collects maxTermPushdown+1 rows and never the full distinct set
-    val terms = termCol.distinct().limit(maxTermPushdown + 1)
-      .collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty) postings
-    else if (terms.length <= maxTermPushdown) {
-      // chunked so every term stays an exact equality at the reader
-      // (one flat isin above the session threshold would degrade to a
-      // useless min/max range — ScanPrune's rationale)
-      ScanPrune.ensureEqPushdown(postings.sparkSession)
-      postings.filter(ScanPrune.inLiteral(col("term"), terms))
+  private def pruneToTerms(postings: DataFrame, termCol: DataFrame): DataFrame =
+    pruneDecision(termCol) match {
+      case Left(terms) if terms.isEmpty => postings
+      case Left(terms) =>
+        // chunked so every term stays an exact equality at the reader
+        // (one flat isin above the session threshold would degrade to a
+        // useless min/max range — ScanPrune's rationale)
+        ScanPrune.ensureEqPushdown(postings.sparkSession)
+        postings.filter(ScanPrune.inLiteral(col("term"), terms))
+      case Right(words) =>
+        BloomPrune.pruneAuto(postings, col("term"), words)
     }
-    else {
-      // over the literal cap (a 10⁵+-sentence decontamination sweep):
-      // fall back to a codegen'd bloom membership filter on the scan
-      // side — no false negatives, so results are unchanged (the ~fpp
-      // of non-matching postings that pass die in the downstream term
-      // joins); the scan still sheds ~99% of non-vocabulary postings
-      // before any shuffle. The bloom build is one distributed pass
-      // over the vocabulary (driver holds only the bit array).
-      val words = BloomPrune.buildSized(termCol, col("term"))
-      BloomPrune.pruneAuto(postings, col("term"), words)
+
+  /** Memo for [[pruneDecision]]: a serve loop constructing
+    * bm25FromIndex/phraseSearchFromIndex repeatedly over an IDENTICAL
+    * phrase frame pays the vocabulary collect — and in the over-cap
+    * branch the bloom build — once instead of per call. Entries are
+    * keyed by the frame's canonicalized analyzed plan compared with
+    * `sameResult` (never a hash alone: a collision would prune with the
+    * WRONG vocabulary and silently drop matching postings) and only
+    * DRIVER-LOCAL frames (every leaf a LocalRelation) are memoized —
+    * a file-backed frame's plan stays identical when the file's
+    * CONTENT changes, and a stale vocabulary there would be a
+    * correctness bug, not a cost one. Bounded LRU, per session. */
+  private val pruneMemoMax = 8
+  private val pruneMemo = scala.collection.mutable.ListBuffer.empty[(
+    org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Either[Seq[String], Array[Long]])]
+  private[graft] var pruneMemoHits = 0 // spec hook
+
+  private def pruneDecision(termCol: DataFrame): Either[Seq[String], Array[Long]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def compute(): Either[Seq[String], Array[Long]] = {
+      // limit BEFORE collect: the cap must bound the driver transfer
+      // itself, not just the literal it builds — an over-cap vocabulary
+      // collects maxTermPushdown+1 rows and never the full distinct set
+      val terms = termCol.distinct().limit(maxTermPushdown + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (terms.length <= maxTermPushdown) Left(terms)
+      else
+        // over the literal cap (a 10⁵+-sentence decontamination sweep):
+        // fall back to a codegen'd bloom membership filter on the scan
+        // side — no false negatives, so results are unchanged (the ~fpp
+        // of non-matching postings that pass die in the downstream term
+        // joins); the scan still sheds ~99% of non-vocabulary postings
+        // before any shuffle. The bloom build is one distributed pass
+        // over the vocabulary (driver holds only the bit array).
+        Right(BloomPrune.buildSized(termCol, col("term")))
+    }
+    val canon = termCol.queryExecution.analyzed.canonicalized
+    val memoizable = canon.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+    if (!memoizable) compute()
+    else pruneMemo.synchronized {
+      val session = termCol.sparkSession
+      pruneMemo.indexWhere(e => (e._1 eq session) && e._2.sameResult(canon)) match {
+        case i if i >= 0 =>
+          val hit = pruneMemo.remove(i)
+          pruneMemo.prepend(hit) // LRU bump
+          pruneMemoHits += 1
+          hit._3
+        case _ =>
+          val d = compute()
+          pruneMemo.prepend((session, canon, d))
+          if (pruneMemo.length > pruneMemoMax) pruneMemo.remove(pruneMemoMax)
+          d
+      }
     }
   }
 

@@ -33,17 +33,23 @@ object ScanPrune {
     * degrade to range filters ([[ensureEqPushdown]] raises it). */
   val eqChunk = 100
 
-  /** Raise the session's parquet In-pushdown threshold to [[eqChunk]]
-    * if it is lower (never lowered — a caller's larger value stands).
-    * A pure cost knob: it changes how a pushed `In` translates at the
-    * reader (OR-of-eq vs min/max range), never which rows qualify.
-    * Spark reads it at execution time, so setting it at plan
-    * construction is sufficient. Callers that plant [[inLiteral]]
-    * predicates over clustered parquet call this first. */
+  /** Raise the session's parquet In-pushdown threshold STRICTLY ABOVE
+    * [[eqChunk]] if it is lower (never lowered — a caller's larger
+    * value stands): a full chunk must not sit exactly on the engine's
+    * `values.length <= threshold` boundary, where a Spark change to
+    * strict `<` (or a user conf of exactly eqChunk) would silently
+    * degrade every full chunk to a useless min/max range — results
+    * unchanged, pruning gone (ScanPruneSpec's boundary test measures
+    * the scan's numOutputRows to catch exactly that). A pure cost knob:
+    * it changes how a pushed `In` translates at the reader (OR-of-eq vs
+    * min/max range), never which rows qualify. Spark reads it at
+    * execution time, so setting it at plan construction is sufficient.
+    * Callers that plant [[inLiteral]] predicates over clustered parquet
+    * call this first. */
   def ensureEqPushdown(spark: org.apache.spark.sql.SparkSession): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.getOption(key).forall(_.toInt < eqChunk))
-      spark.conf.set(key, eqChunk.toString)
+    if (spark.conf.getOption(key).forall(_.toInt <= eqChunk))
+      spark.conf.set(key, (eqChunk + 1).toString)
   }
 
   /** `c IN (values)` as OR'd ≤[[eqChunk]]-value `isin` chunks (balanced

@@ -358,6 +358,105 @@ object Multimodal {
       .mapPartitions(it => it.map { case (id, bytes) => decodeWavStats(id, bytes) })
   }
 
+  // ---- corrupt-payload quarantine (the deployment entry points) ----------
+  //
+  // The strict decoders above (`decodeImageStats`/`decodeWavStats`/
+  // `decodeGifFrameStats`) fail the whole stage on one malformed payload
+  // — correct for the synthetic oracles (a decode failure there IS a
+  // codec bug), wrong for a real crawl where some fraction of 100 TB of
+  // scraped bytes is always truncated, mislabeled, or hostile. The
+  // *Quarantined entry points below are the deployment surface: each row
+  // decodes under Try, good rows carry `status = "ok"` and the exact
+  // same stats the strict decoder produces, corrupt rows carry
+  // `status = "corrupt"` + the error text with all stats null — counted
+  // and skippable downstream (`filter($"status" === "ok")`), never
+  // stage-fatal. Same mapPartitions batch shape, zero shuffle.
+
+  private def errText(e: Throwable): String = {
+    val s = e.toString
+    if (s.length <= 200) s else s.take(200)
+  }
+
+  final case class QuarantinedImageStats(
+      doc_id: Long, status: String, error: Option[String],
+      width: Option[Long], height: Option[Long], n_pixels: Option[Long],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
+
+  /** Tolerant image decode over a REAL binary payload column — the
+    * deployment entry point ([[decodeImageStats]] is the strict kernel
+    * it wraps). A null payload quarantines like any other corrupt row. */
+  def imagePixelStatsQuarantined(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        scala.util.Try(
+          decodeImageStats(id, Option(bytes).getOrElse(Array.emptyByteArray))) match {
+          case scala.util.Success(s) => QuarantinedImageStats(
+            id, "ok", None, Some(s.width), Some(s.height), Some(s.n_pixels),
+            Some(s.sum_r), Some(s.sum_g), Some(s.sum_b))
+          case scala.util.Failure(e) => QuarantinedImageStats(
+            id, "corrupt", Some(errText(e)), None, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class QuarantinedWavStats(
+      doc_id: Long, status: String, error: Option[String],
+      n_samples: Option[Long], sample_rate: Option[Long],
+      sum_amp: Option[Long], min_amp: Option[Long], max_amp: Option[Long])
+
+  /** Tolerant audio decode over a REAL binary payload column — the
+    * deployment entry point ([[decodeWavStats]] is the strict kernel). */
+  def audioSampleStatsQuarantined(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedWavStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        scala.util.Try(
+          decodeWavStats(id, Option(bytes).getOrElse(Array.emptyByteArray))) match {
+          case scala.util.Success(s) => QuarantinedWavStats(
+            id, "ok", None, Some(s.n_samples), Some(s.sample_rate),
+            Some(s.sum_amp), Some(s.min_amp), Some(s.max_amp))
+          case scala.util.Failure(e) => QuarantinedWavStats(
+            id, "corrupt", Some(errText(e)), None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class QuarantinedVideoFrameStats(
+      doc_id: Long, status: String, error: Option[String],
+      frame_idx: Option[Long], width: Option[Long], height: Option[Long],
+      n_pixels: Option[Long], sum_v: Option[Long])
+
+  /** Tolerant video demux+decode over a REAL binary payload column — the
+    * deployment entry point ([[decodeGifFrameStats]] is the strict
+    * kernel). Good payloads fan out one row per frame (the video explode
+    * direction); a corrupt payload collapses to ONE quarantine row with
+    * a null frame index, so the corrupt count is per-document, not
+    * per-phantom-frame. */
+  def videoFrameStatsQuarantined(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedVideoFrameStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        scala.util.Try(
+          decodeGifFrameStats(id, Option(bytes).getOrElse(Array.emptyByteArray))) match {
+          case scala.util.Success(frames) => frames.map(f =>
+            QuarantinedVideoFrameStats(id, "ok", None, Some(f.frame_idx),
+              Some(f.width), Some(f.height), Some(f.n_pixels), Some(f.sum_v)))
+          case scala.util.Failure(e) => Seq(QuarantinedVideoFrameStats(
+            id, "corrupt", Some(errText(e)), None, None, None, None, None))
+        }
+      })
+  }
+
   /** The full image leg end-to-end: synthesize a deterministic PNG per
     * row (stage 1), carry it through the plan as a real `binary` column,
     * then DECODE it with the JDK codec and emit per-image pixel stats

@@ -48,7 +48,13 @@ object TextQueries {
       build: (DataFrame, String) => Unit): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_${kind}_$key"
+    // the root is per (process, session, corpus): a second session in
+    // this JVM — or another process — builds its OWN root instead of
+    // deleting and rebuilding one an earlier session may still be
+    // serving lazy d77/d78 frames from (stale roots are /tmp litter,
+    // and each owner still delete-firsts its own)
+    val owner = s"${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_${kind}_${key}_$owner"
     builtStagedIndexes.synchronized {
       builtStagedIndexes.filterInPlace(!_._1.sparkContext.isStopped)
       if (!builtStagedIndexes((s, root))) {

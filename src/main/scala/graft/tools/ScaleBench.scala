@@ -80,6 +80,59 @@ object ScaleBench {
         .stripMargin.replace("\n", ""))
   }
 
+  /** Quarantined multimodal decode at scale with a poisoned fraction:
+    * `nDocs` animated-GIF payloads (the heaviest JDK codec path) of
+    * which `poisonPct`% are truncated mid-header — the real-crawl shape
+    * where some fraction of scraped bytes is always malformed. Gates
+    * that the corrupt rows are EXACTLY the poisoned ones (isolated, not
+    * stage-fatal, no false quarantines), and prices the tolerant path
+    * against the same decode over a fully-clean corpus.
+    * Usage: runMain graft.tools.ScaleBench multimodal [nDocs] [poisonPct] */
+  def multimodalMain(spark: SparkSession, nDocs: Long, poisonPct: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def gen(poisoned: Boolean) = spark.range(nDocs).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val good = Multimodal.syntheticGif(id)
+        // truncation INSIDE the logical screen descriptor: unreadable
+        // for every id (a mid-stream cut could land on a frame boundary
+        // and demux clean with fewer frames — not a corrupt row at all)
+        if (poisoned && id % 100 < poisonPct)
+          (id, java.util.Arrays.copyOfRange(good, 0, 8))
+        else (id, good)
+      }
+    }.toDF("doc_id", "payload").cache()
+    val poisonedDocs = gen(poisoned = true)
+    val total = poisonedDocs.count()
+    val expectCorrupt = (0L until nDocs).count(_ % 100 < poisonPct).toLong
+    val (byStatus, qSec) = time {
+      Multimodal.videoFrameStatsQuarantined(poisonedDocs, "doc_id", "payload")
+        .groupBy("status").agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("docs"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val corruptDocs = byStatus.get("corrupt").map(_._2).getOrElse(0L)
+    val okFrames = byStatus.get("ok").map(_._1).getOrElse(0L)
+    require(corruptDocs == expectCorrupt,
+      s"quarantine gate: expected $expectCorrupt corrupt docs, got $corruptDocs")
+    poisonedDocs.unpersist()
+    val cleanDocs = gen(poisoned = false)
+    cleanDocs.count()
+    val (cleanFrames, cSec) = time {
+      Multimodal.videoFrameStatsQuarantined(cleanDocs, "doc_id", "payload")
+        .filter(col("status") === "ok").count()
+    }
+    cleanDocs.unpersist()
+    println(
+      s"""{"workload":{"docs":$total,"poison_pct":$poisonPct},
+         |"poisoned":{"wall_s":$qSec,"docs_per_s":${(total / qSec).toLong},"ok_frames":$okFrames,"corrupt_docs":$corruptDocs},
+         |"clean":{"wall_s":$cSec,"docs_per_s":${(total / cSec).toLong},"ok_frames":$cleanFrames}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   def dedupMain(spark: SparkSession, nDocs: Long): Unit = {
     val dups = math.max(1L, nDocs / 100)
     // doc i gets 12 tokens unique to i; the last `dups` docs copy doc
@@ -1892,6 +1945,8 @@ object ScaleBench {
         upsertMain(s, argL(1, 20000000L), argI(2, 200), argI(3, 3)))
       case Some("lm") => withSession(tuned = false)(s => lmMain(s, argL(1, 2000000L)))
       case Some("pii") => withSession(tuned = false)(s => piiMain(s, argL(1, 2000000L)))
+      case Some("multimodal") => withSession(tuned = true)(s =>
+        multimodalMain(s, argL(1, 500000L), argI(2, 2)))
       case Some("retrieval") => withSession(tuned = true)(s =>
         retrievalMain(s, argL(1, 2000000L), argI(2, 64)))
       case Some("sax") => withSession(tuned = true)(s =>

@@ -190,4 +190,78 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = out.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"video demux must not shuffle:\n$plan")
   }
+
+  // ---- corrupt-payload quarantine (the deployment entry points) ----------
+
+  test("quarantined image decode: corrupt payloads isolated and counted, good rows exact, stage survives") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, goldenPng.take(20)), // truncated mid-header
+      (3L, Multimodal.syntheticPng(3L)),
+      (4L, Array[Byte](1, 2, 3, 4)), // not an image at all
+      (5L, null: Array[Byte])) // null payload
+    val out = Multimodal.imagePixelStatsQuarantined(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(out.count() == 5L, "one row per document, corrupt or not")
+    assert(out.filter($"status" === "corrupt").count() == 3L)
+    assert(out.filter($"status" === "corrupt" && $"error".isNull).count() == 0L,
+      "every quarantined row names its error")
+    assert(out.filter($"status" === "ok" && $"error".isNotNull).count() == 0L)
+    val ok = out.filter($"status" === "ok")
+      .select($"doc_id", $"width", $"height", $"n_pixels", $"sum_r", $"sum_g", $"sum_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Seq(1L, 3L).map { id =>
+      val s = Multimodal.decodeImageStats(id, Multimodal.syntheticPng(id))
+      (id, s.width, s.height, s.n_pixels, s.sum_r, s.sum_g, s.sum_b)
+    }.toSet
+    assert(ok == want, "good rows must carry the strict kernel's exact stats")
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"quarantined decode must not shuffle:\n$plan")
+  }
+
+  test("quarantined audio decode: corrupt payloads isolated, good rows exact") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticWav(1L)),
+      (2L, goldenWav.take(12)), // RIFF header only, no fmt/data
+      (3L, Multimodal.syntheticWav(3L)),
+      (4L, Array[Byte](9, 9, 9)))
+    val out = Multimodal.audioSampleStatsQuarantined(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(out.count() == 4L)
+    assert(out.filter($"status" === "corrupt").count() == 2L)
+    assert(out.filter($"status" === "corrupt" && $"error".isNull).count() == 0L)
+    val ok = out.filter($"status" === "ok")
+      .select($"doc_id", $"n_samples", $"sample_rate", $"sum_amp", $"min_amp", $"max_amp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Seq(1L, 3L).map { id =>
+      val s = Multimodal.decodeWavStats(id, Multimodal.syntheticWav(id))
+      (id, s.n_samples, s.sample_rate, s.sum_amp, s.min_amp, s.max_amp)
+    }.toSet
+    assert(ok == want)
+  }
+
+  test("quarantined video decode: corrupt docs collapse to one row, good docs fan out exactly") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticGif(1L)), // 3 frames
+      (2L, goldenGif.take(10)), // truncated mid-screen-descriptor
+      (3L, Multimodal.syntheticGif(3L)), // 5 frames
+      (4L, "definitely not a gif".getBytes("UTF-8")))
+    val out = Multimodal.videoFrameStatsQuarantined(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(out.filter($"status" === "ok").count() == 8L, "3 + 5 good frames")
+    assert(out.filter($"status" === "corrupt").count() == 2L,
+      "one quarantine row PER corrupt document, never per phantom frame")
+    assert(out.filter($"status" === "corrupt" &&
+      ($"error".isNull || $"frame_idx".isNotNull)).count() == 0L)
+    val ok = out.filter($"status" === "ok")
+      .select($"doc_id", $"frame_idx", $"width", $"height", $"n_pixels", $"sum_v")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Seq(1L, 3L).flatMap { id =>
+      Multimodal.decodeGifFrameStats(id, Multimodal.syntheticGif(id))
+        .map(f => (id, f.frame_idx, f.width, f.height, f.n_pixels, f.sum_v))
+    }.toSet
+    assert(ok == want)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"quarantined demux must not shuffle:\n$plan")
+  }
 }

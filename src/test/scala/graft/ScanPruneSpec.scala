@@ -43,6 +43,58 @@ class ScanPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(probed.as[Long].collect().toSet == wanted.toSet)
   }
 
+  test("an exactly-eqChunk-sized literal still row-group-prunes (the threshold boundary)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanprune_edge").toString
+    // 4 range-disjoint files (session shuffle.partitions = 4), one row
+    // group each: [0,5000) [5000,10000) [10000,15000) [15000,20000)
+    (0L until 20000L).toDF("fp")
+      .repartitionByRange($"fp").sortWithinPartitions($"fp")
+      .write.parquet(s"$dir/t")
+    ScanPrune.ensureEqPushdown(spark)
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt
+      > ScanPrune.eqChunk,
+      "a full chunk must sit strictly under the engine threshold")
+    // ONE full chunk whose values span the whole domain: under OR-of-eq
+    // translation only the two files holding the values survive; under
+    // the min/max-range degradation this test exists to catch, the
+    // range [0, 19999] keeps every row group alive
+    val wanted = (0L until 99L) :+ 19999L
+    assert(wanted.length == ScanPrune.eqChunk)
+    val probed = spark.read.parquet(s"$dir/t").filter(ScanPrune.inLiteral($"fp", wanted))
+    val scan = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(probed.as[Long].collect().toSet == wanted.toSet)
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned <= 10000L,
+      s"scan emitted $scanned rows — the boundary chunk degraded to a range filter")
+  }
+
+  test("repeated serve constructions over an identical local phrase frame hit the prune memo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanprune_memo").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "text", "doc_id", dir)
+    val phrases = Seq((1L, "beta gamma")).toDF("phrase_id", "phrase")
+    def serve() = Retrieval.phraseSearchFromIndex(spark, dir, phrases, "phrase_id", "phrase")
+      .select($"phrase_id", $"doc_id", $"n_occurrences")
+      .as[(Long, Long, Long)].collect().toSet
+    val first = serve()
+    val hits0 = Retrieval.pruneMemoHits
+    assert(serve() == first, "memoized construction must serve identical results")
+    assert(Retrieval.pruneMemoHits > hits0,
+      "an identical driver-local phrase frame must hit the memo")
+    // a FILE-backed phrase frame must NOT memoize: its plan stays
+    // identical when the file content changes, and a stale vocabulary
+    // would silently drop matching postings
+    val phrasePath = s"$dir/phrases"
+    phrases.write.parquet(phrasePath)
+    val fromFile = spark.read.parquet(phrasePath)
+    val hits1 = Retrieval.pruneMemoHits
+    Retrieval.phraseSearchFromIndex(spark, dir, fromFile, "phrase_id", "phrase").count()
+    Retrieval.phraseSearchFromIndex(spark, dir, fromFile, "phrase_id", "phrase").count()
+    assert(Retrieval.pruneMemoHits == hits1, "file-backed frames must bypass the memo")
+  }
+
   test("over the literal cap the phrase serve path engages the bloom pre-filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scanprune_bloom").toString
     val docs = Seq(
