@@ -606,6 +606,220 @@ object Retrieval {
       phrases, phraseIdCol, phraseCol, "doc_id", minOccurrences)
   }
 
+  // ---- anchor-fingerprint decontamination probe --------------------------
+  //
+  // The OVER-CAP decontamination regime (10⁵+ eval sentences): the
+  // phrase vocabulary is then a near-uniform sample of the corpus
+  // vocabulary, so the term-literal cap is blown and even the bloom
+  // fallback sheds only postings — every row group of the positional
+  // index still survives (PERF.md measured the 100k-sentence stored
+  // path at parity with the direct scan for exactly this reason).
+  // The anchor probe restores bounded-probe behavior at ANY eval-list
+  // size: each doc's k-token windows are fingerprinted to 64-bit fps
+  // and stored fp-CLUSTERED (the StreamingDedup layout applied to
+  // decontamination), each eval sentence contributes ONE fp (its first
+  // k-gram), and candidate (phrase, doc) pairs come from an exact fp
+  // probe of that narrow (fp, doc_id) table. A doc containing a phrase
+  // necessarily contains the phrase's first k-gram, so the probe has NO
+  // false negatives; fp collisions and partial matches die in the exact
+  // positional verify, which now runs over the HIT phrases' vocabulary
+  // only — back under the literal cap whenever actual contamination is
+  // sparse, which is the operating point of a decontamination sweep.
+
+  /** Default anchor window: long enough that a random k-gram is
+    * near-unique in any natural corpus, short enough that most eval
+    * sentences reach it (shorter phrases route through the classic
+    * literal/bloom path). */
+  val defaultAnchorK = 4
+
+  /** fp of the k-token window starting at 1-based `from`: xxhash64 over
+    * the tokens joined on \u0001 (cannot appear inside a token). The
+    * SAME expression fingerprints doc windows and eval first-k-grams —
+    * the probe is an exact equality join in one fp space. */
+  private def windowFp(toks: Column, from: Column, k: Int): Column =
+    xxhash64(concat_ws("\u0001", slice(toks, from, lit(k))))
+
+  /** One batch's anchor contribution: the DISTINCT (fp, doc_id) pairs
+    * of every k-token window of every doc (docs shorter than k tokens
+    * contribute nothing — they cannot contain a ≥k-token phrase). */
+  def anchorIndexParts(
+      batch: DataFrame, textCol: String, docIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"anchor window must be >= 1 token, got $k")
+    batch
+      .select(col(docIdCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => windowFp(col("toks"), i, k)))).as("fp"))
+  }
+
+  private def anchorKMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/anchors", "_anchor_k")
+
+  private def storedAnchorK(
+      spark: org.apache.spark.sql.SparkSession, root: String): Option[Int] = {
+    val p = anchorKMarker(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Append a batch of NEW documents' anchor fingerprints under
+    * `root/anchors` (same committed-batch-dir contract as
+    * [[appendToPositionalIndex]]; call both per batch to serve the
+    * anchor probe). Dirs are fp-clustered — files range-disjoint in fp
+    * — so the probe's literal pushdown row-group-prunes. `k` is part of
+    * the stored layout: the first append records it and later appends
+    * must match (the probe reads it back, so build and probe can never
+    * disagree silently). */
+  def appendToAnchorIndex(
+      batch: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      root: String,
+      batchId: Long,
+      k: Int = defaultAnchorK): Unit = {
+    import graft.streaming.StateStore
+    val spark = batch.sparkSession
+    storedAnchorK(spark, root) match {
+      case Some(k0) => require(k0 == k,
+        s"anchor index at $root was built with k=$k0, append requested k=$k")
+      case None =>
+        val p = anchorKMarker(root)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    }
+    val done = StateStore.committedBatchIds(spark, s"$root/anchors")
+    if (!done.contains(batchId)) {
+      StateStore.writeBatchDir(
+        anchorIndexParts(batch, textCol, docIdCol, k)
+          .repartitionByRange(col("fp")).sortWithinPartitions(col("fp"), col("doc_id")),
+        s"$root/anchors", batchId)
+    }
+  }
+
+  /** Compact the anchor table's batch dirs, fp-re-clustered (never the
+    * newest id — the replay-window rule). Grace as [[compactIndex]]. */
+  def compactAnchorIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      sweepGraceMs: Long = 0L): Unit = {
+    import graft.streaming.StateStore
+    val ids = StateStore.committedBatchIds(spark, s"$root/anchors")
+      .sorted.dropRight(1)
+    if (ids.length >= 2)
+      StateStore.compactBatchDirs(spark, s"$root/anchors", ids,
+        df => df.repartitionByRange(col("fp"))
+          .sortWithinPartitions(col("fp"), col("doc_id")),
+        sweepGraceMs)
+  }
+
+  /** The phrase audit served through the ANCHOR probe — output
+    * identical to [[phraseSearchFromIndex]] (same exact scorer decides
+    * every emitted row; the anchors only pre-filter), cost bounded by
+    * the eval-list size and the TRUE contamination instead of the eval
+    * vocabulary's row-group coverage. Requires both `root/postings`
+    * (the verify side) and `root/anchors` ([[appendToAnchorIndex]]).
+    * Phrases shorter than the stored k route through
+    * [[phraseSearchFromIndex]]'s literal/bloom path — correctness never
+    * depends on the split, only cost does. NOT fully lazy: construction
+    * collects the bounded eval-fp set and the hit-phrase vocabulary. */
+  def phraseSearchViaAnchors(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      minOccurrences: Int = 1): DataFrame = {
+    import graft.streaming.StateStore
+    val k = storedAnchorK(spark, root).getOrElse(throw new IllegalStateException(
+      s"no anchor index at $root — run appendToAnchorIndex alongside the " +
+        "positional appends"))
+    val anchors = StateStore.readCommittedBatchDirs(spark, s"$root/anchors")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed anchor batch at $root"))
+    val ph = phrases.select(
+      col(phraseIdCol).as("phrase_id"), col(phraseCol).as("phrase"),
+      TextFunctions.tokens(col(phraseCol)).as("ptoks"))
+    val longPh = ph.filter(size(col("ptoks")) >= k)
+    val shortPh = ph.filter(size(col("ptoks")) < k)
+      .select(col("phrase_id").as(phraseIdCol), col("phrase").as(phraseCol))
+    // ONE fp per eval sentence: its first k-gram, in the stored fp space
+    val evalFps = longPh
+      .select(col("phrase_id"), windowFp(col("ptoks"), lit(1), k).as("fp"))
+    // density-gated literal pushdown over the fp-clustered anchor dirs
+    // (the StreamingDedup suspect trick): bounded collect, never the
+    // full set past the cap. Over the cap the table scans UNPRUNED —
+    // no bloom pre-filter here: the candidate join below is broadcast
+    // (there is no shuffle to protect), so the hash probe itself
+    // rejects exactly the rows a bloom would shed, and the bloom build
+    // would cost two extra driver jobs per construction. The scan is a
+    // narrow (fp, doc_id) long table either way — the point of
+    // anchoring is that ITS size, not the eval list's, bounds the pass.
+    val fpVals = {
+      val rows = evalFps.select(col("fp")).distinct()
+        .limit(maxTermPushdown + 1).collect()
+      if (rows.length <= maxTermPushdown) Some(rows.map(_.getLong(0)).toSeq)
+      else None
+    }
+    val probedAnchors = fpVals match {
+      case Some(fps) if fps.nonEmpty =>
+        ScanPrune.ensureEqPushdown(spark)
+        anchors.filter(ScanPrune.inLiteral(col("fp"), fps))
+      case Some(_) => anchors.limit(0) // every phrase is short
+      case None => anchors
+    }
+    // exact-equality candidates; fp collisions die in the verify below
+    val candidates = probedAnchors
+      .join(broadcast(evalFps), Seq("fp"))
+      .select(col("phrase_id"), col("doc_id")).distinct()
+    // materialize the candidate set ONCE (bounded collect — candidates
+    // are true hits + the fp collision rate, small by the
+    // decontamination premise): the set feeds THREE downstream consumers
+    // (the hit-phrase restriction, pruneToTerms' eager vocabulary
+    // collect, and the candidate-doc semi-join), and leaving it lazy
+    // would re-run the whole anchor scan once per consumer. Over the cap
+    // the lazy frame stands — correct, re-scanned, the cost documented.
+    val candCap = 100000
+    val candLocal = {
+      val rows = candidates.limit(candCap + 1).collect()
+      if (rows.length <= candCap)
+        Some(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      else None
+    }
+    import org.apache.spark.sql.Encoders
+    val candPhraseIds = candLocal match {
+      case Some(rows) => spark
+        .createDataset(rows.map(_._1).distinct)(Encoders.scalaLong).toDF("phrase_id")
+      case None => candidates.select(col("phrase_id")).distinct()
+    }
+    val candDocs = candLocal match {
+      case Some(rows) => spark
+        .createDataset(rows.map(_._2).distinct)(Encoders.scalaLong).toDF("doc_id")
+      case None => candidates.select(col("doc_id")).distinct()
+    }
+    // verify ONLY the hit phrases over ONLY the candidate docs: the
+    // vocabulary collect inside pruneToTerms now sees the contaminated
+    // subset, not the eval list — back under the literal cap whenever
+    // contamination is sparse
+    val hitPh = longPh
+      .join(broadcast(candPhraseIds), Seq("phrase_id"), "left_semi")
+      .select(col("phrase_id").as(phraseIdCol), col("phrase").as(phraseCol))
+    val vTerms = hitPh.select(explode(TextFunctions.tokens(col(phraseCol))).as("term"))
+    val vPostings = pruneToTerms(positionalPostingsAt(spark, root), vTerms)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val longHits = phraseSearchFromPostings(
+      vPostings, hitPh, phraseIdCol, phraseCol, "doc_id", minOccurrences)
+    if (shortPh.isEmpty) longHits
+    else longHits.unionByName(phraseSearchFromIndex(
+      spark, root, shortPh, phraseIdCol, phraseCol, minOccurrences))
+  }
+
   /** [[snippets]] served from POSITIONAL postings: the context window is
     * REASSEMBLED from the stored (doc_id, pos, term) rows — tokens with
     * pos in [snippet_start, first_pos + p_len + window), ordered by pos

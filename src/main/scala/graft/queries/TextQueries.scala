@@ -81,6 +81,20 @@ object TextQueries {
       graft.functions.Retrieval.compactPositionalIndex(s, root)
     }
 
+  /** d79's staged root: positional postings + the ANCHOR fp table,
+    * appended batch-aligned (the deployment contract — call both per
+    * batch). k = 2 so the test phrase list exercises BOTH routes: the
+    * ≥2-token phrases take the anchor probe, the 1-token phrase falls
+    * back to the literal path. */
+  private def anchoredPositionalRoot(s: SparkSession, dir: String): String =
+    stagedCompactedRoot(s, dir, "d79_aidx") { (d, root) =>
+      (0 to 2).foreach { i =>
+        val b = d.filter(pmod(col("doc_id"), lit(3)) === i)
+        graft.functions.Retrieval.appendToPositionalIndex(b, "text", "doc_id", root, i.toLong)
+        graft.functions.Retrieval.appendToAnchorIndex(b, "text", "doc_id", root, i.toLong, k = 2)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
@@ -453,6 +467,23 @@ object TextQueries {
         (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
       graft.functions.Retrieval.phraseSearchFromIndex(
           s, compactedPositionalRoot(s, dir), ph, "phrase_id", "phrase")
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // the ANCHOR-probe decontamination path: the d70 audit served
+    // through the fp-clustered first-k-gram candidate probe + exact
+    // positional verify — the over-cap regime's bounded-probe form
+    // (phrase count stops correlating with surviving row groups).
+    // Oracle = the whole-corpus d70 replay: the anchors must be pure
+    // pre-filter, bit-invisible in the result
+    "d79_phrase_anchors" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"),
+        (4L, "vector"),
+        (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
+      graft.functions.Retrieval.phraseSearchViaAnchors(
+          s, anchoredPositionalRoot(s, dir), ph, "phrase_id", "phrase")
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // PMI collocations: top bigrams by pointwise mutual information
@@ -2181,6 +2212,22 @@ object TextQueries {
     // d78: the whole-corpus d70 replay — Spark serves the phrase audit
     // from the compacted positional store (term-re-clustered on merge)
     "d78_phrase_compacted" ->
+      s"""${phraseCte(
+             """(1::BIGINT, 'table table'),
+               |    (2::BIGINT, 'fast table'),
+               |    (3::BIGINT, 'key agg row scan'),
+               |    (4::BIGINT, 'vector'),
+               |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
+         |SELECT phrase_id, phrase, doc_id,
+         |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
+         |FROM occ WHERE n_off = p_len
+         |GROUP BY 1, 2, 3
+         |ORDER BY phrase_id, doc_id""".stripMargin,
+    // d79: the whole-corpus d70 replay again — Spark serves through the
+    // anchor-fp candidate probe + exact verify, so equality proves the
+    // anchor layer has no false negatives and every collision dies in
+    // the verify
+    "d79_phrase_anchors" ->
       s"""${phraseCte(
              """(1::BIGINT, 'table table'),
                |    (2::BIGINT, 'fast table'),

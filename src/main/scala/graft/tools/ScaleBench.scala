@@ -1515,6 +1515,21 @@ object ScaleBench {
         .count()).sum
     }
     require(servedHits == directHits, s"index served $servedHits != direct $directHits")
+    // the ANCHOR path: first-k-gram fp probe over the fp-clustered
+    // anchor table + exact positional verify of the hit phrases only —
+    // the over-cap regime's bounded-probe form (the eval-list size
+    // stops correlating with surviving row groups; PERF.md's
+    // 100k-sentence parity asymptote is what this exists to beat).
+    // k = 2 because the synthetic phrases are 2 tokens.
+    val (_, anchorBuildSec) = time {
+      Retrieval.appendToAnchorIndex(docs, "text", "doc_id", root, batchId = 0L, k = 2)
+    }
+    val (anchorHits, anchorSec) = time {
+      (0 until nAudits).map(a => Retrieval
+        .phraseSearchViaAnchors(spark, root, phrases(a), "phrase_id", "phrase")
+        .count()).sum
+    }
+    require(anchorHits == directHits, s"anchors served $anchorHits != direct $directHits")
     val (nSnips, snipDirectSec) = time {
       Retrieval.snippets(docs, "text", "doc_id", phrases(0), "phrase_id", "phrase", 3).count()
     }
@@ -1528,6 +1543,9 @@ object ScaleBench {
          |"docs_per_s":${(total * nAudits / directSec).toLong},"hits":$directHits},
          |"index":{"build_sec":$buildSec,"serve_sec":$serveSec,
          |"sec_per_audit":${serveSec / nAudits},"speedup":${directSec / serveSec}},
+         |"anchors":{"build_sec":$anchorBuildSec,"serve_sec":$anchorSec,
+         |"sec_per_audit":${anchorSec / nAudits},"speedup_vs_direct":${directSec / anchorSec},
+         |"speedup_vs_index":${serveSec / anchorSec},"hits":$anchorHits},
          |"snippets":{"direct_sec":$snipDirectSec,"serve_sec":$snipServeSec,
          |"rows":$nSnips}}"""
         .stripMargin.replace("\n", ""))

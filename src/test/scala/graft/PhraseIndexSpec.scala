@@ -48,6 +48,68 @@ class PhraseIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fromIndex.contains((1L, 4L, 3L, 0L)))
   }
 
+  test("anchor-probe audit equals the classic index serve exactly (both phrase routes)") {
+    val root = tmp()
+    // doc 6 contains phrase 2's FIRST k-gram ("table scan") context:
+    // "table" then a non-matching continuation — wait, with k=2 the
+    // anchor IS the whole 2-token phrase; doc 7 gives the true partial-
+    // match case for the 3-token phrase: its first 2-gram present, the
+    // third token absent — a candidate the exact verify must kill
+    val extra = Seq(
+      (6L, "deep hash chain start"),
+      (7L, "fast hash table without the scan word order")).toDF("doc_id", "text")
+    val phrases = Seq(
+      (1L, "hash table"), // 2 tokens → anchor route, multi-occurrence
+      (2L, "table scan"), // anchor route
+      (3L, "missingterm"), // 1 token → short route (k = 2)
+      (4L, "hash table without the missingword"), // candidate via doc 7, verify kills
+      (5L, "table")) // short route with hits
+      .toDF("phrase_id", "phrase")
+    val batches = Seq(base, batch, extra)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Retrieval.appendToPositionalIndex(b, "text", "doc_id", root, i.toLong)
+      Retrieval.appendToAnchorIndex(b, "text", "doc_id", root, i.toLong, k = 2)
+    }
+    val viaAnchors = hits(Retrieval.phraseSearchViaAnchors(
+      spark, root, phrases, "phrase_id", "phrase"))
+    val classic = hits(Retrieval.phraseSearchFromIndex(
+      spark, root, phrases, "phrase_id", "phrase"))
+    assert(viaAnchors == classic, s"anchors=$viaAnchors classic=$classic")
+    // the partial-match candidate was killed by the verify
+    assert(!viaAnchors.exists(_._1 == 4L))
+    // both routes actually produced rows
+    assert(viaAnchors.exists(_._1 == 1L) && viaAnchors.exists(_._1 == 5L))
+    // a k mismatch on append fails loudly; a probe without anchors too
+    val e1 = intercept[IllegalArgumentException] {
+      Retrieval.appendToAnchorIndex(extra, "text", "doc_id", root, 3L, k = 3)
+    }
+    assert(e1.getMessage.contains("k=2"))
+    val root2 = tmp()
+    Retrieval.buildPositionalIndex(base, "text", "doc_id", root2)
+    val e2 = intercept[IllegalStateException] {
+      Retrieval.phraseSearchViaAnchors(spark, root2, phrases, "phrase_id", "phrase")
+    }
+    assert(e2.getMessage.contains("no anchor index"))
+  }
+
+  test("anchor index compaction preserves the probe exactly") {
+    val root = tmp()
+    val batches = Seq(base, batch)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Retrieval.appendToPositionalIndex(b, "text", "doc_id", root, i.toLong)
+      Retrieval.appendToAnchorIndex(b, "text", "doc_id", root, i.toLong, k = 2)
+    }
+    val extra2 = Seq((8L, "another hash table row")).toDF("doc_id", "text")
+    Retrieval.appendToPositionalIndex(extra2, "text", "doc_id", root, 2L)
+    Retrieval.appendToAnchorIndex(extra2, "text", "doc_id", root, 2L, k = 2)
+    val before = hits(Retrieval.phraseSearchViaAnchors(spark, root, ph, "phrase_id", "phrase"))
+    Retrieval.compactAnchorIndex(spark, root)
+    Retrieval.compactPositionalIndex(spark, root)
+    assert(hits(Retrieval.phraseSearchViaAnchors(
+      spark, root, ph, "phrase_id", "phrase")) == before)
+    assert(before.contains((1L, 8L, 1L, 1L)))
+  }
+
   test("index-served snippets are bit-identical to the direct slice path") {
     val root = tmp()
     Retrieval.buildPositionalIndex(base, "text", "doc_id", root)
