@@ -1678,6 +1678,32 @@ object ScaleBench {
     }
     val deconHits =
       try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
+    // 5. streaming ANN-index append: route + PQ-encode each batch under
+    // the FROZEN model (trained once on the base, memoized) — per-batch
+    // cost is the batch's own two broadcast-join scans and must stay
+    // flat as the codes table accumulates (nothing reads it back on the
+    // append path; the cadence compaction is the only accumulated-state
+    // touch, amortized in-wall like the others)
+    val annRoot = tmp("graft_stream_ann")
+    def embOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        (pmod(hash(col("id"), lit(j)), lit(1000)).cast("double") / 500.0 - 1.0)): _*)
+        .as("embedding"))
+    val annBase = embOf(-10000L, 0L).cache()
+    annBase.count()
+    val loadAnn = loadavg()
+    val annWalls = (0 until nBatches).map { b =>
+      val batch = embOf(b * batchRows, (b + 1) * batchRows)
+      time {
+        if (b > 0 && b % 24 == 0)
+          graft.streaming.StreamingAnnIndex.compactAnnIndex(spark, annRoot)
+        graft.streaming.StreamingAnnIndex.processBatch(
+          batch, b.toLong, annBase, "vec_id", "embedding", annRoot,
+          nLists = 16, nSub = 8, kSub = 16, iters = 2, sampleN = 10000)
+      }
+    }
+    annBase.unpersist()
     // compaction payoff on the 100-dir index the append loop just
     // built: serve cost with one dir per micro-batch vs compacted
     val queries = spark.range(50).select(
@@ -1698,7 +1724,8 @@ object ScaleBench {
     val loadEnd = loadavg()
     val ops = Seq(
       ("hll_stamped_fold", hllWalls, loadHll), ("index_append", idxWalls, loadIdx),
-      ("dedup_fold", dedupWalls, loadDedup), ("decontam", deconWalls, loadDecon))
+      ("dedup_fold", dedupWalls, loadDedup), ("decontam", deconWalls, loadDecon),
+      ("ann_append", annWalls, loadAnn))
     val rows = ops.map { case (name, walls, load) =>
       val (e, l, r) = growth(walls)
       (name, e, l, r, load)
