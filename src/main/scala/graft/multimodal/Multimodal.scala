@@ -457,6 +457,33 @@ object Multimodal {
       })
   }
 
+  /** The quarantine leg end-to-end (x6): the x5 synthetic-GIF corpus
+    * with a deterministically POISONED subset — payloads of ids
+    * divisible by `poisonEvery` truncated mid-header (8 bytes cuts
+    * inside the logical screen descriptor: unreadable for every id,
+    * where a mid-stream cut could land on a frame boundary and demux
+    * clean) — run through the tolerant decoder. Good docs fan out to
+    * their exact per-frame stats, poisoned docs collapse to one
+    * `status = "corrupt"` row; both shapes are closed-form, so the
+    * whole tolerant path is DuckDB-oracle-able (minus the error text,
+    * which is engine-specific and excluded from the gate). */
+  def videoFrameStatsPoisoned(
+      df: DataFrame, idCol: String, poisonEvery: Long): Dataset[QuarantinedVideoFrameStats] = {
+    require(poisonEvery >= 1, s"poisonEvery must be >= 1, got $poisonEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val good = syntheticGif(id)
+        if (Math.floorMod(id, poisonEvery) == 0L)
+          (id, java.util.Arrays.copyOfRange(good, 0, 8))
+        else (id, good)
+      })
+      .toDF("id", "payload")
+    videoFrameStatsQuarantined(encoded, "id", "payload")
+  }
+
   /** The full image leg end-to-end: synthesize a deterministic PNG per
     * row (stage 1), carry it through the plan as a real `binary` column,
     * then DECODE it with the JDK codec and emit per-image pixel stats

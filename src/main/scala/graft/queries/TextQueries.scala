@@ -1138,6 +1138,20 @@ object TextQueries {
           col("doc_id"), col("frame_idx"), col("width"), col("height"),
           col("n_pixels"), col("sum_v"),
           round(col("sum_v") / col("n_pixels"), 6).as("mean_v"))
+    }),
+    // corrupt-payload QUARANTINE, oracle-gated: the x5 corpus with every
+    // 17th payload truncated mid-header, run through the tolerant
+    // decoder — good docs must carry the exact closed-form per-frame
+    // stats, poisoned docs exactly one status='corrupt' row with null
+    // stats (the error text is engine-specific and excluded). One bad
+    // byte array quarantines, never fails the stage — the deployment
+    // entry point for non-synthetic bytes, now bit-gated end to end.
+    "x6_video_quarantine" -> ((s, dir) => {
+      Multimodal.videoFrameStatsPoisoned(docs(s, dir), "doc_id", poisonEvery = 17L)
+        .toDF()
+        .select(
+          col("doc_id"), col("status"), col("frame_idx"), col("width"),
+          col("height"), col("n_pixels"), col("sum_v"))
     })
   )
 
@@ -2813,6 +2827,32 @@ object TextQueries {
         |SELECT doc_id, f::BIGINT AS frame_idx, width, height, n_pixels, sum_v,
         |       round(sum_v::DOUBLE / n_pixels, 6) AS mean_v
         |FROM agg""".stripMargin,
+    // x6: the x5 closed form over the NON-poisoned ids, unioned with one
+    // all-null 'corrupt' row per poisoned id — the tolerant decoder's
+    // whole observable contract (statuses, per-frame stats, corrupt
+    // collapse) recomputed codec-free
+    "x6_video_quarantine" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, (doc_id % 6 + 2) AS w, (doc_id % 3 + 2) AS h, x, y
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS tf(f),
+        |       UNNEST(generate_series(0, (doc_id % 6 + 2) - 1)) AS tx(x),
+        |       UNNEST(generate_series(0, (doc_id % 3 + 2) - 1)) AS ty(y)
+        |  WHERE doc_id % 17 <> 0
+        |), agg AS (
+        |  SELECT doc_id, f, any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+        |         SUM((doc_id + 7 * x + 13 * y + 29 * f) % 256)::BIGINT AS sum_v
+        |  FROM px GROUP BY doc_id, f
+        |)
+        |SELECT doc_id, 'ok' AS status, f::BIGINT AS frame_idx,
+        |       width, height, n_pixels, sum_v
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, 'corrupt' AS status, NULL::BIGINT AS frame_idx,
+        |       NULL::BIGINT AS width, NULL::BIGINT AS height,
+        |       NULL::BIGINT AS n_pixels, NULL::BIGINT AS sum_v
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)

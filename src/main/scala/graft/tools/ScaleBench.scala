@@ -1747,6 +1747,165 @@ object ScaleBench {
     * streaming operator's cost growth needs a documented reason. */
   val streamFlagRatio = 1.5
 
+  /** Compacted-store serve cost where the STORE dominates: build the
+    * BM25 + positional indexes over `nDocs` docs in `nBatches`
+    * doc-disjoint committed batches, then time SERVE-ONLY (same query/
+    * phrase batch) in three forms — fragmented (one dir per batch),
+    * compacted (manifest c-dir + live newest), and the whole-corpus
+    * direct computation — asserting identical results across all three.
+    * The per-round driver artifact prices d77/d78 at sf0.01 where dir
+    * plumbing dominates; this isolates the store's serve cost at a
+    * scale where data does.
+    * Usage: runMain graft.tools.ScaleBench compactserve [nDocs] [nBatches] */
+  def compactServeMain(spark: SparkSession, nDocs: Long, nBatches: Int): Unit = {
+    import graft.functions.Retrieval
+    require(nBatches >= 3, s"need >= 3 batches, got $nBatches")
+    val body = concat_ws(" ",
+      (0 until 20).map(j => concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))) ++
+        (0 until 10).map(j =>
+          concat(lit("r"), pmod(hash(col("id"), lit(100 + j)), lit(math.max(10L, nDocs / 10))))): _*)
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), body.as("text")).cache()
+    docs.count()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val queries = spark.range(50).select(
+      col("id").as("query_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(1)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(2)), lit(2000)))).as("query")).cache()
+    val phrases = spark.range(500).select(
+      col("id").as("phrase_id"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(2000))),
+        concat(lit("t"), pmod(hash(col("id"), lit(12)), lit(2000)))).as("phrase")).cache()
+    queries.count(); phrases.count()
+    val bmRoot = java.nio.file.Files.createTempDirectory("graft_cserve_bm").toString
+    val pRoot = java.nio.file.Files.createTempDirectory("graft_cserve_p").toString
+    val (_, buildSec) = time {
+      (0 until nBatches).foreach { b =>
+        val part = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+        Retrieval.appendToIndex(part, "text", "doc_id", bmRoot, b.toLong)
+        Retrieval.appendToPositionalIndex(part, "text", "doc_id", pRoot, b.toLong)
+      }
+    }
+    def bmServe(): Long =
+      Retrieval.bm25FromIndex(spark, bmRoot, queries, "query_id", "query", 10).count()
+    def phServe(): Long =
+      Retrieval.phraseSearchFromIndex(spark, pRoot, phrases, "phrase_id", "phrase").count()
+    val (bmFragHits, bmFragSec) = time(bmServe())
+    val (phFragHits, phFragSec) = time(phServe())
+    val (_, compactSec) = time {
+      Retrieval.compactIndex(spark, bmRoot)
+      Retrieval.compactPositionalIndex(spark, pRoot)
+    }
+    val (bmCompHits, bmCompSec) = time(bmServe())
+    val (phCompHits, phCompSec) = time(phServe())
+    val (bmDirectHits, bmDirectSec) = time(
+      Retrieval.bm25TopK(docs, "text", "doc_id", queries, "query_id", "query", 10).count())
+    val (phDirectHits, phDirectSec) = time(
+      Retrieval.phraseSearch(docs, "text", "doc_id", phrases, "phrase_id", "phrase").count())
+    require(bmFragHits == bmCompHits && bmCompHits == bmDirectHits,
+      s"bm25 serve drift: frag=$bmFragHits comp=$bmCompHits direct=$bmDirectHits")
+    require(phFragHits == phCompHits && phCompHits == phDirectHits,
+      s"phrase serve drift: frag=$phFragHits comp=$phCompHits direct=$phDirectHits")
+    println(
+      s"""{"workload":{"docs":$nDocs,"batches":$nBatches,"queries":50,"phrases":500},
+         |"build_sec":$buildSec,"compact_sec":$compactSec,
+         |"bm25":{"fragmented_sec":$bmFragSec,"compacted_sec":$bmCompSec,
+         |"direct_sec":$bmDirectSec,"hits":$bmDirectHits},
+         |"phrase":{"fragmented_sec":$phFragSec,"compacted_sec":$phCompSec,
+         |"direct_sec":$phDirectSec,"hits":$phDirectHits}}"""
+        .stripMargin.replace("\n", ""))
+    docs.unpersist(); queries.unpersist(); phrases.unpersist()
+  }
+
+  /** The COMPOSED training-data pipeline gate: dedup → decontam →
+    * quality → per-source cap → pack → split/export as ONE chained run
+    * where every stage reads the PREVIOUS stage's on-disk parquet — the
+    * cross-operator contract check per-query oracles can't see (a
+    * column dropped or retyped by one stage breaks the next stage here,
+    * not in any single-operator gate). Row counts of every on-disk
+    * stage are asserted against the same chain composed in memory.
+    * Usage: runMain graft.tools.ScaleBench pipeline [sfDir] */
+  def pipelineMain(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.{Dedup, Packing, Sampling, TrainingExport, TextFunctions => TF}
+    import graft.sources.Tables
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val docs0 = Tables.load(spark, dir, "documents").cache()
+    val evalSet = docs0.filter(col("doc_id") % 97 === 0).cache()
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // the six stages, each a pure DataFrame => DataFrame — composed
+    // twice: through disk (the gate) and in memory (the expectation)
+    val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "s1_dedup" -> (d => d.join(
+        Dedup.nearDupGroups(d, "text", "doc_id", minEstJaccard = 0.5)
+          .filter(col("is_canonical") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")),
+      "s2_decontam" -> { d =>
+        // eval side fixed from the ORIGINAL corpus (the d19 split);
+        // train side = the survivors outside the eval ids
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        train.join(
+          Dedup.contaminationReport(train, evalSet, "text", "doc_id",
+            // 0.3: near-verbatim passage overlap. The d19 audit's 0.03
+            // reporting floor would drop ~90% of this small-vocabulary
+            // synthetic corpus — a report threshold, not a drop policy
+            minContamination = 0.3).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      },
+      "s3_quality" -> { d =>
+        // quantile-thresholded quality (keep the top 75% by score):
+        // corpus-relative, so it cuts a real fraction on ANY corpus —
+        // the Gopher stopword rule would zero this synthetic vocabulary
+        val scored = d.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+        val thr = scored.agg(expr("percentile(q, 0.25)")).collect()(0).getDouble(0)
+        d.join(scored.filter(col("q") >= thr).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      },
+      "s4_cap" -> (d => d.join(
+        Sampling.capPerGroup(
+          d.select(col("doc_id"), col("source"), TF.qualityScore(col("text")).as("q")),
+          "source", "q", "doc_id", cap = 150).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")),
+      "s5_pack" -> (d => Packing.packSequences(
+        d.select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", seqLen = 256)),
+      "s6_export" -> (d => TrainingExport.withShuffleKeys(
+        TrainingExport.assignSplits(
+          d.select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+        "doc_id", nShards = 8)))
+    // expectation: the same chain composed in memory (no disk between)
+    val expected: Seq[(String, Long)] = {
+      var cur = docs0
+      stages.map { case (name, f) => cur = f(cur); (name, cur.count()) }
+    }
+    // the gate: every stage writes parquet and the NEXT stage reads it
+    var cur = docs0
+    val measured = stages.map { case (name, f) =>
+      val (cnt, sec) = time {
+        f(cur).write.mode("overwrite").parquet(s"$out/$name")
+        cur = spark.read.parquet(s"$out/$name")
+        cur.count()
+      }
+      (name, cnt, sec)
+    }
+    measured.zip(expected).foreach { case ((name, n, _), (ename, e)) =>
+      require(name == ename && n == e,
+        s"stage $name: on-disk chain produced $n rows, in-memory chain $e")
+      require(n > 0, s"stage $name emptied the corpus — the gate measures nothing")
+    }
+    val rowsJson = measured.map { case (name, n, sec) =>
+      s""""$name":{"rows":$n,"sec":$sec}""" }.mkString(",")
+    println(s"""{"suite":"pipeline","dir":"$dir","docs":${docs0.count()},$rowsJson}""")
+    docs0.unpersist(); evalSet.unpersist()
+  }
+
   /** Suspect-literal pushdown law on a range-clustered fp index: scan
     * wall vs probe-set size. Pruning is a DENSITY game — a k-key literal
     * probe reads ~min(k, G) of the index's G row groups (keys uniform,
@@ -1992,6 +2151,11 @@ object ScaleBench {
       case Some("pii") => withSession(tuned = false)(s => piiMain(s, argL(1, 2000000L)))
       case Some("multimodal") => withSession(tuned = true)(s =>
         multimodalMain(s, argL(1, 500000L), argI(2, 2)))
+      case Some("compactserve") => withSession(tuned = true)(s =>
+        compactServeMain(s, argL(1, 2000000L), argI(2, 50)))
+      case Some("pipeline") => withSession(tuned = true)(s =>
+        pipelineMain(s, if (args.length > 1) args(1)
+          else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
       case Some("retrieval") => withSession(tuned = true)(s =>
         retrievalMain(s, argL(1, 2000000L), argI(2, 64)))
       case Some("sax") => withSession(tuned = true)(s =>
