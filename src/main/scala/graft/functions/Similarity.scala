@@ -1030,7 +1030,6 @@ object Similarity {
       .select(col("cid"), col("centv").cast("array<double>").as("centv"))
     val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN,
       normalize = true, cacheKey = cacheKey)
-    val subDim = cbArr.head.head.length
     // index: every corpus row's inverted list + PQ codes
     val assigned = nearestCentroids(
       corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec")),
@@ -1041,7 +1040,27 @@ object Similarity {
         normalize = true, cacheKey)
         .select(col("id").as("corpus_id"), col("codes")),
       Seq("corpus_id"))
-    // query side: probed lists × ADC lookup table, one small broadcast
+    adcServe(index, coarseDf, cbArr, corpus, queries, idCol, vecCol,
+      k, nProbe, nSub, shortlist)
+  }
+
+  /** The shared ADC serve tail of the IVF-PQ paths: probed lists × ADC
+    * lookup table (one small broadcast), codegen'd ADC sum over the
+    * probed lists' codes, windowed shortlist, exact re-rank. `index` is
+    * the (corpus_id, bucket, codes) table — computed in-query by
+    * [[ivfPqTopK]], read from storage by [[ivfPqTopKFromCodes]]. */
+  private def adcServe(
+      index: DataFrame,
+      coarseDf: DataFrame,
+      cbArr: Array[Array[Array[Double]]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      nSub: Int,
+      shortlist: Int): DataFrame = {
     val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")),
       coarseDf, "query_id", "qvec", nProbe)
@@ -1060,6 +1079,45 @@ object Similarity {
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("corpus_id"))
     rerankExact(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** [[ivfPqTopK]] served from a STORED (id, bucket, codes) table — the
+    * accumulated product of [[ivfPqIndexAppend]] batches or a
+    * [[graft.streaming.StreamingAnnIndex]] stream. The model (coarse
+    * centroids + codebooks) is re-derived from `corpus` under the same
+    * `cacheKey` the appends used — memoized, so serve pays no training
+    * job — and because routing/encoding are per-row functions of that
+    * frozen model, serving stored codes is bit-identical to the
+    * in-query [[ivfPqTopK]] over the same rows (d80's oracle IS d27's
+    * whole-corpus replay). Only the bucket-clustered codes table and
+    * the shortlisted full vectors are read: the BM25-style
+    * build-once/serve-many shape for ANN. */
+  def ivfPqTopKFromCodes(
+      codes: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 32,
+      nProbe: Int = 12,
+      nSub: Int = 16,
+      kSub: Int = 32,
+      shortlist: Int = 100,
+      iters: Int = 3,
+      sampleN: Int = 100000,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, nLists, iters, sampleN, cacheKey)
+    val coarseDf = spark
+      .createDataFrame(coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cid", "centv")
+      .select(col("cid"), col("centv").cast("array<double>").as("centv"))
+    val cbArr = trainPqCodebooks(corpus, idCol, vecCol, nSub, kSub, iters, sampleN,
+      normalize = true, cacheKey = cacheKey)
+    val index = codes.select(col("id").as("corpus_id"), col("bucket"), col("codes"))
+    adcServe(index, coarseDf, cbArr, corpus, queries, idCol, vecCol,
+      k, nProbe, nSub, shortlist)
   }
 
   /** Incremental IVF-PQ index maintenance: route and encode a FRESH

@@ -95,6 +95,26 @@ object TextQueries {
       }
     }
 
+  /** d80's staged root: the embedding corpus routed + PQ-encoded in
+    * three id-disjoint batches under the WHOLE-CORPUS model (the same
+    * cacheKey d27's in-query path trains — parity is the point), landed
+    * as committed bucket-clustered dirs, batches 0-1 compacted (the
+    * mixed c-dir + live read, like d77/d78). */
+  private def annCodesRoot(s: SparkSession, dir: String): String =
+    stagedCompactedRoot(s, dir, "d80_ann") { (_, root) =>
+      val e = embs(s, dir)
+      (0 to 2).foreach { i =>
+        val encoded = Similarity.ivfPqIndexAppend(
+          e, e.filter(pmod(col("vec_id"), lit(3)) === i), "vec_id", "embedding",
+          nSub = 16, kSub = 32, cacheKey = Some(dir))
+        graft.streaming.StateStore.writeBatchDir(
+          encoded.repartitionByRange(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("id")),
+          s"$root/codes", i.toLong)
+      }
+      graft.streaming.StreamingAnnIndex.compactAnnIndex(s, root)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc text statistics + quality score (tokenize once per row)
     "d1_text_stats" -> ((s, dir) => {
@@ -173,6 +193,20 @@ object TextQueries {
     "d27_ivf_pq" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nSub = 16, kSub = 32, cacheKey = Some(dir))
+    }),
+    // ANN serve-from-store: d27's query served from the PERSISTED
+    // (id, bucket, codes) table — three id-disjoint ivfPqIndexAppend
+    // batches through the committed batch-dir store, batches 0-1
+    // compacted (the StreamingAnnIndex layout), model re-derived
+    // memoized under the same key. Oracle = d27's replay VERBATIM:
+    // equality proves the stored index and the serve path are
+    // bit-invisible — the BM25 build-once/serve-many shape for ANN
+    "d80_ann_index_serve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopKFromCodes(
+        graft.streaming.StreamingAnnIndex.codesAt(s, annCodesRoot(s, dir)),
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nSub = 16, kSub = 32, cacheKey = Some(dir))
     }),
     // incremental index maintenance: route + encode a FRESH batch under
@@ -1496,6 +1530,40 @@ object TextQueries {
        |  JOIN c qq ON qq.id = s.query_id
        |) WHERE rank <= 5""".stripMargin
 
+  /** The d27 IVF-PQ replay, shared verbatim by d80: serving STORED codes
+    * under the same frozen model must be bit-identical to the in-query
+    * index build, so one SQL gates both — equality for d80 proves the
+    * persisted (id, bucket, codes) table and the serve-from-store path
+    * add nothing and lose nothing. */
+  private lazy val ivfPqReplaySql: String =
+    s"""${annCoarseCte()}$annPqCte, cass AS (
+       |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket
+       |  FROM c cv, fcents f
+       |  GROUP BY id
+       |), qprob AS (
+       |  SELECT id AS query_id, cid AS bucket
+       |  FROM (
+       |    SELECT cv.id, f.cid,
+       |           row_number() OVER (PARTITION BY cv.id
+       |             ORDER BY round(${sqlCos("cv.v", "f.centv")}, 6) DESC, f.cid ASC) AS rn
+       |    FROM c cv, fcents f WHERE cv.id < 10
+       |  ) WHERE rn <= 12
+       |), adc AS (
+       |  SELECT a.id AS corpus_id, q.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
+       |  FROM cass a
+       |  JOIN qprob q USING (bucket)
+       |  JOIN codes cd ON cd.id = a.id
+       |  JOIN lut l ON l.query_id = q.query_id AND l.cid = cd.codes[l.s + 1]
+       |  WHERE a.id <> q.query_id
+       |  GROUP BY a.id, q.query_id
+       |), short AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT query_id, corpus_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, corpus_id ASC) AS srn
+       |    FROM adc
+       |  ) WHERE srn <= 100
+       |)$annRerank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // Trained-ANN family: full SQL replays of the (now bit-reproducible)
     // k-means trainers + index/query chains — see the fragment doc above
@@ -1537,34 +1605,9 @@ object TextQueries {
          |    FROM adc
          |  ) WHERE srn <= 100
          |)$annRerank""".stripMargin,
-    "d27_ivf_pq" ->
-      s"""${annCoarseCte()}$annPqCte, cass AS (
-         |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cv.v", "f.centv")}, 6), cid := f.cid)).cid AS bucket
-         |  FROM c cv, fcents f
-         |  GROUP BY id
-         |), qprob AS (
-         |  SELECT id AS query_id, cid AS bucket
-         |  FROM (
-         |    SELECT cv.id, f.cid,
-         |           row_number() OVER (PARTITION BY cv.id
-         |             ORDER BY round(${sqlCos("cv.v", "f.centv")}, 6) DESC, f.cid ASC) AS rn
-         |    FROM c cv, fcents f WHERE cv.id < 10
-         |  ) WHERE rn <= 12
-         |), adc AS (
-         |  SELECT a.id AS corpus_id, q.query_id, ${sqlFsum("list(l.d2 ORDER BY l.s)")} AS adc
-         |  FROM cass a
-         |  JOIN qprob q USING (bucket)
-         |  JOIN codes cd ON cd.id = a.id
-         |  JOIN lut l ON l.query_id = q.query_id AND l.cid = cd.codes[l.s + 1]
-         |  WHERE a.id <> q.query_id
-         |  GROUP BY a.id, q.query_id
-         |), short AS (
-         |  SELECT query_id, corpus_id FROM (
-         |    SELECT query_id, corpus_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, corpus_id ASC) AS srn
-         |    FROM adc
-         |  ) WHERE srn <= 100
-         |)$annRerank""".stripMargin,
+    "d27_ivf_pq" -> ivfPqReplaySql,
+    // d80: the SAME replay — serve-from-stored-codes must be invisible
+    "d80_ann_index_serve" -> ivfPqReplaySql,
     "d31_ivf_pq_residual" ->
       s"""${annCoarseCte()}, rcass AS (
          |  SELECT id, MIN(struct_pack(nc := -round(${sqlCos("cu.uv", "f.centv")}, 6), cid := f.cid)).cid AS bucket,

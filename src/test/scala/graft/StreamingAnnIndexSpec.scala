@@ -54,6 +54,35 @@ class StreamingAnnIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(dirs().count(_.startsWith("c")) == 1, dirs())
   }
 
+  test("ivfPqTopKFromCodes over the stored table == in-query ivfPqTopK exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sann_serve").toString
+    val key = Some("sann-serve-spec")
+    // whole corpus appended as three id-disjoint batches under the
+    // whole-corpus model (the d80 staging), first two compacted
+    (0 to 2).foreach { i =>
+      val encoded = Similarity.ivfPqIndexAppend(
+        emb, emb.filter(pmod(col("vec_id"), lit(3)) === i), "vec_id", "embedding",
+        nLists = 8, nSub = 8, kSub = 16, cacheKey = key)
+      StateStore.writeBatchDir(
+        encoded.repartitionByRange(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("id")),
+        s"$root/codes", i.toLong)
+    }
+    StreamingAnnIndex.compactAnnIndex(spark, root)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"corpus_id", $"cos_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val served = rows(Similarity.ivfPqTopKFromCodes(
+      StreamingAnnIndex.codesAt(spark, root), emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nSub = 8, kSub = 16, cacheKey = key))
+    val inQuery = rows(Similarity.ivfPqTopK(
+      emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nSub = 8, kSub = 16, cacheKey = key))
+    assert(served == inQuery, s"served=$served inQuery=$inQuery")
+    assert(served.nonEmpty)
+  }
+
   test("a replayed committed batch is skipped (committed files never rewritten)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sann_rp").toString
     val base = emb.filter(col("vec_id") < 300)
