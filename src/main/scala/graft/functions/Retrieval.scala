@@ -754,13 +754,17 @@ object Retrieval {
       .select(col("phrase_id"), windowFp(col("ptoks"), lit(1), k).as("fp"))
     // density-gated literal pushdown over the fp-clustered anchor dirs
     // (the StreamingDedup suspect trick): bounded collect, never the
-    // full set past the cap. Over the cap the table scans UNPRUNED —
-    // no bloom pre-filter here: the candidate join below is broadcast
-    // (there is no shuffle to protect), so the hash probe itself
-    // rejects exactly the rows a bloom would shed, and the bloom build
-    // would cost two extra driver jobs per construction. The scan is a
-    // narrow (fp, doc_id) long table either way — the point of
-    // anchoring is that ITS size, not the eval list's, bounds the pass.
+    // full set past the cap, and — past one chunk — engaged only while
+    // the fp count stays at or under the estimated row-group count (a
+    // multi-chunk literal pays per-row InSet probes on every SURVIVING
+    // row group; the measured 6× over-density backfire). Over the cap
+    // or over-density the table scans UNPRUNED — no bloom pre-filter
+    // here: the candidate join below is broadcast (there is no shuffle
+    // to protect), so the hash probe itself rejects exactly the rows a
+    // bloom would shed, and the bloom build would cost two extra driver
+    // jobs per construction. The scan is a narrow (fp, doc_id) long
+    // table either way — the point of anchoring is that ITS size, not
+    // the eval list's, bounds the pass.
     val fpVals = {
       val rows = evalFps.select(col("fp")).distinct()
         .limit(maxTermPushdown + 1).collect()
@@ -768,11 +772,12 @@ object Retrieval {
       else None
     }
     val probedAnchors = fpVals match {
-      case Some(fps) if fps.nonEmpty =>
+      case Some(fps) if fps.isEmpty => anchors.limit(0) // every phrase is short
+      case Some(fps) if fps.length <= ScanPrune.eqChunk ||
+          fps.length <= ScanPrune.estimatedRowGroups(anchors) =>
         ScanPrune.ensureEqPushdown(spark)
         anchors.filter(ScanPrune.inLiteral(col("fp"), fps))
-      case Some(_) => anchors.limit(0) // every phrase is short
-      case None => anchors
+      case _ => anchors
     }
     // exact-equality candidates; fp collisions die in the verify below
     val candidates = probedAnchors

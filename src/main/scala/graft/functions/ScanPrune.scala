@@ -52,6 +52,23 @@ object ScanPrune {
       spark.conf.set(key, (eqChunk + 1).toString)
   }
 
+  /** Row-group estimate for the DENSITY GATE on multi-chunk literals: a
+    * k-value literal pays a per-row InSet probe on every SURVIVING row
+    * group, so it only beats the unpruned-scan alternative while k stays
+    * at or under the row-group count (measured 6× slower engaged blindly
+    * at k=4096 over 32 row groups — PERF.md's pushdown law). Files
+    * approximate row groups only while each stays under one parquet
+    * block; compacted dirs carry several row groups per file, so the
+    * file count is floored with total bytes / the 128 MB default block —
+    * a file-count-only estimate would disengage the pushdown exactly in
+    * the large-index regime it was built for. */
+  def estimatedRowGroups(df: org.apache.spark.sql.DataFrame): Long = {
+    val files = df.inputFiles.length.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parquetBlock = BigInt(128L * 1024 * 1024) // parquet.block.size default
+    math.max(files, (bytes / parquetBlock).toLong)
+  }
+
   /** `c IN (values)` as OR'd ≤[[eqChunk]]-value `isin` chunks (balanced
     * over chunks). `values` must be non-empty and is deduplicated; the
     * caller bounds its size (this builds a plan literal per value). */

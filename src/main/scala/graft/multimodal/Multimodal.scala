@@ -484,6 +484,55 @@ object Multimodal {
     videoFrameStatsQuarantined(encoded, "id", "payload")
   }
 
+  /** The image quarantine leg end-to-end (x7): the x3 synthetic-PNG
+    * corpus with payloads of ids divisible by `poisonEvery` truncated
+    * to the 8-byte PNG signature — no IHDR follows, so the JDK reader
+    * returns null for EVERY id (a deeper cut could leave a decodable
+    * prefix on some sizes). Good docs carry the exact closed-form pixel
+    * stats, poisoned docs one `status = "corrupt"` row — both
+    * closed-form, so the tolerant image path is DuckDB-oracle-able. */
+  def imagePixelStatsPoisoned(
+      df: DataFrame, idCol: String, poisonEvery: Long): Dataset[QuarantinedImageStats] = {
+    require(poisonEvery >= 1, s"poisonEvery must be >= 1, got $poisonEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val good = syntheticPng(id)
+        if (Math.floorMod(id, poisonEvery) == 0L)
+          (id, java.util.Arrays.copyOfRange(good, 0, 8))
+        else (id, good)
+      })
+      .toDF("id", "payload")
+    imagePixelStatsQuarantined(encoded, "id", "payload")
+  }
+
+  /** The audio quarantine leg end-to-end (x8): the x4 synthetic-WAV
+    * corpus with payloads of ids divisible by `poisonEvery` truncated
+    * to 8 bytes — inside the RIFF chunk header, before the WAVE tag, so
+    * javax.sound rejects the stream for EVERY id (a mid-data cut would
+    * instead decode to a shorter clip: fewer samples, not a corrupt
+    * row). Good docs carry the exact closed-form amplitude stats,
+    * poisoned docs one `status = "corrupt"` row — both closed-form, so
+    * the tolerant audio path is DuckDB-oracle-able. */
+  def audioSampleStatsPoisoned(
+      df: DataFrame, idCol: String, poisonEvery: Long): Dataset[QuarantinedWavStats] = {
+    require(poisonEvery >= 1, s"poisonEvery must be >= 1, got $poisonEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val good = syntheticWav(id)
+        if (Math.floorMod(id, poisonEvery) == 0L)
+          (id, java.util.Arrays.copyOfRange(good, 0, 8))
+        else (id, good)
+      })
+      .toDF("id", "payload")
+    audioSampleStatsQuarantined(encoded, "id", "payload")
+  }
+
   /** The full image leg end-to-end: synthesize a deterministic PNG per
     * row (stage 1), carry it through the plan as a real `binary` column,
     * then DECODE it with the JDK codec and emit per-image pixel stats

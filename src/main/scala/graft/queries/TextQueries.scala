@@ -1186,6 +1186,28 @@ object TextQueries {
         .select(
           col("doc_id"), col("status"), col("frame_idx"), col("width"),
           col("height"), col("n_pixels"), col("sum_v"))
+    }),
+    // image quarantine, oracle-gated: the x3 corpus with every 17th
+    // payload truncated to the bare PNG signature, run through the
+    // tolerant decoder — good docs the exact closed-form pixel stats,
+    // poisoned docs exactly one status='corrupt' all-null row. With x6
+    // and x8 this bit-gates all three tolerant deployment entry points.
+    "x7_image_quarantine" -> ((s, dir) => {
+      Multimodal.imagePixelStatsPoisoned(docs(s, dir), "doc_id", poisonEvery = 17L)
+        .toDF()
+        .select(
+          col("doc_id"), col("status"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
+    // audio quarantine, oracle-gated: the x4 corpus with every 17th
+    // payload truncated inside the RIFF chunk header, run through the
+    // tolerant decoder — same contract as x6/x7 for the audio leg.
+    "x8_audio_quarantine" -> ((s, dir) => {
+      Multimodal.audioSampleStatsPoisoned(docs(s, dir), "doc_id", poisonEvery = 17L)
+        .toDF()
+        .select(
+          col("doc_id"), col("status"), col("n_samples"), col("sample_rate"),
+          col("sum_amp"), col("min_amp"), col("max_amp"))
     })
   )
 
@@ -2895,6 +2917,50 @@ object TextQueries {
         |SELECT doc_id, 'corrupt' AS status, NULL::BIGINT AS frame_idx,
         |       NULL::BIGINT AS width, NULL::BIGINT AS height,
         |       NULL::BIGINT AS n_pixels, NULL::BIGINT AS sum_v
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+    // x7: the x3 closed form over the NON-poisoned ids ∪ one all-null
+    // 'corrupt' row per poisoned id — the tolerant image decoder's
+    // whole observable contract recomputed codec-free
+    "x7_image_quarantine" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id % 7 + 2) AS w, (doc_id % 4 + 2) AS h, x, y
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 7 + 2) - 1)) AS tx(x),
+        |       UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS ty(y)
+        |  WHERE doc_id % 17 <> 0
+        |), agg AS (
+        |  SELECT doc_id, any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+        |         SUM((doc_id + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+        |         SUM((3 * doc_id + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+        |         SUM((doc_id + x * y) % 256)::BIGINT AS sum_b
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT doc_id, 'ok' AS status, width, height, n_pixels, sum_r, sum_g, sum_b
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, 'corrupt' AS status, NULL::BIGINT AS width,
+        |       NULL::BIGINT AS height, NULL::BIGINT AS n_pixels,
+        |       NULL::BIGINT AS sum_r, NULL::BIGINT AS sum_g, NULL::BIGINT AS sum_b
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+    // x8: the x4 closed form over the NON-poisoned ids ∪ one all-null
+    // 'corrupt' row per poisoned id — the tolerant audio decoder's
+    // whole observable contract recomputed codec-free
+    "x8_audio_quarantine" ->
+      """WITH sm AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 17) % 256 AS amp
+        |  FROM documents,
+        |       UNNEST(generate_series(0, (doc_id % 40 + 8) - 1)) AS t(i)
+        |  WHERE doc_id % 17 <> 0
+        |)
+        |SELECT doc_id, 'ok' AS status, COUNT(*)::BIGINT AS n_samples,
+        |       8000::BIGINT AS sample_rate, SUM(amp)::BIGINT AS sum_amp,
+        |       MIN(amp)::BIGINT AS min_amp, MAX(amp)::BIGINT AS max_amp
+        |FROM sm GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, 'corrupt' AS status, NULL::BIGINT AS n_samples,
+        |       NULL::BIGINT AS sample_rate, NULL::BIGINT AS sum_amp,
+        |       NULL::BIGINT AS min_amp, NULL::BIGINT AS max_amp
         |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (

@@ -56,7 +56,18 @@ object StreamingDecontam {
     * re-audits), and two cadence fires inside one long read would
     * otherwise delete dirs under that reader. The default
     * ([[StateStore.defaultInStreamGraceMs]]) covers interactive reads;
-    * raise it to ≥ the longest concurrent scan. */
+    * raise it to ≥ the longest concurrent scan.
+    *
+    * `anchorK`: when set, each batch ALSO appends its k-gram anchor
+    * fingerprints ([[graft.functions.Retrieval.appendToAnchorIndex]],
+    * same root, same batch id, replay-skip included), and the cadence
+    * compacts the anchor table alongside the postings — so the
+    * OVER-CAP ad-hoc re-audit ([[
+    * graft.functions.Retrieval.phraseSearchViaAnchors]], the 10⁵⁺-
+    * sentence grown-list sweep) can run against the live root at any
+    * time. The anchors re-tokenize the batch (one extra pass over the
+    * BATCH, never history); leave None when over-cap re-audits are
+    * not part of the deployment's triage. */
   def start(
       docs: DataFrame,
       textCol: String,
@@ -70,16 +81,21 @@ object StreamingDecontam {
       minOccurrences: Int = 1,
       trigger: Option[Trigger] = None,
       compactEvery: Option[Int] = None,
-      compactGraceMs: Long = StateStore.defaultInStreamGraceMs): StreamingQuery = {
+      compactGraceMs: Long = StateStore.defaultInStreamGraceMs,
+      anchorK: Option[Int] = None): StreamingQuery = {
     val outer = docs.sparkSession
     val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, docIdCol,
-          phrases, phraseIdCol, phraseCol, indexRoot, outPath, minOccurrences)
-        if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0))
+          phrases, phraseIdCol, phraseCol, indexRoot, outPath, minOccurrences,
+          anchorK)
+        if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0)) {
           Retrieval.compactPositionalIndex(outer, indexRoot, compactGraceMs)
+          if (anchorK.isDefined)
+            Retrieval.compactAnchorIndex(outer, indexRoot, compactGraceMs)
+        }
       }
     trigger.fold(writer)(writer.trigger).start()
   }
@@ -97,7 +113,8 @@ object StreamingDecontam {
       phraseCol: String,
       indexRoot: String,
       outPath: String,
-      minOccurrences: Int): Unit = {
+      minOccurrences: Int,
+      anchorK: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     val sc = spark.sparkContext
     // snapshot so the per-batch transient caches (ours + the hits
@@ -113,6 +130,10 @@ object StreamingDecontam {
     try {
       if (!cached.isEmpty) {
         Retrieval.appendToPositionalIndex(cached, textCol, docIdCol, indexRoot, batchId)
+        // the anchor table rides the same committed-batch contract (a
+        // replayed id skips inside the append itself)
+        anchorK.foreach(k =>
+          Retrieval.appendToAnchorIndex(cached, textCol, docIdCol, indexRoot, batchId, k))
         // audit THIS batch's postings only — read back from the dir the
         // append just committed (or had already committed, on a replay)
         val batchPostings = StateStore

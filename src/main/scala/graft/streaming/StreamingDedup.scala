@@ -255,17 +255,7 @@ object StreamingDedup {
         if (rows.length <= maxFpPushdown) Some(rows.map(_.getLong(0)).toSeq)
         else None
       }
-      // files ≈ row groups only while each committed fp file stays under
-      // one parquet block; after compaction the merged c-dir files can
-      // carry SEVERAL row groups each, and a file-count estimate would
-      // disengage the pushdown exactly in the large-index regime it was
-      // built for — floor the estimate with total bytes / block size
-      val rowGroupEst = {
-        val files = streamIdx.inputFiles.length.toLong
-        val bytes = streamIdx.queryExecution.optimizedPlan.stats.sizeInBytes
-        val parquetBlock = BigInt(128L * 1024 * 1024) // parquet.block.size default
-        math.max(files, (bytes / parquetBlock).toLong)
-      }
+      val rowGroupEst = graft.functions.ScanPrune.estimatedRowGroups(streamIdx)
       val probedStream = suspectVals match {
         case Some(fps) if fps.nonEmpty &&
             (fps.length <= graft.functions.ScanPrune.eqChunk ||

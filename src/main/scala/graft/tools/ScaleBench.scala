@@ -1821,6 +1821,79 @@ object ScaleBench {
     docs.unpersist(); queries.unpersist(); phrases.unpersist()
   }
 
+  /** d80's serve-from-store at a scale where the store dominates: build
+    * the persisted (id, bucket, codes) table over `nVecs` vectors in
+    * `nBatches` committed batches under ONE frozen model, then time the
+    * same top-k three ways — in-query [[Similarity.ivfPqTopK]] (routes
+    * and PQ-encodes the whole corpus every call), serve-from-codes over
+    * the fragmented store, and over the compacted store — asserting
+    * identical results across all three (the d80 bit-invariance at
+    * scale). The model memo is warmed by the build, so every timed form
+    * pays serve cost only — the delta IS the encode work the store
+    * amortizes away.
+    * Usage: runMain graft.tools.ScaleBench annserve [nVecs] [nBatches] */
+  def annServeMain(spark: SparkSession, nVecs: Long, nBatches: Int): Unit = {
+    import graft.functions.Similarity
+    import graft.streaming.{StateStore, StreamingAnnIndex}
+    require(nBatches >= 3, s"need >= 3 batches, got $nBatches")
+    val dim = 64
+    val nClusters = 200
+    // the annMain generator: center(c)[j] in [-1,1) + 10% noise
+    val v = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        j =>
+          (pmod(hash(col("id") % nClusters, j), lit(2000)).cast("double") - 1000.0) / 1000.0 +
+            (pmod(hash(col("id"), j), lit(2000)).cast("double") - 1000.0) / 10000.0)
+        .as("embedding")).cache()
+    v.count()
+    val q = v.filter(col("vec_id") < 100).cache()
+    q.count()
+    val key = Some(s"annserve_$nVecs")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_annserve").toString
+    val (_, buildSec) = time {
+      (0 until nBatches).foreach { b =>
+        val encoded = Similarity.ivfPqIndexAppend(
+          v, v.filter(pmod(col("vec_id"), lit(nBatches)) === b),
+          "vec_id", "embedding", cacheKey = key)
+        StateStore.writeBatchDir(
+          encoded.repartitionByRange(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("id")),
+          s"$root/codes", b.toLong)
+      }
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (inq, inqSec) = time {
+      pairs(Similarity.ivfPqTopK(v, q, "vec_id", "embedding", 5, cacheKey = key))
+    }
+    val (frag, fragSec) = time {
+      pairs(Similarity.ivfPqTopKFromCodes(
+        StreamingAnnIndex.codesAt(spark, root), v, q, "vec_id", "embedding", 5,
+        cacheKey = key))
+    }
+    val (_, compactSec) = time { StreamingAnnIndex.compactAnnIndex(spark, root) }
+    val (comp, compServeSec) = time {
+      pairs(Similarity.ivfPqTopKFromCodes(
+        StreamingAnnIndex.codesAt(spark, root), v, q, "vec_id", "embedding", 5,
+        cacheKey = key))
+    }
+    require(frag == inq, s"fragmented serve diverged: ${frag.size} vs ${inq.size} pairs")
+    require(comp == inq, s"compacted serve diverged: ${comp.size} vs ${inq.size} pairs")
+    v.unpersist(); q.unpersist()
+    println(
+      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"batches":$nBatches,"queries":100,"k":5},
+         |"build_sec":$buildSec,"inquery_sec":$inqSec,
+         |"store_fragmented_sec":$fragSec,"compact_sec":$compactSec,
+         |"store_compacted_sec":$compServeSec,
+         |"speedup_vs_inquery":${inqSec / compServeSec},"pairs":${inq.size}}"""
+        .stripMargin.replace("\n", ""))
+  }
+
   /** The COMPOSED training-data pipeline gate: dedup → decontam →
     * quality → per-source cap → pack → split/export as ONE chained run
     * where every stage reads the PREVIOUS stage's on-disk parquet — the
@@ -2153,6 +2226,8 @@ object ScaleBench {
         multimodalMain(s, argL(1, 500000L), argI(2, 2)))
       case Some("compactserve") => withSession(tuned = true)(s =>
         compactServeMain(s, argL(1, 2000000L), argI(2, 50)))
+      case Some("annserve") => withSession(tuned = true)(s =>
+        annServeMain(s, argL(1, 500000L), argI(2, 20)))
       case Some("pipeline") => withSession(tuned = true)(s =>
         pipelineMain(s, if (args.length > 1) args(1)
           else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))

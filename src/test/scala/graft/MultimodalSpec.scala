@@ -264,4 +264,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = out.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"quarantined demux must not shuffle:\n$plan")
   }
+
+  test("poisoned corpora (x6/x7/x8 legs): corrupt set is exactly ids % n == 0, good rows exact") {
+    val ids = (0L to 40L).toDF("doc_id")
+    val img = Multimodal.imagePixelStatsPoisoned(ids, "doc_id", poisonEvery = 7L)
+    assert(img.filter($"status" === "corrupt").select($"doc_id")
+      .as[Long].collect().toSet == (0L to 40L).filter(_ % 7 == 0).toSet)
+    val imgOk = img.filter($"status" === "ok" && $"doc_id" === 3L)
+      .select($"sum_r").as[Long].head()
+    assert(imgOk == Multimodal.decodeImageStats(3L, Multimodal.syntheticPng(3L)).sum_r)
+    val wav = Multimodal.audioSampleStatsPoisoned(ids, "doc_id", poisonEvery = 7L)
+    assert(wav.filter($"status" === "corrupt").select($"doc_id")
+      .as[Long].collect().toSet == (0L to 40L).filter(_ % 7 == 0).toSet)
+    val wavOk = wav.filter($"status" === "ok" && $"doc_id" === 3L)
+      .select($"sum_amp").as[Long].head()
+    assert(wavOk == Multimodal.decodeWavStats(3L, Multimodal.syntheticWav(3L)).sum_amp)
+    val vid = Multimodal.videoFrameStatsPoisoned(ids, "doc_id", poisonEvery = 7L)
+    assert(vid.filter($"status" === "corrupt").select($"doc_id")
+      .as[Long].collect().toSet == (0L to 40L).filter(_ % 7 == 0).toSet)
+  }
 }

@@ -132,4 +132,37 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hitSet(spark.read.parquet(s"$dir/out").where($"batch_id" === 1L))
       .contains((2L, 3L, 2L, 1L)))
   }
+
+  test("anchorK maintains the anchor table in-stream: over-cap re-audit serves from the live root") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon5").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.start(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      evalPhrases, "phrase_id", "phrase",
+      indexRoot = s"$dir/idx", outPath = s"$dir/out", checkpoint = s"$dir/ckpt",
+      compactEvery = Some(2), anchorK = Some(2))
+    for (b <- Seq(b1, b2, b3)) { in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // the anchor-probe re-audit over the live root (through the cadence
+    // compaction at batch 2) equals the whole-corpus direct audit —
+    // the over-cap triage workflow the anchorK option exists for
+    val oneShot = hitSet(Retrieval.phraseSearch(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "text", "doc_id",
+      evalPhrases, "phrase_id", "phrase"))
+    assert(hitSet(Retrieval.phraseSearchViaAnchors(
+      spark, s"$dir/idx", evalPhrases, "phrase_id", "phrase")) == oneShot)
+    // a direct replay of the NEWEST committed batch (the only id a
+    // restart can legally replay — the cadence never absorbs it) adds
+    // no anchor rows
+    val anchorsBefore = graft.streaming.StateStore
+      .readCommittedBatchDirs(spark, s"$dir/idx/anchors").get.count()
+    StreamingDecontam.processBatch(
+      b3.toDF("doc_id", "text"), 2L, "text", "doc_id",
+      evalPhrases, "phrase_id", "phrase", s"$dir/idx", s"$dir/out",
+      minOccurrences = 1, anchorK = Some(2))
+    assert(graft.streaming.StateStore
+      .readCommittedBatchDirs(spark, s"$dir/idx/anchors").get.count() == anchorsBefore)
+  }
 }
