@@ -81,6 +81,22 @@ object TextQueries {
       graft.functions.Retrieval.compactPositionalIndex(s, root)
     }
 
+  /** d81's staged root: the d79 build with BOTH layers compacted —
+    * batches 0-1 of the positional postings AND the anchor table
+    * absorbed into manifest c-dirs (newest stays live). The anchor
+    * layer's compaction-invariance oracle, completing the set (d77
+    * BM25, d78 positional, d80 ANN codes). */
+  private def anchoredCompactedRoot(s: SparkSession, dir: String): String =
+    stagedCompactedRoot(s, dir, "d81_aidxc") { (d, root) =>
+      (0 to 2).foreach { i =>
+        val b = d.filter(pmod(col("doc_id"), lit(3)) === i)
+        graft.functions.Retrieval.appendToPositionalIndex(b, "text", "doc_id", root, i.toLong)
+        graft.functions.Retrieval.appendToAnchorIndex(b, "text", "doc_id", root, i.toLong, k = 2)
+      }
+      graft.functions.Retrieval.compactPositionalIndex(s, root)
+      graft.functions.Retrieval.compactAnchorIndex(s, root)
+    }
+
   /** d79's staged root: positional postings + the ANCHOR fp table,
     * appended batch-aligned (the deployment contract — call both per
     * batch). k = 2 so the test phrase list exercises BOTH routes: the
@@ -518,6 +534,22 @@ object TextQueries {
         (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
       graft.functions.Retrieval.phraseSearchViaAnchors(
           s, anchoredPositionalRoot(s, dir), ph, "phrase_id", "phrase")
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // the anchor layer's compaction-invariance oracle: the d79 audit
+    // served after BOTH index layers' batches 0-1 are absorbed into
+    // manifest c-dirs (the d77/d78/d80 pattern applied to the last
+    // remaining disk layer) — equality against the same whole-corpus
+    // replay proves absorb-invariance for the anchor table end to end
+    "d81_phrase_anchors_compacted" -> ((s, dir) => {
+      val ph = s.createDataFrame(Seq(
+        (1L, "table table"),
+        (2L, "fast table"),
+        (3L, "key agg row scan"),
+        (4L, "vector"),
+        (5L, "spark missingterm"))).toDF("phrase_id", "phrase")
+      graft.functions.Retrieval.phraseSearchViaAnchors(
+          s, anchoredCompactedRoot(s, dir), ph, "phrase_id", "phrase")
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // PMI collocations: top bigrams by pointwise mutual information
@@ -1586,6 +1618,23 @@ object TextQueries {
        |  ) WHERE srn <= 100
        |)$annRerank""".stripMargin
 
+  /** The whole-corpus d70 phrase replay over the d79/d81 phrase list —
+    * shared verbatim by both anchor-served forms: the anchor probe is a
+    * pure pre-filter (d79) and compaction is absorb-invariant (d81), so
+    * one SQL gates both. */
+  private lazy val anchorPhraseReplaySql: String =
+    s"""${phraseCte(
+           """(1::BIGINT, 'table table'),
+             |    (2::BIGINT, 'fast table'),
+             |    (3::BIGINT, 'key agg row scan'),
+             |    (4::BIGINT, 'vector'),
+             |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
+       |SELECT phrase_id, phrase, doc_id,
+       |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
+       |FROM occ WHERE n_off = p_len
+       |GROUP BY 1, 2, 3
+       |ORDER BY phrase_id, doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // Trained-ANN family: full SQL replays of the (now bit-reproducible)
     // k-means trainers + index/query chains — see the fragment doc above
@@ -2306,18 +2355,10 @@ object TextQueries {
     // anchor-fp candidate probe + exact verify, so equality proves the
     // anchor layer has no false negatives and every collision dies in
     // the verify
-    "d79_phrase_anchors" ->
-      s"""${phraseCte(
-             """(1::BIGINT, 'table table'),
-               |    (2::BIGINT, 'fast table'),
-               |    (3::BIGINT, 'key agg row scan'),
-               |    (4::BIGINT, 'vector'),
-               |    (5::BIGINT, 'spark missingterm')""".stripMargin)}
-         |SELECT phrase_id, phrase, doc_id,
-         |       COUNT(*)::BIGINT AS n_occurrences, MIN(anchor)::BIGINT AS first_pos
-         |FROM occ WHERE n_off = p_len
-         |GROUP BY 1, 2, 3
-         |ORDER BY phrase_id, doc_id""".stripMargin,
+    "d79_phrase_anchors" -> anchorPhraseReplaySql,
+    // d81: the SAME replay — serving through compacted anchor +
+    // positional c-dirs must be invisible
+    "d81_phrase_anchors_compacted" -> anchorPhraseReplaySql,
     // d75: the oracle is the WHOLE-corpus d70 replay — Spark scores
     // from three doc-disjoint positional-postings splits, so equality
     // IS the split-invariance proof for the positional index

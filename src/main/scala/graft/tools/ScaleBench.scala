@@ -1678,6 +1678,42 @@ object ScaleBench {
     }
     val deconHits =
       try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
+    // 4b. anchored decontamination: same monitor with anchorK — each
+    // batch additionally appends its 2-gram anchor fps (k must not
+    // exceed the 2-token eval phrases or every phrase routes classic)
+    // and the cadence
+    // compacts BOTH tables. The extra per-batch cost is one more pass
+    // over the BATCH (never history), so the growth gate must stay as
+    // flat as the plain decontam row; at the end the over-cap re-audit
+    // path is asserted identical to the stored-postings audit over the
+    // whole accumulated root.
+    val deconAIdx = tmp("graft_stream_dca_idx")
+    val deconAOut = tmp("graft_stream_dca_out")
+    val loadDeconA = loadavg()
+    val deconAWalls = (0 until nBatches).map { b =>
+      val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("t"), pmod(hash(col("id"), lit(j)), lit(2000)))): _*).as("text"))
+      time {
+        if (b > 0 && b % 24 == 0) {
+          graft.functions.Retrieval.compactPositionalIndex(spark, deconAIdx)
+          graft.functions.Retrieval.compactAnchorIndex(spark, deconAIdx)
+        }
+        graft.streaming.StreamingDecontam.processBatch(
+          docs, b.toLong, "text", "doc_id",
+          evalPhrases, "phrase_id", "phrase", deconAIdx, deconAOut,
+          minOccurrences = 1, anchorK = Some(2))
+      }
+    }
+    val anchorAudit = graft.functions.Retrieval.phraseSearchViaAnchors(
+      spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
+    val directAudit = graft.functions.Retrieval.phraseSearchFromIndex(
+      spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
+    require(anchorAudit == directAudit,
+      s"anchor re-audit diverged: $anchorAudit vs $directAudit")
     // 5. streaming ANN-index append: route + PQ-encode each batch under
     // the FROZEN model (trained once on the base, memoized) — per-batch
     // cost is the batch's own two broadcast-join scans and must stay
@@ -1725,6 +1761,7 @@ object ScaleBench {
     val ops = Seq(
       ("hll_stamped_fold", hllWalls, loadHll), ("index_append", idxWalls, loadIdx),
       ("dedup_fold", dedupWalls, loadDedup), ("decontam", deconWalls, loadDecon),
+      ("decontam_anchored", deconAWalls, loadDeconA),
       ("ann_append", annWalls, loadAnn))
     val rows = ops.map { case (name, walls, load) =>
       val (e, l, r) = growth(walls)
