@@ -1567,7 +1567,26 @@ object ScaleBench {
     * 2-4 (decile 1 excluded — JIT/codegen warmup) and flags any
     * operator whose ratio exceeds [[streamFlagRatio]].
     * Usage: runMain graft.tools.ScaleBench stream [nBatches] [batchRows] */
-  def streamMain(spark: SparkSession, nBatches: Int, batchRows: Long): Unit = {
+  /** The streaming-op names `streamMain`'s op filter accepts. */
+  val streamOps: Seq[String] = Seq(
+    "hll_stamped_fold", "index_append", "dedup_fold", "decontam",
+    "decontam_anchored", "ann_append")
+
+  /** `only`: run just these ops (empty = all six). Long gate runs
+    * (250+ batches) should be SCHEDULED AS ONE OP PER JVM — six
+    * sequential long-lived ops in one driver accumulate enough
+    * bookkeeping to go heap-bound (measured: 8g OOM, 16g GC-bound at
+    * 250×10000×6), and a real always-on deployment runs one op per
+    * driver anyway, so per-op isolation is also the honest shape. */
+  def streamMain(
+      spark: SparkSession,
+      nBatches: Int,
+      batchRows: Long,
+      only: Set[String] = Set.empty): Unit = {
+    val unknownOps = only -- streamOps.toSet
+    require(unknownOps.isEmpty,
+      s"unknown stream ops: ${unknownOps.mkString(", ")} (valid: ${streamOps.mkString(", ")})")
+    def runOp(n: String): Boolean = only.isEmpty || only.contains(n)
     // the growth metric compares deciles 2-4 to the last decile; below
     // 10 batches those windows are empty or warmup-contaminated and the
     // ratio degenerates to NaN (invalid JSON in the artifact)
@@ -1599,7 +1618,8 @@ object ScaleBench {
     // not grow with batch index
     val hllState = tmp("graft_stream_hll")
     val loadHll = loadavg()
-    val hllWalls = (0 until nBatches).map { b =>
+    val hllWalls = if (!runOp("hll_stamped_fold")) Seq.empty[Double]
+    else (0 until nBatches).map { b =>
       val regs = (0 until 256).map(k => k -> ((b * 31 + k * 7) % 28 + 1)).toMap
       time(StreamingHll.foldBatch(spark, hllState, regs, b.toLong))
     }
@@ -1608,7 +1628,8 @@ object ScaleBench {
     // but never reads earlier batches' data
     val idxRoot = tmp("graft_stream_idx")
     val loadIdx = loadavg()
-    val idxWalls = (0 until nBatches).map { b =>
+    val idxWalls = if (!runOp("index_append")) Seq.empty[Double]
+    else (0 until nBatches).map { b =>
       val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
         col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
@@ -1621,14 +1642,15 @@ object ScaleBench {
     // — the shape this gate exists to measure honestly
     val dedupOut = tmp("graft_stream_dd_out")
     val dedupIdx = tmp("graft_stream_dd_idx")
+    val loadDedup = loadavg()
+    val dedupWalls = if (!runOp("dedup_fold")) Seq.empty[Double] else {
     val emptyStatic = spark.range(0).select(col("id").as("fp"))
     val session = new StreamingDedup.Session(
       spark, emptyStatic, dedupOut, dedupIdx, "text", "doc_id",
       shingleSize = 8, fpp = 0.01, dropAt = 0.5,
       expectedTotalKeys = math.max(1000000L, nBatches * batchRows * 40L),
       portable = true)
-    val loadDedup = loadavg()
-    val dedupWalls = (0 until nBatches).map { b =>
+    (0 until nBatches).map { b =>
       // ~20% of each batch duplicates batch-0 content (realistic crawl
       // mix: the dedup decision path and the novel-append path both run)
       val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
@@ -1647,6 +1669,7 @@ object ScaleBench {
         session.processBatch(docs, b.toLong)
       }
     }
+    }
     // 4. streaming decontamination: per-batch cost must be batch-
     // proportional (the batch's OWN postings probed against the eval
     // list) no matter how much index has accumulated — history was
@@ -1654,15 +1677,19 @@ object ScaleBench {
     // the same vocabulary as the corpus so hits actually fire.
     val deconIdx = tmp("graft_stream_dc_idx")
     val deconOut = tmp("graft_stream_dc_out")
-    val evalPhrases = spark.range(10000).select(
-      col("id").as("phrase_id"),
-      concat_ws(" ",
-        concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(2000))),
-        concat(lit("t"), pmod(hash(col("id"), lit(12)), lit(2000)))).as("phrase"))
-      .cache()
-    evalPhrases.count()
+    lazy val evalPhrases = {
+      val p = spark.range(10000).select(
+        col("id").as("phrase_id"),
+        concat_ws(" ",
+          concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(2000))),
+          concat(lit("t"), pmod(hash(col("id"), lit(12)), lit(2000)))).as("phrase"))
+        .cache()
+      p.count()
+      p
+    }
     val loadDecon = loadavg()
-    val deconWalls = (0 until nBatches).map { b =>
+    val deconWalls = if (!runOp("decontam")) Seq.empty[Double]
+    else (0 until nBatches).map { b =>
       val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
         col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
@@ -1677,7 +1704,8 @@ object ScaleBench {
       }
     }
     val deconHits =
-      try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
+      if (!runOp("decontam")) 0L
+      else try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
     // 4b. anchored decontamination: same monitor with anchorK — each
     // batch additionally appends its 2-gram anchor fps (k must not
     // exceed the 2-token eval phrases or every phrase routes classic)
@@ -1690,7 +1718,8 @@ object ScaleBench {
     val deconAIdx = tmp("graft_stream_dca_idx")
     val deconAOut = tmp("graft_stream_dca_out")
     val loadDeconA = loadavg()
-    val deconAWalls = (0 until nBatches).map { b =>
+    val deconAWalls = if (!runOp("decontam_anchored")) Seq.empty[Double]
+    else (0 until nBatches).map { b =>
       val docs = spark.range(b * batchRows, (b + 1) * batchRows).select(
         col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
@@ -1706,14 +1735,16 @@ object ScaleBench {
           minOccurrences = 1, anchorK = Some(2))
       }
     }
-    val anchorAudit = graft.functions.Retrieval.phraseSearchViaAnchors(
-      spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
-      .agg(count(lit(1)), sum(col("doc_id"))).head()
-    val directAudit = graft.functions.Retrieval.phraseSearchFromIndex(
-      spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
-      .agg(count(lit(1)), sum(col("doc_id"))).head()
-    require(anchorAudit == directAudit,
-      s"anchor re-audit diverged: $anchorAudit vs $directAudit")
+    if (runOp("decontam_anchored")) {
+      val anchorAudit = graft.functions.Retrieval.phraseSearchViaAnchors(
+        spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+        .agg(count(lit(1)), sum(col("doc_id"))).head()
+      val directAudit = graft.functions.Retrieval.phraseSearchFromIndex(
+        spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+        .agg(count(lit(1)), sum(col("doc_id"))).head()
+      require(anchorAudit == directAudit,
+        s"anchor re-audit diverged: $anchorAudit vs $directAudit")
+    }
     // 5. streaming ANN-index append: route + PQ-encode each batch under
     // the FROZEN model (trained once on the base, memoized) — per-batch
     // cost is the batch's own two broadcast-join scans and must stay
@@ -1721,48 +1752,55 @@ object ScaleBench {
     // append path; the cadence compaction is the only accumulated-state
     // touch, amortized in-wall like the others)
     val annRoot = tmp("graft_stream_ann")
-    def embOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
-      col("id").as("vec_id"),
-      array((0 until 16).map(j =>
-        (pmod(hash(col("id"), lit(j)), lit(1000)).cast("double") / 500.0 - 1.0)): _*)
-        .as("embedding"))
-    val annBase = embOf(-10000L, 0L).cache()
-    annBase.count()
     val loadAnn = loadavg()
-    val annWalls = (0 until nBatches).map { b =>
-      val batch = embOf(b * batchRows, (b + 1) * batchRows)
-      time {
-        if (b > 0 && b % 24 == 0)
-          graft.streaming.StreamingAnnIndex.compactAnnIndex(spark, annRoot)
-        graft.streaming.StreamingAnnIndex.processBatch(
-          batch, b.toLong, annBase, "vec_id", "embedding", annRoot,
-          nLists = 16, nSub = 8, kSub = 16, iters = 2, sampleN = 10000)
+    val annWalls = if (!runOp("ann_append")) Seq.empty[Double] else {
+      def embOf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(hash(col("id"), lit(j)), lit(1000)).cast("double") / 500.0 - 1.0)): _*)
+          .as("embedding"))
+      val annBase = embOf(-10000L, 0L).cache()
+      annBase.count()
+      val walls = (0 until nBatches).map { b =>
+        val batch = embOf(b * batchRows, (b + 1) * batchRows)
+        time {
+          if (b > 0 && b % 24 == 0)
+            graft.streaming.StreamingAnnIndex.compactAnnIndex(spark, annRoot)
+          graft.streaming.StreamingAnnIndex.processBatch(
+            batch, b.toLong, annBase, "vec_id", "embedding", annRoot,
+            nLists = 16, nSub = 8, kSub = 16, iters = 2, sampleN = 10000)
+        }
       }
+      annBase.unpersist()
+      walls
     }
-    annBase.unpersist()
-    // compaction payoff on the 100-dir index the append loop just
-    // built: serve cost with one dir per micro-batch vs compacted
-    val queries = spark.range(50).select(
-      col("id").as("query_id"),
-      concat_ws(" ",
-        concat(lit("t"), pmod(hash(col("id"), lit(1)), lit(2000))),
-        concat(lit("t"), pmod(hash(col("id"), lit(2)), lit(2000)))).as("query"))
-    def serve(): Double = {
-      val t0 = System.nanoTime()
-      Retrieval.bm25FromIndex(spark, idxRoot, queries, "query_id", "query", 10).count()
-      (System.nanoTime() - t0) / 1e9
+    // compaction payoff on the per-micro-batch-dir index the append
+    // loop just built: serve cost with one dir per batch vs compacted
+    val compactionJson = if (!runOp("index_append")) "" else {
+      val queries = spark.range(50).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          concat(lit("t"), pmod(hash(col("id"), lit(1)), lit(2000))),
+          concat(lit("t"), pmod(hash(col("id"), lit(2)), lit(2000)))).as("query"))
+      def serve(): Double = {
+        val t0 = System.nanoTime()
+        Retrieval.bm25FromIndex(spark, idxRoot, queries, "query_id", "query", 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val serveFragmented = serve()
+      val tc0 = System.nanoTime()
+      Retrieval.compactIndex(spark, idxRoot)
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      val serveCompacted = serve()
+      s""""index_compaction":{"serve_fragmented_sec":$serveFragmented,""" +
+        s""""compact_sec":$compactSec,"serve_compacted_sec":$serveCompacted},"""
     }
-    val serveFragmented = serve()
-    val tc0 = System.nanoTime()
-    Retrieval.compactIndex(spark, idxRoot)
-    val compactSec = (System.nanoTime() - tc0) / 1e9
-    val serveCompacted = serve()
     val loadEnd = loadavg()
     val ops = Seq(
       ("hll_stamped_fold", hllWalls, loadHll), ("index_append", idxWalls, loadIdx),
       ("dedup_fold", dedupWalls, loadDedup), ("decontam", deconWalls, loadDecon),
       ("decontam_anchored", deconAWalls, loadDeconA),
-      ("ann_append", annWalls, loadAnn))
+      ("ann_append", annWalls, loadAnn)).filter(_._2.nonEmpty)
     val rows = ops.map { case (name, walls, load) =>
       val (e, l, r) = growth(walls)
       (name, e, l, r, load)
@@ -1775,8 +1813,7 @@ object ScaleBench {
       if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
     println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,""" +
       s""""decontam_hits":$deconHits,""" +
-      s""""index_compaction":{"serve_fragmented_sec":$serveFragmented,""" +
-      s""""compact_sec":$compactSec,"serve_compacted_sec":$serveCompacted},""" +
+      compactionJson +
       s""""loadavg_end":$loadEnd,"flagged":$flaggedJson}""")
   }
 
@@ -2275,7 +2312,7 @@ object ScaleBench {
       case Some("phraseindex") => withSession(tuned = true)(s =>
         phraseIndexMain(s, argL(1, 2000000L), argI(2, 20), argL(3, 5L)))
       case Some("stream") => withSession(tuned = true)(s =>
-        streamMain(s, argI(1, 100), argL(2, 10000L)))
+        streamMain(s, argI(1, 100), argL(2, 10000L), args.drop(3).toSet))
       case Some("pushdown") => withSession(tuned = true)(s =>
         pushdownMain(s, argL(1, 160000000L), argI(2, 8)))
       case Some("suite") => withSession(tuned = true)(s =>
