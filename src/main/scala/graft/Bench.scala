@@ -50,7 +50,27 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Exception => Seq.empty }
+    // fixed calibration probe: a corpus-independent, CPU-bound synthetic
+    // aggregate of FIXED size (seeded hash over a fixed range, no
+    // shuffle, whole-stage codegen) run first and last. Round-11's
+    // closing artifact silently carried ~16% machine-state inflation
+    // past the loadavg heuristic; with the probe in the artifact a
+    // cross-round comparison can divide out machine speed mechanically
+    // (query_sec / calib_sec is machine-normalized) instead of
+    // adjudicating by re-probe. min of two consecutive runs so the
+    // probe itself reports steady-state, not its own JIT warmup.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L)
+          .selectExpr("sum(hash(id, 42)) as s", "count(1) as c")
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
     val loadStart = loadavg()
+    val calibStart = calibrate()
     val cold = pass()
     val warm = pass().toMap
     // high-load disambiguation: four rounds of verdicts had to hand-
@@ -59,9 +79,14 @@ object Bench {
     // visibly loaded, spend one more warm pass and keep the min, and
     // flag the artifact either way so cross-round regression reads are
     // (load-flagged) data, not judgment.
-    val highLoad = loadStart.headOption.exists(_ > 4.0)
+    // ANY loadavg component > 4 triggers the third pass: round-11's
+    // inflated closing run had a 1-min average of 4.0 (under the old
+    // head-only check) while the 15-min average was 6.66 — a
+    // recently-busy box shows up in the longer components first
+    val highLoad = loadStart.exists(_ > 4.0)
     val extra: Map[String, Double] = if (highLoad) pass().toMap else Map.empty
     val passes = if (highLoad) 3 else 2
+    val calibEnd = calibrate()
     val loadEnd = loadavg()
     val steady = cold.map { case (k, v) =>
       k -> math.min(math.min(v, warm(k)), extra.getOrElse(k, Double.MaxValue))
@@ -77,7 +102,7 @@ object Bench {
     val verifierJson = Gates.verifierTier.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(steady)},""" +
       s""""cold_value":$coldTotal,"cold_queries":${fmt(cold)},"passes":$passes,""" +
-      s""""high_load":$highLoad,""" +
+      s""""high_load":$highLoad,"calib_start_s":$calibStart,"calib_end_s":$calibEnd,""" +
       s""""deploy_value":$deployTotal,"verifier_tier":$verifierJson,""" +
       s""""loadavg_start":${loadStart.mkString("[", ",", "]")},""" +
       s""""loadavg_end":${loadEnd.mkString("[", ",", "]")},"sf":"$sfDir"}"""

@@ -97,6 +97,15 @@ object Retrieval {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Either[Seq[String], Array[Long]])]
   private[graft] var pruneMemoHits = 0 // spec hook
+  // spec hooks: entry count and whether any entry belongs to `s`
+  private[graft] def pruneMemoSize: Int = pruneMemo.synchronized(pruneMemo.length)
+  private[graft] def pruneMemoHolds(s: org.apache.spark.sql.SparkSession): Boolean =
+    pruneMemo.synchronized(pruneMemo.exists(_._1 eq s))
+  // spec hook: stand-in for sparkContext.isStopped — the shared-JVM
+  // test suite can't hold a second, independently stoppable
+  // SparkContext, so the sweep predicate is injectable there
+  private[graft] var pruneMemoStopped: org.apache.spark.sql.SparkSession => Boolean =
+    _.sparkContext.isStopped
 
   private def pruneDecision(termCol: DataFrame): Either[Seq[String], Array[Long]] = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
@@ -130,6 +139,11 @@ object Retrieval {
           hit._3
         case _ =>
           val d = compute()
+          // sweep entries pinned to STOPPED sessions before inserting —
+          // without it a create-and-stop session loop pins (session,
+          // plan, bloom) triples until LRU overflow (the
+          // builtStagedIndexes sweep, applied here)
+          pruneMemo.filterInPlace(e => !pruneMemoStopped(e._1))
           pruneMemo.prepend((session, canon, d))
           if (pruneMemo.length > pruneMemoMax) pruneMemo.remove(pruneMemoMax)
           d
@@ -719,16 +733,51 @@ object Retrieval {
         sweepGraceMs)
   }
 
+  /** Candidate-pair cap for [[phraseSearchViaAnchors]]' local
+    * materialization: at or under it the candidate set becomes driver
+    * literals; over it the probe stays distributed (served from the
+    * one-scan checkpoint). `var` is a spec hook only. */
+  private[graft] var anchorCandCap = 100000
+
+  /** How an eval list splits against the anchor index's stored k at
+    * `root`: (n_phrases, n_short, short_fraction), where short phrases
+    * (< k tokens) route through the unanchored classic path inside
+    * [[phraseSearchViaAnchors]] (its k-gram-floor contract). One
+    * aggregate over the eval list — cheap enough to run per audit and
+    * alert when the list composition defeats the probe. */
+  def anchorRoutingStats(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      phrases: DataFrame,
+      phraseCol: String): (Long, Long, Double) = {
+    val k = storedAnchorK(spark, root).getOrElse(throw new IllegalStateException(
+      s"no anchor index at $root"))
+    val r = phrases
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(size(TextFunctions.tokens(col(phraseCol))) < k, 1L).otherwise(0L))
+          .as("n_short"))
+      .head()
+    val (n, nShort) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    (n, nShort, if (n == 0) 0.0 else nShort.toDouble / n)
+  }
+
   /** The phrase audit served through the ANCHOR probe — output
     * identical to [[phraseSearchFromIndex]] (same exact scorer decides
     * every emitted row; the anchors only pre-filter), cost bounded by
     * the eval-list size and the TRUE contamination instead of the eval
     * vocabulary's row-group coverage. Requires both `root/postings`
     * (the verify side) and `root/anchors` ([[appendToAnchorIndex]]).
-    * Phrases shorter than the stored k route through
+    * CONTRACT — the k-gram floor: phrases shorter than the stored k
+    * (in TOKENS, [[TextFunctions.tokens]]) route through
     * [[phraseSearchFromIndex]]'s literal/bloom path — correctness never
-    * depends on the split, only cost does. NOT fully lazy: construction
-    * collects the bounded eval-fp set and the hit-phrase vocabulary. */
+    * depends on the split, only cost does. An eval list DOMINATED by
+    * short phrases therefore quietly loses the anchor win (the probe
+    * bounds only the long-phrase leg); deployments should check
+    * [[anchorRoutingStats]] against their eval list and either lower k
+    * at build time or accept the classic-path cost for the short
+    * fraction. NOT fully lazy: construction collects the bounded
+    * eval-fp set and the hit-phrase vocabulary. */
   def phraseSearchViaAnchors(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
@@ -783,16 +832,26 @@ object Retrieval {
     val candidates = probedAnchors
       .join(broadcast(evalFps), Seq("fp"))
       .select(col("phrase_id"), col("doc_id")).distinct()
-    // materialize the candidate set ONCE (bounded collect — candidates
-    // are true hits + the fp collision rate, small by the
-    // decontamination premise): the set feeds THREE downstream consumers
-    // (the hit-phrase restriction, pruneToTerms' eager vocabulary
-    // collect, and the candidate-doc semi-join), and leaving it lazy
-    // would re-run the whole anchor scan once per consumer. Over the cap
-    // the lazy frame stands — correct, re-scanned, the cost documented.
-    val candCap = 100000
+    // materialize the candidate set ONCE — the set feeds THREE
+    // downstream consumers (the hit-phrase restriction, pruneToTerms'
+    // eager vocabulary collect, and the candidate-doc semi-join), and a
+    // lazy frame would re-run the whole anchor scan once per consumer.
+    // localCheckpoint (eager, MEMORY_AND_DISK, lineage truncated) runs
+    // the single anchor scan up front; the cap probe below and every
+    // consumer — local literals under the cap, the distributed frames
+    // over it — read the materialized blocks, and the ContextCleaner
+    // reclaims them once the returned plan is dropped (no caller-side
+    // unpersist contract). The checkpoint costs the under-cap path
+    // nothing it wasn't paying: fewer than candCap+1 rows exist there,
+    // so the probe's limit-collect had to scan every partition anyway.
+    val candMat = candidates.localCheckpoint(true)
+    // candidates are true hits + the fp collision rate, small by the
+    // decontamination premise; over the cap the distributed frames
+    // stand — correct, served from the checkpoint blocks. `var` is a
+    // spec hook so the over-cap branch is testable on small corpora.
+    val candCap = anchorCandCap
     val candLocal = {
-      val rows = candidates.limit(candCap + 1).collect()
+      val rows = candMat.limit(candCap + 1).collect()
       if (rows.length <= candCap)
         Some(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
       else None
@@ -801,12 +860,12 @@ object Retrieval {
     val candPhraseIds = candLocal match {
       case Some(rows) => spark
         .createDataset(rows.map(_._1).distinct)(Encoders.scalaLong).toDF("phrase_id")
-      case None => candidates.select(col("phrase_id")).distinct()
+      case None => candMat.select(col("phrase_id")).distinct()
     }
     val candDocs = candLocal match {
       case Some(rows) => spark
         .createDataset(rows.map(_._2).distinct)(Encoders.scalaLong).toDF("doc_id")
-      case None => candidates.select(col("doc_id")).distinct()
+      case None => candMat.select(col("doc_id")).distinct()
     }
     // verify ONLY the hit phrases over ONLY the candidate docs: the
     // vocabulary collect inside pruneToTerms now sees the contaminated

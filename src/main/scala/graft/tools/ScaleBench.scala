@@ -1703,9 +1703,15 @@ object ScaleBench {
           minOccurrences = 1)
       }
     }
-    val deconHits =
-      if (!runOp("decontam")) 0L
-      else try spark.read.parquet(deconOut).count() catch { case _: Exception => 0L }
+    // omitted (not 0) when the op is filtered out: the artifact must
+    // distinguish "ran with zero hits" from "not run"
+    val deconHitsJson =
+      if (!runOp("decontam")) ""
+      else {
+        val n = try spark.read.parquet(deconOut).count()
+        catch { case _: Exception => 0L }
+        s""""decontam_hits":$n,"""
+      }
     // 4b. anchored decontamination: same monitor with anchorK — each
     // batch additionally appends its 2-gram anchor fps (k must not
     // exceed the 2-token eval phrases or every phrase routes classic)
@@ -1736,11 +1742,16 @@ object ScaleBench {
       }
     }
     if (runOp("decontam_anchored")) {
+      // one DETERMINISTIC 500-phrase subset fed to BOTH audits:
+      // limit() without an ordering is not guaranteed to pick the same
+      // rows across two separate actions, so the equality below must
+      // not compare two independently-limited executions
+      val audit500 = evalPhrases.filter(col("phrase_id") < 500)
       val anchorAudit = graft.functions.Retrieval.phraseSearchViaAnchors(
-        spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+        spark, deconAIdx, audit500, "phrase_id", "phrase")
         .agg(count(lit(1)), sum(col("doc_id"))).head()
       val directAudit = graft.functions.Retrieval.phraseSearchFromIndex(
-        spark, deconAIdx, evalPhrases.limit(500), "phrase_id", "phrase")
+        spark, deconAIdx, audit500, "phrase_id", "phrase")
         .agg(count(lit(1)), sum(col("doc_id"))).head()
       require(anchorAudit == directAudit,
         s"anchor re-audit diverged: $anchorAudit vs $directAudit")
@@ -1812,7 +1823,7 @@ object ScaleBench {
     val flaggedJson =
       if (flagged.isEmpty) "[]" else flagged.mkString("[\"", "\",\"", "\"]")
     println(s"""{"suite":"stream","batch_rows":$batchRows,$opsJson,""" +
-      s""""decontam_hits":$deconHits,""" +
+      deconHitsJson +
       compactionJson +
       s""""loadavg_end":$loadEnd,"flagged":$flaggedJson}""")
   }
@@ -1910,6 +1921,9 @@ object ScaleBench {
     import graft.functions.Similarity
     import graft.streaming.{StateStore, StreamingAnnIndex}
     require(nBatches >= 3, s"need >= 3 batches, got $nBatches")
+    // the query set is vec_id < 100: below 100 vectors the three-way
+    // equality check would pass vacuously on a near-empty set
+    require(nVecs >= 100, s"need >= 100 vectors for the 100-query set, got $nVecs")
     val dim = 64
     val nClusters = 200
     // the annMain generator: center(c)[j] in [-1,1) + 10% noise
@@ -1923,7 +1937,7 @@ object ScaleBench {
         .as("embedding")).cache()
     v.count()
     val q = v.filter(col("vec_id") < 100).cache()
-    q.count()
+    val nQueries = q.count()
     val key = Some(s"annserve_$nVecs")
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -1960,7 +1974,7 @@ object ScaleBench {
     require(comp == inq, s"compacted serve diverged: ${comp.size} vs ${inq.size} pairs")
     v.unpersist(); q.unpersist()
     println(
-      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"batches":$nBatches,"queries":100,"k":5},
+      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"batches":$nBatches,"queries":$nQueries,"k":5},
          |"build_sec":$buildSec,"inquery_sec":$inqSec,
          |"store_fragmented_sec":$fragSec,"compact_sec":$compactSec,
          |"store_compacted_sec":$compServeSec,

@@ -110,6 +110,47 @@ class PhraseIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(before.contains((1L, 8L, 1L, 1L)))
   }
 
+  test("over-cap anchor candidates stay distributed and serve the identical audit") {
+    val root = tmp()
+    Seq(base, batch).zipWithIndex.foreach { case (b, i) =>
+      Retrieval.appendToPositionalIndex(b, "text", "doc_id", root, i.toLong)
+      Retrieval.appendToAnchorIndex(b, "text", "doc_id", root, i.toLong, k = 2)
+    }
+    val cap0 = Retrieval.anchorCandCap
+    try {
+      Retrieval.anchorCandCap = 1 // force the distributed (checkpointed) branch
+      val viaAnchors = hits(Retrieval.phraseSearchViaAnchors(
+        spark, root, ph, "phrase_id", "phrase"))
+      val classic = hits(Retrieval.phraseSearchFromIndex(
+        spark, root, ph, "phrase_id", "phrase"))
+      assert(viaAnchors == classic, s"anchors=$viaAnchors classic=$classic")
+      assert(viaAnchors.nonEmpty)
+    } finally Retrieval.anchorCandCap = cap0
+  }
+
+  test("anchorRoutingStats reports the k-gram-floor split of an eval list") {
+    val root = tmp()
+    Retrieval.appendToPositionalIndex(base, "text", "doc_id", root, 0L)
+    Retrieval.appendToAnchorIndex(base, "text", "doc_id", root, 0L, k = 2)
+    // 2 long (>= 2 tokens), 2 short (1 token) → fraction 0.5
+    val evalList = Seq(
+      (1L, "hash table"), (2L, "table scan over"), (3L, "hash"), (4L, "scan"))
+      .toDF("phrase_id", "phrase")
+    assert(Retrieval.anchorRoutingStats(spark, root, evalList, "phrase") ==
+      ((4L, 2L, 0.5)))
+    // an all-long list reports zero short; an empty list divides safely
+    assert(Retrieval.anchorRoutingStats(
+      spark, root, evalList.filter($"phrase_id" <= 2), "phrase") == ((2L, 0L, 0.0)))
+    assert(Retrieval.anchorRoutingStats(
+      spark, root, evalList.limit(0), "phrase") == ((0L, 0L, 0.0)))
+    // no anchor index → loud failure, same contract as the probe
+    val root2 = tmp()
+    Retrieval.buildPositionalIndex(base, "text", "doc_id", root2)
+    intercept[IllegalStateException] {
+      Retrieval.anchorRoutingStats(spark, root2, evalList, "phrase")
+    }
+  }
+
   test("index-served snippets are bit-identical to the direct slice path") {
     val root = tmp()
     Retrieval.buildPositionalIndex(base, "text", "doc_id", root)

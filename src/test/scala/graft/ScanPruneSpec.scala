@@ -95,6 +95,28 @@ class ScanPruneSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Retrieval.pruneMemoHits == hits1, "file-backed frames must bypass the memo")
   }
 
+  test("a stopped session's prune-memo entries are swept at the next insert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanprune_sweep").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "text", "doc_id", dir)
+    // a second session (shared context — the suite JVM can't hold an
+    // independently stoppable one, hence the injectable predicate)
+    val s2 = spark.newSession()
+    val ph2 = s2.createDataFrame(Seq((1L, "beta gamma"))).toDF("phrase_id", "phrase")
+    Retrieval.phraseSearchFromIndex(s2, dir, ph2, "phrase_id", "phrase").count()
+    assert(Retrieval.pruneMemoHolds(s2), "s2's serve must have memoized")
+    val stopped0 = Retrieval.pruneMemoStopped
+    try {
+      Retrieval.pruneMemoStopped = _ eq s2 // "s2's context has stopped"
+      // any next memoizable insert triggers the sweep
+      val phMain = Seq((9L, "gamma delta")).toDF("phrase_id", "phrase")
+      Retrieval.phraseSearchFromIndex(spark, dir, phMain, "phrase_id", "phrase").count()
+      assert(!Retrieval.pruneMemoHolds(s2),
+        "entries pinned to a stopped session must be swept at insert")
+      assert(Retrieval.pruneMemoHolds(spark), "live-session entries survive the sweep")
+    } finally Retrieval.pruneMemoStopped = stopped0
+  }
+
   test("over the literal cap the phrase serve path engages the bloom pre-filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scanprune_bloom").toString
     val docs = Seq(
