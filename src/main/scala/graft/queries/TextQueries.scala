@@ -715,6 +715,44 @@ object TextQueries {
           col("doc_id"), col("source"), TF.tokenCount(col("text")).cast("long").as("n_tokens")),
         "source", "doc_id", "n_tokens", seqLen = 256)
     }),
+    // the COMPOSED pipeline contract under ONE external oracle: exact
+    // dedup → decontamination → quality gate → per-source cap →
+    // sequence pack, each stage consuming the PREVIOUS stage's frame —
+    // a column dropped, retyped, or re-keyed by one stage fails here,
+    // not in any single-operator query (the bit-exact twin of
+    // ScaleBench.pipelineMain, whose row-count gate is self-referential)
+    "d82_pipeline_composed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // s1: exact dedup — keep the canonical (lowest) id per fingerprint
+      val keep = Dedup.exactDedup(d, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val s1 = d.join(keep, Seq("doc_id"), "left_semi")
+      // s2: decontamination — the d19 split (eval slice carved from the
+      // ORIGINAL corpus so dedup can't move the benchmark), train side =
+      // s1 survivors outside the slice, drop at 3-gram overlap >= 3%
+      val train = s1.filter(col("doc_id") % 97 =!= 0)
+      val s2 = train.join(
+        Dedup.contaminationReport(train, d.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", minContamination = 0.03).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      // s3: quality gate at the d13 threshold — gate AND later rank on
+      // the ROUNDED score so both engines order the same 6-decimal value
+      val scored = s2.select(col("doc_id"), col("source"), col("text"),
+        round(TF.qualityScore(col("text")), 6).as("quality_score"))
+      val s3 = scored.filter(col("quality_score") >= 0.6)
+      // s4: mixture cap — best 150 per source by (quality desc, doc_id)
+      val s4 = s3.join(
+        graft.functions.Sampling.capPerGroup(
+          s3.select(col("doc_id"), col("source"), col("quality_score")),
+          "source", "quality_score", "doc_id", cap = 150)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // s5: pack the survivors into 256-token sequences per source
+      graft.functions.Packing.packSequences(
+        s4.select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", seqLen = 256)
+    }),
     // sliding-window chunking: 32-token windows every 24 tokens
     "d22_chunk" -> ((s, dir) => {
       graft.functions.Packing.chunkTokens(docs(s, dir), "text", "doc_id", 32, 24)
@@ -2768,6 +2806,53 @@ object TextQueries {
     "d21_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS tok_end
+         |  FROM t
+         |)
+         |SELECT source, doc_id, n_tokens,
+         |       (tok_end - n_tokens)::BIGINT AS tok_start,
+         |       ((tok_end - n_tokens) // 256)::BIGINT AS start_seq,
+         |       (greatest(tok_end - 1, tok_end - n_tokens) // 256)::BIGINT AS end_seq,
+         |       ((tok_end - n_tokens) % 256)::BIGINT AS seq_offset
+         |FROM c""".stripMargin,
+    "d82_pipeline_composed" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(0, greatest(len($toks) - 3, 0)),
+         |    i -> array_to_string(($toks)[i + 1 : i + 3], ' '))) AS shingles
+         |  FROM documents
+         |), ev AS (
+         |  SELECT DISTINCT UNNEST(shingles) AS g FROM sh WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT doc_id, UNNEST(shingles) AS g FROM sh
+         |  WHERE doc_id % 97 <> 0 AND doc_id IN (SELECT doc_id FROM keep)
+         |), agg AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(e.g) AS n_contaminated
+         |  FROM tr t LEFT JOIN ev e USING (g) GROUP BY t.doc_id
+         |), s2 AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+         |  WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (
+         |    SELECT doc_id FROM agg WHERE n_contaminated::DOUBLE >= n_grams * 0.03)
+         |), scored AS (
+         |  SELECT doc_id, source, text,
+         |    round(0.4 * least(1.0, len($toks)::DOUBLE / 100.0)
+         |        + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))
+         |        + 0.3 * least(1.0, (len(list_filter($toks, t -> list_contains($enList, t)))::DOUBLE / len($toks)) * 10.0),
+         |      6) AS quality_score
+         |  FROM s2
+         |), s3 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |  FROM scored WHERE quality_score >= 0.6
+         |), s4 AS (
+         |  SELECT doc_id, source, text FROM s3 WHERE rn <= 150
+         |), t AS (
+         |  SELECT doc_id, source, len($toks)::BIGINT AS n_tokens FROM s4
          |), c AS (
          |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS tok_end
