@@ -9,11 +9,11 @@ package graft
 object Gates {
 
   /** Registered queries across all registries (`SparkEntry.queries`). */
-  val registeredQueries: Int = 179
+  val registeredQueries: Int = 180
 
   /** Queries with a DuckDB oracle (`SparkEntry.oracleSql`) — the
     * bit-exact rows+schema+hash gate. */
-  val oracleQueries: Int = 178
+  val oracleQueries: Int = 179
 
   /** The deliberate rows-only residue: queries whose semantics preclude
     * a cross-engine bit contract, each with its documented reason. */

@@ -2,6 +2,8 @@ package graft.functions.expressions
 
 import java.io.ByteArrayInputStream
 
+import org.apache.spark.SparkContext
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -14,17 +16,36 @@ import org.apache.spark.util.sketch.BloomFilter
   * [[org.apache.spark.util.sketch.BloomFilter]] with a long key —
   * `bloom_might_contain(bloom_bytes, key)`.
   *
-  * The sketch bytes are a PLAIN FIELD of the expression, not a Literal
-  * child: a multi-MB binary literal in the tree makes every optimizer
-  * pass that compares or canonicalizes expressions walk the whole array
-  * (the same trap NOTES.md records for `typedLit` codebooks — a
-  * ~8 MB bloom literal turned a 9 s dedup into 450 s, measured). As a
-  * field, case-class equality compares the array by REFERENCE, the
-  * sketch ships once per stage inside the task binary, and
-  * deserialization happens once per task (transient lazy). The registry
-  * builder extracts the bytes from a foldable binary first argument at
-  * analysis time, so callers still write
-  * `call_function("bloom_might_contain", lit(bytes), col)`.
+  * The sketch rides as a BROADCAST handle, not as expression bytes and
+  * not as a Literal child. The two rejected designs are both measured
+  * failures:
+  *   - a multi-MB binary Literal in the tree makes every optimizer pass
+  *     that compares or canonicalizes expressions walk the whole array
+  *     (the `typedLit` codebook trap in NOTES.md — a ~8 MB bloom
+  *     literal turned a 9 s dedup into 450 s);
+  *   - bytes as a plain expression field ship inside the task binary,
+  *     so EVERY CONCURRENT TASK deserializes and holds its own copy of
+  *     the bytes AND its own decoded BitArray — at a 100M-key sketch
+  *     (~120 MB) and 32 task slots that is ~7.7 GB of transient heap,
+  *     the measured OOM of the round-12 `stream 250 10000 dedup_fold`
+  *     gate. The same multiplication costs a 32-core executor the same
+  *     way at cluster scale.
+  * With a broadcast, the bytes land ONCE per executor in the block
+  * manager, and [[BloomMightContain.bloomFor]] memoizes ONE decoded
+  * filter per JVM per sketch (small LRU keyed by broadcast id; the
+  * decode runs under the cache lock precisely so a stage's worth of
+  * tasks can't all decode in parallel). Per-probe cost is unchanged:
+  * each task instance resolves the shared filter once (transient lazy)
+  * and then probes it directly inside whole-stage codegen.
+  *
+  * The registry builder still accepts a foldable binary first argument
+  * (`call_function("bloom_might_contain", lit(bytes), col)`): it
+  * evaluates the bytes at analysis time, broadcasts them (memoized by
+  * array identity per context, so a serve loop re-constructing over the
+  * SAME byte array reuses one broadcast; a mutated sketch — fresh array
+  * per streaming batch — correctly gets a fresh one), and the Literal
+  * never enters the resolved plan. Evicted/unreferenced broadcasts are
+  * reclaimed by Spark's ContextCleaner once no plan holds them.
   *
   * Probe semantics match the build half (public
   * `DataFrameStatFunctions.bloomFilter`, raw `putLong`): do NOT mix with
@@ -35,24 +56,25 @@ import org.apache.spark.util.sketch.BloomFilter
   * so `false` proves the key is not in the indexed set — callers prune on
   * `false` and verify the (rare) `true`s with an exact join.
   */
-case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
+case class BloomMightContain(bloomBcast: Broadcast[Array[Byte]], child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
-  // keep the byte blob out of treeString/explain output
+  // keep the broadcast handle out of treeString/explain output
   override def flatArguments: Iterator[Any] = Iterator(child)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (bloomBytes == null || bloomBytes.isEmpty)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: bloom-filter bytes must be non-empty")
+    if (bloomBcast == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: bloom-filter broadcast must be set")
     else if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a bigint key, got ${child.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
 
+  // one shared-filter resolution per task instance, then direct probes
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomMightContain.bloomFor(bloomBcast)
 
   /** Public so generated code can call it through the plan reference. */
   def mightContainLong(v: Long): Boolean = bloom.mightContainLong(v)
@@ -71,12 +93,66 @@ case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
 
 object BloomMightContain {
 
+  /** Decoded-filter cache, ONE per JVM per sketch (keyed by broadcast
+    * id). Tiny LRU: a streaming dedup holds one live sketch (plus the
+    * previous batch's during handover); anything older is dead weight. */
+  private val bloomCacheMax = 2
+  private val bloomCache =
+    scala.collection.mutable.ListBuffer.empty[(Long, BloomFilter)]
+
+  /** The shared decoded filter for `b` — decode-once-per-JVM. The
+    * decode runs under the lock deliberately: the alternative is every
+    * task slot of the first stage decoding a multi-100MB BitArray in
+    * parallel, which is the OOM this design removes. */
+  private[graft] def bloomFor(b: Broadcast[Array[Byte]]): BloomFilter =
+    bloomCache.synchronized {
+      bloomCache.indexWhere(_._1 == b.id) match {
+        case i if i >= 0 =>
+          val hit = bloomCache.remove(i)
+          bloomCache.prepend(hit)
+          hit._2
+        case _ =>
+          val bf = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
+          bloomCache.prepend((b.id, bf))
+          if (bloomCache.length > bloomCacheMax) bloomCache.remove(bloomCacheMax)
+          bf
+      }
+    }
+
+  /** Broadcast memo keyed by (context, byte-array IDENTITY): a serve
+    * loop constructing repeatedly over one held sketch reuses one
+    * broadcast; a per-batch re-serialized sketch (fresh array) gets a
+    * fresh one. Stopped contexts are swept at insert (the pruneMemo
+    * rule); evicted broadcasts are reclaimed by the ContextCleaner once
+    * unreferenced by any plan. */
+  private val bcastMemoMax = 2
+  private val bcastMemo = scala.collection.mutable.ListBuffer
+    .empty[(SparkContext, Array[Byte], Broadcast[Array[Byte]])]
+
+  private def broadcastBytes(bytes: Array[Byte]): Broadcast[Array[Byte]] = {
+    val sc = SparkSession.active.sparkContext
+    bcastMemo.synchronized {
+      bcastMemo.indexWhere(e => (e._1 eq sc) && (e._2 eq bytes)) match {
+        case i if i >= 0 =>
+          val hit = bcastMemo.remove(i)
+          bcastMemo.prepend(hit)
+          hit._3
+        case _ =>
+          val b = sc.broadcast(bytes)
+          bcastMemo.filterInPlace(e => !e._1.isStopped)
+          bcastMemo.prepend((sc, bytes, b))
+          if (bcastMemo.length > bcastMemoMax) bcastMemo.remove(bcastMemoMax)
+          b
+      }
+    }
+  }
+
   /** Register `bloom_might_contain(bloom, key)`; idempotent like
     * [[CosineSimilarity.register]]. The first argument must be a
     * foldable binary expression (e.g. `lit(bytes)`); it is evaluated
-    * ONCE here, at analysis time, and never enters the resolved plan.
-    * Call through `functions.call_function` so the bytes ride as a
-    * Column. */
+    * ONCE here, at analysis time, broadcast, and never enters the
+    * resolved plan. Call through `functions.call_function` so the bytes
+    * ride as a Column. */
   def register(spark: SparkSession): Unit = {
     val ident = FunctionIdentifier("bloom_might_contain")
     if (!spark.sessionState.functionRegistry.functionExists(ident)) {
@@ -89,8 +165,10 @@ object BloomMightContain {
           require(
             bloomExpr.foldable && bloomExpr.dataType == BinaryType,
             "bloom_might_contain: first argument must be a foldable binary (the serialized sketch)")
-          BloomMightContain(
-            bloomExpr.eval().asInstanceOf[Array[Byte]], children(1))
+          val bytes = bloomExpr.eval().asInstanceOf[Array[Byte]]
+          require(bytes != null && bytes.nonEmpty,
+            "bloom_might_contain: bloom-filter bytes must be non-empty")
+          BloomMightContain(broadcastBytes(bytes), children(1))
         })
     }
   }

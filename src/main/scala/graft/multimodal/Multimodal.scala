@@ -533,6 +533,127 @@ object Multimodal {
     audioSampleStatsQuarantined(encoded, "id", "payload")
   }
 
+  // ---- format-sniffing dispatch (the mixed-column deployment surface) ----
+  //
+  // The quarantine decoders above are per-format entry points; a real
+  // crawl column mixes formats (and garbage). The dispatcher sniffs the
+  // magic bytes of each payload, routes to the matching kernel, and
+  // lands every row in EXACTLY ONE of {ok, corrupt, unknown_format}:
+  // a payload whose format can't even be identified is not "corrupt
+  // PNG" — it's unroutable, and the distinction is what lets a
+  // deployment separate codec problems from labeling problems.
+
+  /** Magic-byte format sniff: "png" (\x89PNG\r\n\x1a\n), "gif"
+    * (GIF87a/GIF89a), "wav" (RIFF····WAVE), else "unknown". Pure bytes,
+    * no decode attempt — cheap enough to run on every row before the
+    * kernel dispatch. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    @inline def at(i: Int, v: Int) = (bytes(i) & 0xff) == v
+    if (bytes.length >= 8 &&
+        at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G') &&
+        at(4, 0x0d) && at(5, 0x0a) && at(6, 0x1a) && at(7, 0x0a)) "png"
+    else if (bytes.length >= 6 &&
+        at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
+        (at(4, '7') || at(4, '9')) && at(5, 'a')) "gif"
+    else if (bytes.length >= 12 &&
+        at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "wav"
+    else "unknown"
+  }
+
+  final case class DispatchedMediaStats(
+      doc_id: Long, format: String, status: String, error: Option[String],
+      width: Option[Long], height: Option[Long], n_pixels: Option[Long],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+      n_samples: Option[Long], sample_rate: Option[Long],
+      sum_amp: Option[Long], min_amp: Option[Long], max_amp: Option[Long],
+      n_frames: Option[Long], sum_v: Option[Long])
+
+  /** Sniff + dispatch + tolerant decode over ONE mixed binary column:
+    * PNG → image pixel stats, RIFF/WAVE → audio amplitude stats,
+    * GIF → video frame stats AGGREGATED per document (n_frames, total
+    * pixels, total value sum — one row per doc, so the three modalities
+    * share a schema), anything unroutable → `status = "unknown_format"`.
+    * A payload whose magic sniffs but whose body fails its kernel is
+    * `status = "corrupt"` with the sniffed format preserved. Same
+    * mapPartitions batch shape as the per-format decoders, zero
+    * shuffle. */
+  def mediaStatsDispatched(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[DispatchedMediaStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def none16(id: Long, fmt: String, status: String, err: Option[String]) =
+      DispatchedMediaStats(id, fmt, status, err,
+        None, None, None, None, None, None, None, None, None, None, None, None, None)
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.emptyByteArray)
+        sniffFormat(bytes) match {
+          case "png" => scala.util.Try(decodeImageStats(id, bytes)) match {
+            case scala.util.Success(s) => DispatchedMediaStats(
+              id, "png", "ok", None,
+              Some(s.width), Some(s.height), Some(s.n_pixels),
+              Some(s.sum_r), Some(s.sum_g), Some(s.sum_b),
+              None, None, None, None, None, None, None)
+            case scala.util.Failure(e) => none16(id, "png", "corrupt", Some(errText(e)))
+          }
+          case "wav" => scala.util.Try(decodeWavStats(id, bytes)) match {
+            case scala.util.Success(s) => DispatchedMediaStats(
+              id, "wav", "ok", None, None, None, None, None, None, None,
+              Some(s.n_samples), Some(s.sample_rate),
+              Some(s.sum_amp), Some(s.min_amp), Some(s.max_amp), None, None)
+            case scala.util.Failure(e) => none16(id, "wav", "corrupt", Some(errText(e)))
+          }
+          case "gif" => scala.util.Try(decodeGifFrameStats(id, bytes)) match {
+            case scala.util.Success(frames) if frames.nonEmpty => DispatchedMediaStats(
+              id, "gif", "ok", None,
+              Some(frames.head.width), Some(frames.head.height),
+              Some(frames.map(_.n_pixels).sum), None, None, None,
+              None, None, None, None, None,
+              Some(frames.length.toLong), Some(frames.map(_.sum_v).sum))
+            case scala.util.Success(_) =>
+              none16(id, "gif", "corrupt", Some("gif decoded to zero frames"))
+            case scala.util.Failure(e) => none16(id, "gif", "corrupt", Some(errText(e)))
+          }
+          case _ => none16(id, "unknown", "unknown_format", None)
+        }
+      })
+  }
+
+  /** The dispatch leg end-to-end (x9): a MIXED-format corpus — id mod 4
+    * routes to PNG / WAV / GIF / plain utf-8 text (no media header) —
+    * with the media payloads of ids divisible by `poisonEvery`
+    * truncated AFTER their magic (PNG to its 8-byte signature, GIF to
+    * 8 bytes inside the logical screen descriptor, WAV to 16 bytes
+    * before the fmt chunk), so they SNIFF correctly and then fail their
+    * kernel: the corrupt bucket exercises the sniff-then-fail path, not
+    * the unroutable one. Every row lands in exactly one of
+    * {ok, corrupt, unknown_format}, all three buckets closed-form —
+    * DuckDB-oracle-able minus the engine-specific error text. */
+  def mediaStatsMixedPoisoned(
+      df: DataFrame, idCol: String, poisonEvery: Long): Dataset[DispatchedMediaStats] = {
+    require(poisonEvery >= 1, s"poisonEvery must be >= 1, got $poisonEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val poisoned = Math.floorMod(id, poisonEvery) == 0L
+        def cut(b: Array[Byte], n: Int) =
+          if (poisoned) java.util.Arrays.copyOfRange(b, 0, n) else b
+        val payload = Math.floorMod(id, 4L) match {
+          case 0L => cut(syntheticPng(id), 8)
+          case 1L => cut(syntheticWav(id), 16)
+          case 2L => cut(syntheticGif(id), 8)
+          case _ => s"doc $id carries no media header".getBytes("UTF-8")
+        }
+        (id, payload)
+      })
+      .toDF("id", "payload")
+    mediaStatsDispatched(encoded, "id", "payload")
+  }
+
   /** The full image leg end-to-end: synthesize a deterministic PNG per
     * row (stage 1), carry it through the plan as a real `binary` column,
     * then DECODE it with the JDK codec and emit per-image pixel stats

@@ -1278,6 +1278,24 @@ object TextQueries {
         .select(
           col("doc_id"), col("status"), col("n_samples"), col("sample_rate"),
           col("sum_amp"), col("min_amp"), col("max_amp"))
+    }),
+    // format-sniffing DISPATCH over one mixed binary column: id mod 4
+    // routes each doc to PNG / WAV / GIF / headerless text, every 17th
+    // media payload truncated after its magic (sniffs, then fails its
+    // kernel) — every row lands in exactly one of {ok, corrupt,
+    // unknown_format} with the per-modality closed-form stats on the ok
+    // rows (GIF aggregated per document). The mixed-column deployment
+    // surface over the same three kernels x6/x7/x8 gate per-format.
+    "x9_media_dispatch" -> ((s, dir) => {
+      Multimodal.mediaStatsMixedPoisoned(docs(s, dir), "doc_id", poisonEvery = 17L)
+        .toDF()
+        .select(
+          col("doc_id"), col("format"), col("status"),
+          col("width"), col("height"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("n_samples"), col("sample_rate"),
+          col("sum_amp"), col("min_amp"), col("max_amp"),
+          col("n_frames"), col("sum_v"))
     })
   )
 
@@ -3088,6 +3106,87 @@ object TextQueries {
         |       NULL::BIGINT AS sample_rate, NULL::BIGINT AS sum_amp,
         |       NULL::BIGINT AS min_amp, NULL::BIGINT AS max_amp
         |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+    // x9: the dispatch contract recomputed codec-free — the x3/x4/x5
+    // closed forms routed by id mod 4, poisoned media (id mod 17 = 0)
+    // as format-tagged corrupt rows, headerless text as unknown_format
+    "x9_media_dispatch" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+        |         SUM((doc_id + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+        |         SUM((3 * doc_id + 5 * x + 11 * y) % 256)::BIGINT AS sum_g,
+        |         SUM((doc_id + x * y) % 256)::BIGINT AS sum_b
+        |  FROM (
+        |    SELECT doc_id, (doc_id % 7 + 2) AS w, (doc_id % 4 + 2) AS h, x, y
+        |    FROM documents,
+        |         UNNEST(generate_series(0, (doc_id % 7 + 2) - 1)) AS tx(x),
+        |         UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS ty(y)
+        |    WHERE doc_id % 4 = 0 AND doc_id % 17 <> 0
+        |  ) GROUP BY doc_id
+        |), aud AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+        |         SUM(amp)::BIGINT AS sum_amp,
+        |         MIN(amp)::BIGINT AS min_amp, MAX(amp)::BIGINT AS max_amp
+        |  FROM (
+        |    SELECT doc_id, (doc_id * 31 + i * 17) % 256 AS amp
+        |    FROM documents,
+        |         UNNEST(generate_series(0, (doc_id % 40 + 8) - 1)) AS t(i)
+        |    WHERE doc_id % 4 = 1 AND doc_id % 17 <> 0
+        |  ) GROUP BY doc_id
+        |), vid AS (
+        |  SELECT doc_id,
+        |         any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |         COUNT(*)::BIGINT AS n_pixels,
+        |         (doc_id % 4 + 2)::BIGINT AS n_frames,
+        |         SUM((doc_id + 7 * x + 13 * y + 29 * f) % 256)::BIGINT AS sum_v
+        |  FROM (
+        |    SELECT doc_id, f, (doc_id % 6 + 2) AS w, (doc_id % 3 + 2) AS h, x, y
+        |    FROM documents,
+        |         UNNEST(generate_series(0, (doc_id % 4 + 2) - 1)) AS tf(f),
+        |         UNNEST(generate_series(0, (doc_id % 6 + 2) - 1)) AS tx(x),
+        |         UNNEST(generate_series(0, (doc_id % 3 + 2) - 1)) AS ty(y)
+        |    WHERE doc_id % 4 = 2 AND doc_id % 17 <> 0
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT doc_id, 'png' AS format, 'ok' AS status,
+        |       width, height, n_pixels, sum_r, sum_g, sum_b,
+        |       NULL::BIGINT AS n_samples, NULL::BIGINT AS sample_rate,
+        |       NULL::BIGINT AS sum_amp, NULL::BIGINT AS min_amp,
+        |       NULL::BIGINT AS max_amp, NULL::BIGINT AS n_frames,
+        |       NULL::BIGINT AS sum_v
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, 'wav', 'ok',
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       n_samples, sample_rate, sum_amp, min_amp, max_amp,
+        |       NULL::BIGINT, NULL::BIGINT
+        |FROM aud
+        |UNION ALL
+        |SELECT doc_id, 'gif', 'ok',
+        |       width, height, n_pixels,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT,
+        |       n_frames, sum_v
+        |FROM vid
+        |UNION ALL
+        |SELECT doc_id,
+        |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END,
+        |       'corrupt',
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 4 <> 3
+        |UNION ALL
+        |SELECT doc_id, 'unknown', 'unknown_format',
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |FROM documents WHERE doc_id % 4 = 3""".stripMargin,
     "d34_fuzzy_join" ->
       s"""WITH v AS (
          |  SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST($toks) AS tok FROM documents)

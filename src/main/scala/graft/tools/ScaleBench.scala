@@ -1530,6 +1530,23 @@ object ScaleBench {
         .count()).sum
     }
     require(anchorHits == directHits, s"anchors served $anchorHits != direct $directHits")
+    // the OVER-CAP branch (candidates stay distributed, served from the
+    // one-scan localCheckpoint): force the cap below any real hit set
+    // and re-run the same audits — results identical, and per-audit
+    // cost must sit in the same regime as the under-cap form (the
+    // pre-fix shape re-ran the full anchor scan once per downstream
+    // consumer, ~3x)
+    val cap0 = Retrieval.anchorCandCap
+    val (overHits, overSec) = try {
+      Retrieval.anchorCandCap = 1
+      time {
+        (0 until nAudits).map(a => Retrieval
+          .phraseSearchViaAnchors(spark, root, phrases(a), "phrase_id", "phrase")
+          .count()).sum
+      }
+    } finally Retrieval.anchorCandCap = cap0
+    require(overHits == directHits,
+      s"over-cap anchors served $overHits != direct $directHits")
     val (nSnips, snipDirectSec) = time {
       Retrieval.snippets(docs, "text", "doc_id", phrases(0), "phrase_id", "phrase", 3).count()
     }
@@ -1546,6 +1563,8 @@ object ScaleBench {
          |"anchors":{"build_sec":$anchorBuildSec,"serve_sec":$anchorSec,
          |"sec_per_audit":${anchorSec / nAudits},"speedup_vs_direct":${directSec / anchorSec},
          |"speedup_vs_index":${serveSec / anchorSec},"hits":$anchorHits},
+         |"anchors_overcap":{"serve_sec":$overSec,
+         |"sec_per_audit":${overSec / nAudits},"vs_undercap":${overSec / anchorSec}},
          |"snippets":{"direct_sec":$snipDirectSec,"serve_sec":$snipServeSec,
          |"rows":$nSnips}}"""
         .stripMargin.replace("\n", ""))

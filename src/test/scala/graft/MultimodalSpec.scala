@@ -283,4 +283,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(vid.filter($"status" === "corrupt").select($"doc_id")
       .as[Long].collect().toSet == (0L to 40L).filter(_ % 7 == 0).toSet)
   }
+
+  test("sniffFormat routes by magic bytes only") {
+    assert(Multimodal.sniffFormat(Multimodal.syntheticPng(5L)) == "png")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticWav(5L)) == "wav")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticGif(5L)) == "gif")
+    // magic survives truncation PAST it...
+    assert(Multimodal.sniffFormat(Multimodal.syntheticPng(5L).take(8)) == "png")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticGif(5L).take(8)) == "gif")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticWav(5L).take(16)) == "wav")
+    // ...but a cut INSIDE the magic is unroutable, as are text/empty/null-ish
+    assert(Multimodal.sniffFormat(Multimodal.syntheticPng(5L).take(7)) == "unknown")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticWav(5L).take(11)) == "unknown")
+    assert(Multimodal.sniffFormat("plain text".getBytes("UTF-8")) == "unknown")
+    assert(Multimodal.sniffFormat(Array.emptyByteArray) == "unknown")
+  }
+
+  test("dispatch: every mixed-corpus row lands in exactly one bucket with its format") {
+    val ids = (0L to 100L).toDF("doc_id")
+    val out = Multimodal.mediaStatsMixedPoisoned(ids, "doc_id", poisonEvery = 17L)
+    val byBucket = out.groupBy($"status").count()
+      .as[(String, Long)].collect().toMap
+    val all = (0L to 100L)
+    val unknown = all.filter(_ % 4 == 3)
+    val corrupt = all.filter(id => id % 17 == 0 && id % 4 != 3)
+    val ok = all.filterNot(unknown.contains).filterNot(corrupt.contains)
+    assert(byBucket == Map(
+      "ok" -> ok.size.toLong, "corrupt" -> corrupt.size.toLong,
+      "unknown_format" -> unknown.size.toLong))
+    assert(out.count() == all.size.toLong, "one row per document, no bucket overlap")
+    // corrupt rows keep the SNIFFED format (the codec-vs-labeling split)
+    assert(out.filter($"status" === "corrupt").select($"doc_id", $"format")
+      .as[(Long, String)].collect().toSet ==
+      corrupt.map(id => (id, Seq("png", "wav", "gif")(Math.floorMod(id, 4L).toInt))).toSet)
+    // ok rows carry the strict kernels' exact stats
+    assert(out.filter($"status" === "ok" && $"doc_id" === 4L).select($"sum_r")
+      .as[Long].head() == Multimodal.decodeImageStats(4L, Multimodal.syntheticPng(4L)).sum_r)
+    assert(out.filter($"status" === "ok" && $"doc_id" === 5L).select($"sum_amp")
+      .as[Long].head() == Multimodal.decodeWavStats(5L, Multimodal.syntheticWav(5L)).sum_amp)
+    val frames = Multimodal.decodeGifFrameStats(6L, Multimodal.syntheticGif(6L))
+    assert(out.filter($"status" === "ok" && $"doc_id" === 6L)
+      .select($"n_frames", $"n_pixels", $"sum_v").as[(Long, Long, Long)].head() ==
+      ((frames.length.toLong, frames.map(_.n_pixels).sum, frames.map(_.sum_v).sum)))
+    // zero shuffle, like the per-format decoders
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"dispatch must not shuffle:\n$plan")
+  }
 }
