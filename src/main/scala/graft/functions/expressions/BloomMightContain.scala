@@ -128,6 +128,7 @@ object BloomMightContain {
   private val bcastMemoMax = 2
   private val bcastMemo = scala.collection.mutable.ListBuffer
     .empty[(SparkContext, Array[Byte], Broadcast[Array[Byte]])]
+  private[graft] var broadcastsCreated = 0 // spec hook
 
   private def broadcastBytes(bytes: Array[Byte]): Broadcast[Array[Byte]] = {
     val sc = SparkSession.active.sparkContext
@@ -139,6 +140,7 @@ object BloomMightContain {
           hit._3
         case _ =>
           val b = sc.broadcast(bytes)
+          broadcastsCreated += 1
           bcastMemo.filterInPlace(e => !e._1.isStopped)
           bcastMemo.prepend((sc, bytes, b))
           if (bcastMemo.length > bcastMemoMax) bcastMemo.remove(bcastMemoMax)

@@ -35,6 +35,27 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(misses == 0, "a bloom filter must never reject an inserted key")
   }
 
+  test("the sketch broadcasts once per held byte array, fresh per re-serialization") {
+    BloomMightContain.register(spark)
+    val idx = IncrementalDedup
+      .shingleFps(corpus, "text", "doc_id", 4).select($"fp").distinct()
+    val bytes = IncrementalDedup.buildBloom(idx, fpp = 0.01)
+    def probeAll(b: Array[Byte]): Long = idx
+      .withColumn("hit", call_function("bloom_might_contain", lit(b), $"fp"))
+      .filter($"hit").count()
+    val n0 = BloomMightContain.broadcastsCreated
+    val total = idx.count()
+    // a serve loop over ONE held sketch: one broadcast, not one per call
+    assert(probeAll(bytes) == total && probeAll(bytes) == total)
+    assert(BloomMightContain.broadcastsCreated == n0 + 1,
+      "identical byte array must reuse its broadcast across constructions")
+    // a re-serialized sketch (fresh array, same content) is a NEW filter
+    // as far as the memo can safely know — it must broadcast again
+    assert(probeAll(bytes.clone()) == total)
+    assert(BloomMightContain.broadcastsCreated == n0 + 2,
+      "a fresh byte array must get a fresh broadcast")
+  }
+
   test("passage dedup stats are exact (bloom-pruned path == plain anti-join)") {
     val idx = IncrementalDedup.shingleFps(corpus, "text", "doc_id", 4)
     val got = IncrementalDedup
