@@ -74,6 +74,14 @@ object StreamingDedup {
     * suspect sets are true dups + fpp·|batch fps| — well under this. */
   val maxFpPushdown = 10000
 
+  /** Above this many NOVEL fps a batch's sketch fold goes distributed
+    * (full-geometry partial blooms + merge) instead of the bounded
+    * collect + direct putLong — the cap bounds the driver transfer
+    * (1M longs = 8 MB), the distributed form bounds nothing but also
+    * ships full-geometry partials back per batch. `var` is a spec hook
+    * (the parity test forces the distributed branch on a small batch). */
+  private[graft] var bloomFoldCollectMax = 1000000
+
   /** The fp-clustered layout every fp-index write uses: RANGE-
     * partitioned and sorted, so files carry DISJOINT fp ranges and row
     * groups within each file carry narrow sub-ranges — a k-suspect
@@ -187,6 +195,13 @@ object StreamingDedup {
     /** Whether `fp` might already be indexed — spec hook for the
       * restart-seeding contract. */
     private[graft] def mightContain(fp: Long): Boolean = bloom.mightContainLong(fp)
+
+    /** The running sketch's serialized bytes — spec hook for the
+      * collect-vs-distributed fold parity contract. */
+    private[graft] def sketchBytes: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
 
     /** Spec hooks: when `capturePlans` is set, each batch records the
       * executed plan of its confirm join so tests can assert the
@@ -324,10 +339,30 @@ object StreamingDedup {
             // fp-clustered so later batches' suspect pushdown row-
             // group-prunes this dir too
             StateStore.writeBatchDir(fpClustered(keptFps), streamIdxPath, batchId)
-            val newSketch = IncrementalDedup
-              .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
-            bloom.mergeInPlace(
-              BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))
+            // fold the novel fps into the sketch. Bounded-collect fast
+            // path: putLong into the EXISTING filter sets bit-for-bit
+            // the same bits as merging a same-geometry partial (merge
+            // is bit-OR), and a typical batch's novel set is a few
+            // hundred k longs (~MBs over the wire) — where the
+            // distributed fold builds a FULL-GEOMETRY partial per
+            // partition and ships them back (at a 100M-key sketch,
+            // 8 × ~120 MB PER BATCH, measured as the dominant per-batch
+            // cost of the 250×10000 dedup gate). Over the cap the
+            // distributed fold stands — an adversarial all-novel burst
+            // must not drag an unbounded collect to the driver.
+            val novel = {
+              val rows = keptFps.limit(bloomFoldCollectMax + 1).collect()
+              if (rows.length <= bloomFoldCollectMax) Some(rows.map(_.getLong(0)))
+              else None
+            }
+            novel match {
+              case Some(fps) => fps.foreach(bloom.putLong)
+              case None =>
+                val newSketch = IncrementalDedup
+                  .buildBloom(keptFps, fpp, sizeFor = Some(expectedTotalKeys))
+                bloom.mergeInPlace(
+                  BloomFilter.readFrom(new ByteArrayInputStream(newSketch)))
+            }
           } finally keptFps.unpersist(false)
         } finally stats.unpersist(false)
       } finally {

@@ -16,6 +16,39 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ((0 until 9).map(j => s"w${seed}_$j") ++ (0 until 3).map(j => s"x${tag}_$j"))
       .mkString(" ")
 
+  test("collect and distributed sketch folds produce bit-identical blooms") {
+    // two sessions over IDENTICAL batches; one forced down the
+    // distributed partial-bloom branch — putLong into the live filter
+    // must set exactly the bits a same-geometry merge sets
+    def freshSession(dir: String) = new StreamingDedup.Session(
+      spark, spark.range(0).select($"id".as("fp")),
+      s"$dir/out", s"$dir/idx", "text", "doc_id",
+      shingleSize = 4, fpp = 0.01, dropAt = 0.5,
+      expectedTotalKeys = 10000L, portable = true)
+    val batches = Seq(
+      Seq((1L, doc(1)), (2L, doc(2))),
+      Seq((3L, mostlyDup(1, 3)), (4L, doc(4))))
+    def run(): (Array[Byte], Map[Long, Boolean]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sdd_fold").toString
+      val s = freshSession(dir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        s.processBatch(b.toDF("doc_id", "text"), i.toLong)
+      }
+      (s.sketchBytes, spark.read.parquet(s"$dir/out")
+        .select($"id", $"keep").as[(Long, Boolean)].collect().toMap)
+    }
+    val cap0 = StreamingDedup.bloomFoldCollectMax
+    val (collectSketch, collectOut) = run()
+    val (distSketch, distOut) = try {
+      StreamingDedup.bloomFoldCollectMax = 0
+      run()
+    } finally StreamingDedup.bloomFoldCollectMax = cap0
+    assert(java.util.Arrays.equals(collectSketch, distSketch),
+      "putLong fold must equal the same-geometry partial merge bit-for-bit")
+    assert(collectOut == distOut && collectOut == Map(
+      1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("stream dedups each batch against corpus plus previously-kept docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
     val corpus = Seq((0L, doc(0)), (1L, doc(1))).toDF("doc_id", "text")
