@@ -58,7 +58,12 @@ object Bench {
     // cross-round comparison can divide out machine speed mechanically
     // (query_sec / calib_sec is machine-normalized) instead of
     // adjudicating by re-probe. min of two consecutive runs so the
-    // probe itself reports steady-state, not its own JIT warmup.
+    // probe itself reports steady-state, not its own JIT warmup; one
+    // UNTIMED action first so the START probe measures the machine,
+    // not first-action session/codegen warmup (measured 1.94 s start
+    // vs 0.19 s end without it — a 10× artifact of the session, which
+    // would drown the machine-state signal start-vs-end exists to
+    // catch).
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -69,6 +74,7 @@ object Bench {
       }
       math.min(once(), once())
     }
+    spark.range(0L, 1000000L).selectExpr("sum(hash(id, 42))").collect()
     val loadStart = loadavg()
     val calibStart = calibrate()
     val cold = pass()
