@@ -844,6 +844,15 @@ object Retrieval {
     // unpersist contract). The checkpoint costs the under-cap path
     // nothing it wasn't paying: fewer than candCap+1 rows exist there,
     // so the probe's limit-collect had to scan every partition anyway.
+    // CLUSTER CAVEAT: localCheckpoint truncates lineage, so the over-cap
+    // distributed frames returned below are NOT recomputable — if an
+    // executor holding checkpoint blocks is lost/decommissioned before
+    // the caller consumes the plan, the query fails with missing-block
+    // errors rather than re-scanning. On local[k] (this deployment) the
+    // blocks live in the one JVM and the trade is free; a remote-executor
+    // deployment that needs loss-resilience should swap this line for
+    // cache() + a caller-side unpersist contract (recomputable, one
+    // anchor re-scan per lost block) and accept the re-scan cost.
     val candMat = candidates.localCheckpoint(true)
     // candidates are true hits + the fp collision rate, small by the
     // decontamination premise; over the cap the distributed frames
@@ -1142,7 +1151,12 @@ object Retrieval {
         sum(coalesce(col("rel"), lit(0L))).as("hits"),
         min(when(col("rel").isNotNull, col("rank"))).as("first_rel_rank"),
         sum(when(col("rel").isNotNull, gainU(col("rank"))).otherwise(lit(0L))).as("dcg_u"))
-      .join(broadcast(nRel), Seq("query_id"), "full_outer")
+      // no broadcast hint here: Spark cannot build a broadcast side for a
+      // full-outer join — the hint is silently dropped with a
+      // HintErrorLogger WARN at EVERY (re)planning, which flooded the
+      // round-12 driver run's bounded output capture. The fallback SMJ is
+      // the only supported strategy at this (per-query aggregate) size.
+      .join(nRel, Seq("query_id"), "full_outer")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("dcg_u", coalesce(col("dcg_u"), lit(0L)))

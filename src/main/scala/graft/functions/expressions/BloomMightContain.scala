@@ -32,7 +32,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *     way at cluster scale.
   * With a broadcast, the bytes land ONCE per executor in the block
   * manager, and [[BloomMightContain.bloomFor]] memoizes ONE decoded
-  * filter per JVM per sketch (small LRU keyed by broadcast id; the
+  * filter per JVM per sketch (small LRU keyed by (SparkEnv, broadcast id); the
   * decode runs under the cache lock precisely so a stage's worth of
   * tasks can't all decode in parallel). Per-probe cost is unchanged:
   * each task instance resolves the shared filter once (transient lazy)
@@ -93,12 +93,24 @@ case class BloomMightContain(bloomBcast: Broadcast[Array[Byte]], child: Expressi
 
 object BloomMightContain {
 
-  /** Decoded-filter cache, ONE per JVM per sketch (keyed by broadcast
-    * id). Tiny LRU: a streaming dedup holds one live sketch (plus the
+  /** Decoded-filter cache, ONE per JVM per sketch. Keyed by
+    * (SparkEnv, broadcast id), NOT broadcast id alone: broadcast ids are
+    * a per-SparkContext counter starting at 0, so after a same-JVM
+    * context stop/restart (test suites, local tooling) a NEW context's
+    * sketch can collide with a cached entry's id and a probe would
+    * silently answer from the OLD context's filter — false negatives on
+    * an expression whose contract is "false proves absence". The SparkEnv
+    * instance is fresh per context on the driver and lives exactly as
+    * long as the app on an executor, so the pair is collision-free in
+    * both places — while still being ONE key per executor JVM, which is
+    * what keeps the decode-once guarantee (the Broadcast WRAPPER object
+    * is deserialized per task, so instance identity would decode per
+    * task slot — the 32 × 240 MB OOM this cache exists to prevent).
+    * Tiny LRU: a streaming dedup holds one live sketch (plus the
     * previous batch's during handover); anything older is dead weight. */
   private val bloomCacheMax = 2
   private val bloomCache =
-    scala.collection.mutable.ListBuffer.empty[(Long, BloomFilter)]
+    scala.collection.mutable.ListBuffer.empty[(AnyRef, Long, BloomFilter)]
 
   /** The shared decoded filter for `b` — decode-once-per-JVM. The
     * decode runs under the lock deliberately: the alternative is every
@@ -106,14 +118,15 @@ object BloomMightContain {
     * parallel, which is the OOM this design removes. */
   private[graft] def bloomFor(b: Broadcast[Array[Byte]]): BloomFilter =
     bloomCache.synchronized {
-      bloomCache.indexWhere(_._1 == b.id) match {
+      val env: AnyRef = org.apache.spark.SparkEnv.get
+      bloomCache.indexWhere(e => (e._1 eq env) && e._2 == b.id) match {
         case i if i >= 0 =>
           val hit = bloomCache.remove(i)
           bloomCache.prepend(hit)
-          hit._2
+          hit._3
         case _ =>
           val bf = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
-          bloomCache.prepend((b.id, bf))
+          bloomCache.prepend((env, b.id, bf))
           if (bloomCache.length > bloomCacheMax) bloomCache.remove(bloomCacheMax)
           bf
       }
@@ -122,18 +135,22 @@ object BloomMightContain {
   /** Broadcast memo keyed by (context, byte-array IDENTITY): a serve
     * loop constructing repeatedly over one held sketch reuses one
     * broadcast; a per-batch re-serialized sketch (fresh array) gets a
-    * fresh one. Stopped contexts are swept at insert (the pruneMemo
-    * rule); evicted broadcasts are reclaimed by the ContextCleaner once
-    * unreferenced by any plan. */
+    * fresh one. The BYTES are held via WeakReference — the memo must not
+    * be the thing keeping a 100M-key (~120 MB serialized) sketch alive
+    * after every plan and caller reference is gone; once the caller
+    * drops its array the entry can never match again (identity key), so
+    * it is swept at the next insert and the Broadcast handle becomes
+    * GC-reachable garbage for the ContextCleaner. Stopped contexts are
+    * swept at insert too (the pruneMemo rule). */
   private val bcastMemoMax = 2
   private val bcastMemo = scala.collection.mutable.ListBuffer
-    .empty[(SparkContext, Array[Byte], Broadcast[Array[Byte]])]
+    .empty[(SparkContext, java.lang.ref.WeakReference[Array[Byte]], Broadcast[Array[Byte]])]
   private[graft] var broadcastsCreated = 0 // spec hook
 
   private def broadcastBytes(bytes: Array[Byte]): Broadcast[Array[Byte]] = {
     val sc = SparkSession.active.sparkContext
     bcastMemo.synchronized {
-      bcastMemo.indexWhere(e => (e._1 eq sc) && (e._2 eq bytes)) match {
+      bcastMemo.indexWhere(e => (e._1 eq sc) && (e._2.get eq bytes)) match {
         case i if i >= 0 =>
           val hit = bcastMemo.remove(i)
           bcastMemo.prepend(hit)
@@ -141,8 +158,8 @@ object BloomMightContain {
         case _ =>
           val b = sc.broadcast(bytes)
           broadcastsCreated += 1
-          bcastMemo.filterInPlace(e => !e._1.isStopped)
-          bcastMemo.prepend((sc, bytes, b))
+          bcastMemo.filterInPlace(e => !e._1.isStopped && e._2.get != null)
+          bcastMemo.prepend((sc, new java.lang.ref.WeakReference(bytes), b))
           if (bcastMemo.length > bcastMemoMax) bcastMemo.remove(bcastMemoMax)
           b
       }

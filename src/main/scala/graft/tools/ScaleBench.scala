@@ -917,6 +917,7 @@ object ScaleBench {
 
   def annMain(spark: SparkSession, nVecs: Long, nClusters: Int = 200): Unit = {
     import graft.functions.Similarity
+    require(nVecs >= 100, s"annMain probes the first 100 vec_ids; need nVecs >= 100, got $nVecs")
     val dim = 64
     // center(c)[j] in [-1,1) from hash(c,j); vector = center + 10% noise
     val v = spark.range(nVecs).select(
@@ -929,6 +930,7 @@ object ScaleBench {
         .as("embedding")).cache()
     v.count()
     val q = v.filter(col("vec_id") < 100)
+    val nQueries = q.count() // emit the measured probe count, not a literal
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
@@ -987,7 +989,7 @@ object ScaleBench {
         .map(r => (r.getLong(0), r.getLong(2))).toSet
     }
     println(
-      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"clusters":$nClusters,"queries":100},
+      s"""{"workload":{"vecs":$nVecs,"dim":$dim,"clusters":$nClusters,"queries":$nQueries},
          |"brute":{"sec":$bruteSec},
          |"lsh_banded_adversarial_cfg":{"sec":$lshSec,"recall_at_5":${recall(lshPairs)}},
          |"ivf_trained_adversarial_cfg":{"sec":$ivfSec,"recall_at_5":${recall(ivfPairs)}},
