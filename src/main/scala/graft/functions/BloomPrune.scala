@@ -95,10 +95,19 @@ object BloomPrune {
       .agg(call_function("bit_or",
         call_function("shiftleft", lit(1L), (col("c") % 64).cast("int"))).as("bits"))
     val arr = new Array[Long]((nBits / 64).toInt)
-    val it = words.toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      arr(r.getInt(0)) = r.getLong(1)
+    if (arr.length <= maxLiteralWords) {
+      // small bloom (the literal-probe regime): one collect = ONE job.
+      // toLocalIterator schedules a job PER PARTITION — measured as the
+      // dominant build cost on multi-core local masters — and its
+      // memory argument only bites above the literal cap anyway
+      // (boxed rows here are bounded by maxLiteralWords).
+      words.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    } else {
+      val it = words.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        arr(r.getInt(0)) = r.getLong(1)
+      }
     }
     arr
   }

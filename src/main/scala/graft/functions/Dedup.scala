@@ -41,6 +41,18 @@ object Dedup {
       ((1234567L * i) % minhashPrime | 1L, (7654321L * i) % minhashPrime)
     }
 
+  /** Exact Jaccard of two DISTINCT-element arrays: |A∪B| is computed
+    * arithmetically as |A| + |B| − |A∩B| instead of materializing the
+    * union array per candidate pair — the counts are identical integers
+    * (both inputs are [[TextFunctions.shinglesOf]] sets), so the
+    * division is bit-identical, and the verify step builds one array
+    * per pair instead of two (per-task-work cut; the intersect
+    * subexpression is eliminated by codegen CSE in the Project). */
+  private def setJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** 28-bit portable base hash (first 7 hex chars of md5). */
   def baseHash(c: Column): Column =
     // fused digest→long (≡ conv(substring(md5(c), 1, 7), 16, 10) bit-
@@ -59,9 +71,10 @@ object Dedup {
       shingleSize: Int,
       numHashes: Int): DataFrame = {
     val hashed = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(
-        col(idCol).as("id"),
-        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
+        col("id"),
+        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize)).as("s"))
       .select(col("id"), baseHash(col("s")).as("h"))
     sigFromHashed(hashed, "id", numHashes, countAs = None)
   }
@@ -191,8 +204,9 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccard: Double = 0.4): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard in (0,1], got $minJaccard")
-    val sets = df.select(
-      col(idCol).as("id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val sets = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("__toks"), shingleSize).as("sh"))
     val toks = sets.select(col("id"), explode(col("sh")).as("g"))
     val dfTab = toks.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ranked = toks
@@ -234,8 +248,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        setJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -267,18 +280,19 @@ object Dedup {
       .join(broadcast(banded(evalSet).withColumnRenamed("id", "eval_id")), Seq("band", "bucket"))
       .select(col("id").as("train_id"), col("eval_id"))
       .distinct()
-    val trainSh = train.select(
-      col(idCol).as("train_id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh_t"))
-    val evalSh = evalSet.select(
-      col(idCol).as("eval_id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh_e"))
+    val trainSh = train
+      .select(col(idCol).as("train_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("train_id"), TextFunctions.shinglesOf(col("__toks"), shingleSize).as("sh_t"))
+    val evalSh = evalSet
+      .select(col(idCol).as("eval_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("eval_id"), TextFunctions.shinglesOf(col("__toks"), shingleSize).as("sh_e"))
     candidates
       .join(trainSh, Seq("train_id"))
       .join(broadcast(evalSh), Seq("eval_id"))
       .select(
         col("train_id"),
         col("eval_id"),
-        (size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
-          size(array_union(col("sh_t"), col("sh_e")))).as("jaccard"))
+        setJaccard(col("sh_t"), col("sh_e")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .groupBy(col("train_id"))
       .agg(
@@ -304,17 +318,16 @@ object Dedup {
     // rather than leak an uncollectable cached table into the session
     val (_, pairs) =
       lshSignaturesAndPairs(df, textCol, idCol, shingleSize, numHashes, rowsPerBand, cacheSigs = false)
-    val sh = df.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), TextFunctions.shinglesOf(col("__toks"), shingleSize).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        setJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** SimHash: majority vote over token-hash bits, packed into a 60-bit
@@ -485,10 +498,15 @@ object Dedup {
       idCol: String,
       bucketCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(
-      col(bucketCol).as("bucket"),
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val sh = df
+      .select(
+        col(bucketCol).as("bucket"),
+        col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("bucket"),
+        col("id"),
+        TextFunctions.shinglesOf(col("__toks"), shingleSize).as("sh"))
     val a = sh.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("bucket"))
@@ -497,8 +515,7 @@ object Dedup {
         col("bucket"),
         col("id_a"),
         col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        setJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Benchmark decontamination: per training document, the fraction of its
@@ -522,11 +539,13 @@ object Dedup {
       shingleSize: Int = 3,
       minContamination: Double = 0.0): DataFrame = {
     val evalGrams = evalSet
-      .select(explode(TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesOf(col("__toks"), shingleSize)).as("g"))
       .distinct()
       .withColumn("hit", lit(1L))
     train
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextFunctions.shinglesOf(col("__toks"), shingleSize)).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -600,9 +619,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16): DataFrame = {
     val grams = df
+      .select(col(groupCol).as("grp"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(
-        col(groupCol).as("grp"),
-        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("s"))
+        col("grp"),
+        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize)).as("s"))
       .distinct()
     val sigs = sigFromHashed(
       grams.select(col("grp"), baseHash(col("s")).as("h")),

@@ -48,9 +48,10 @@ object IncrementalDedup {
       idCol: String,
       n: Int,
       portable: Boolean = true): DataFrame =
-    df.select(
-        col(idCol).as("id"),
-        explode(TextFunctions.allShingles(col(textCol), n)).as("s"))
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("id"),
+        explode(TextFunctions.allShinglesOf(col("__toks"), n)).as("s"))
       .select(
         col("id"),
         (if (portable) TextFunctions.portableHash(col("s")) else xxhash64(col("s"))).as("fp"))

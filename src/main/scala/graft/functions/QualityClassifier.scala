@@ -32,6 +32,36 @@ object QualityClassifier {
     def numBuckets: Int = weights.length
   }
 
+  /** Hashed term COUNTS (id, bucket, c): the tokenize→explode→hash→
+    * count subtree every member of the classifier family starts from —
+    * the dominant cost of serving. Cached through StagingCache keyed by
+    * the analyzed plan's semantic hash (the [[centroidClassifier]] xu
+    * convention): the d36 softmax serve and the d65 perceptron serve
+    * consume this IDENTICAL table over the full corpus in one session,
+    * and uncached each pays its own corpus tokenize. Sample-side calls
+    * (training) get their own small entries under distinct hashes. */
+  def hashedTermCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      bigrams: Boolean = true): DataFrame = {
+    val terms =
+      if (bigrams) concat(col("__toks"), TextFunctions.allShinglesOf(col("__toks"), 2))
+      else col("__toks")
+    val counts = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(terms).as("term"))
+      .groupBy(
+        col("id"),
+        pmod(TextFunctions.portableHash(col("term")), lit(numBuckets)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    graft.sources.StagingCache.getOrElseUpdate(
+      df.sparkSession,
+      s"termCounts:D=$numBuckets:bg=$bigrams:" +
+        s"plan=${counts.queryExecution.analyzed.semanticHash()}")(counts)
+  }
+
   /** Hashed term-frequency features: (id, bucket, x) with
     * x = occurrences/n_terms, bucket = portable md5 hash mod
     * `numBuckets`. With `bigrams` the term set is tokens ∪ word
@@ -42,14 +72,7 @@ object QualityClassifier {
       idCol: String,
       numBuckets: Int,
       bigrams: Boolean = true): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val terms = if (bigrams) concat(toks, TextFunctions.allShingles(col(textCol), 2)) else toks
-    val counts = df
-      .select(col(idCol).as("id"), explode(terms).as("term"))
-      .groupBy(
-        col("id"),
-        pmod(TextFunctions.portableHash(col("term")), lit(numBuckets)).cast("int").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val counts = hashedTermCounts(df, textCol, idCol, numBuckets, bigrams)
     val totals = counts.groupBy(col("id")).agg(sum(col("c")).as("n"))
     counts
       .join(totals, Seq("id"))
@@ -421,68 +444,80 @@ object QualityClassifier {
     // differ mostly in token CO-OCCURRENCE, so unigram-only counts top
     // out near the generative d63 (~0.25 accuracy) while adding bigrams
     // more than doubles held-out accuracy (~0.52, measured sf0.01)
-    def feats(of: DataFrame): DataFrame = {
-      val toks = TextFunctions.tokens(col(textCol))
-      val terms = concat(toks, TextFunctions.allShingles(col(textCol), 2))
-      val cnt = of
-        .select(col(idCol).as("id"), explode(terms).as("term"))
-        .groupBy(
-          col("id"),
-          pmod(TextFunctions.portableHash(col("term")), lit(numBuckets)).cast("int").as("bucket"))
-        .agg(count(lit(1)).as("c"))
-      cnt.unionByName(
-        of.select(col(idCol).as("id"), lit(-1).cast("int").as("bucket"), lit(1L).as("c")))
-    }
+    // the (id, bucket, c) subtree is [[hashedTermCounts]] — shared
+    // (via its semantic-hash StagingCache) with the d36 softmax serve,
+    // which reads the identical full-corpus table in the same session
+    def feats(of: DataFrame): DataFrame =
+      hashedTermCounts(of, textCol, idCol, numBuckets, bigrams = true)
+        .unionByName(
+          of.select(col(idCol).as("id"), lit(-1).cast("int").as("bucket"), lit(1L).as("c")))
 
     // deterministic portable-hash sample: ~sampleCap docs regardless of
-    // corpus size, reproducible in any engine with md5
-    val mod = math.max(1L, df.count() / sampleCap)
-    val samp = df.filter(pmod(TextFunctions.portableHash(col(idCol).cast("string")), lit(mod)) === 0)
-
-    // bounded collect: sampleCap docs × distinct buckets per doc
-    val sampRows = feats(samp)
-      .join(samp.select(col(idCol).as("id"), col(labelCol).cast("string").as("y")), Seq("id"))
-      .orderBy(col("id"), col("bucket"))
-      .select(col("id").cast("string"), col("y"), col("bucket"), col("c"))
-      .collect()
-    val examples: Seq[(String, Array[(Int, Long)])] = {
-      val order = scala.collection.mutable.LinkedHashMap
-        .empty[String, (String, scala.collection.mutable.ArrayBuffer[(Int, Long)])]
-      sampRows.foreach { r =>
-        val e = order.getOrElseUpdate(
-          r.getString(0), (r.getString(1), scala.collection.mutable.ArrayBuffer.empty))
-        e._2 += ((r.getInt(2), r.getLong(3)))
-      }
-      order.values.map { case (y, fs) => (y, fs.toArray) }.toSeq
+    // corpus size, reproducible in any engine with md5. The corpus count
+    // is a pure function of the plan — memoized (ModelCache, semantic-
+    // hash key) so repeated serves don't re-run the count action.
+    val mod = math.max(1L, graft.sources.ModelCache.getOrElseUpdate(
+      spark, s"nrows:plan=${df.queryExecution.analyzed.semanticHash()}")(df.count()) / sampleCap)
+    val classes = graft.sources.ModelCache.getOrElseUpdate(
+      spark, s"classes:$labelCol:plan=${df.queryExecution.analyzed.semanticHash()}") {
+      df.select(col(labelCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
     }
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
 
-    val w = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
-    val u = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
-    var t = 1L
-    for (_ <- 1 to epochs; (y, fs) <- examples) {
-      // argmax with ascending-label tie-break: classes is sorted, so the
-      // first strict improvement wins
-      var best = classes.head
-      var bestS = Long.MinValue
-      classes.foreach { k =>
-        var s = 0L
-        fs.foreach { case (b, c) => s += w((k, b)) * c }
-        if (s > bestS) { bestS = s; best = k }
-      }
-      if (best != y) {
-        fs.foreach { case (b, c) =>
-          w((y, b)) += c; u((y, b)) += t * c
-          w((best, b)) -= c; u((best, b)) -= t * c
+    // the trained (scaled) weight table is a pure deterministic function
+    // of (corpus plan, params) — memoized per session like the d36
+    // softmax model (ModelCache convention), so repeated serves skip the
+    // sample collect and the sequential driver-side training replay
+    val scaled: Seq[(String, Int, Long)] = graft.sources.ModelCache.getOrElseUpdate(
+      spark,
+      s"perceptron:$labelCol:D=$numBuckets:e=$epochs:cap=$sampleCap:m=$mod:" +
+        s"plan=${df.queryExecution.analyzed.semanticHash()}") {
+      val samp =
+        df.filter(pmod(TextFunctions.portableHash(col(idCol).cast("string")), lit(mod)) === 0)
+
+      // bounded collect: sampleCap docs × distinct buckets per doc
+      val sampRows = feats(samp)
+        .join(samp.select(col(idCol).as("id"), col(labelCol).cast("string").as("y")), Seq("id"))
+        .orderBy(col("id"), col("bucket"))
+        .select(col("id").cast("string"), col("y"), col("bucket"), col("c"))
+        .collect()
+      val examples: Seq[(String, Array[(Int, Long)])] = {
+        val order = scala.collection.mutable.LinkedHashMap
+          .empty[String, (String, scala.collection.mutable.ArrayBuffer[(Int, Long)])]
+        sampRows.foreach { r =>
+          val e = order.getOrElseUpdate(
+            r.getString(0), (r.getString(1), scala.collection.mutable.ArrayBuffer.empty))
+          e._2 += ((r.getInt(2), r.getLong(3)))
         }
+        order.values.map { case (y, fs) => (y, fs.toArray) }.toSeq
       }
-      t += 1
+
+      val w = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+      val u = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+      var t = 1L
+      for (_ <- 1 to epochs; (y, fs) <- examples) {
+        // argmax with ascending-label tie-break: classes is sorted, so the
+        // first strict improvement wins
+        var best = classes.head
+        var bestS = Long.MinValue
+        classes.foreach { k =>
+          var s = 0L
+          fs.foreach { case (b, c) => s += w((k, b)) * c }
+          if (s > bestS) { bestS = s; best = k }
+        }
+        if (best != y) {
+          fs.foreach { case (b, c) =>
+            w((y, b)) += c; u((y, b)) += t * c
+            w((best, b)) -= c; u((best, b)) -= t * c
+          }
+        }
+        t += 1
+      }
+      val bigT = t - 1
+      (w.keySet ++ u.keySet).toSeq
+        .map { case (k, b) => (k, b, bigT * w((k, b)) - u((k, b))) }
+        .filter(_._3 != 0L)
     }
-    val bigT = t - 1
-    val scaled = (w.keySet ++ u.keySet).toSeq
-      .map { case (k, b) => (k, b, bigT * w((k, b)) - u((k, b))) }
-      .filter(_._3 != 0L)
 
     // serve everything: broadcast the tiny weight table, one fold per
     // (doc, class), grid so zero-overlap classes still compete at 0

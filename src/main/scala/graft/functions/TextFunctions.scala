@@ -136,6 +136,12 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     array_distinct(allShingles(text, n))
 
+  /** [[shingles]] over a PRE-TOKENIZED array column — see
+    * [[allShinglesOf]] for why hot paths should project the token array
+    * first. */
+  def shinglesOf(toks: Column, n: Int): Column =
+    array_distinct(allShinglesOf(toks, n))
+
   /** All word n-gram shingles in text order (NON-distinct) — repetition
     * metrics need the multiplicities that [[shingles]] collapses.
     *
@@ -148,9 +154,18 @@ object TextFunctions {
     * ROW; concat null-propagates past the padded tail, and the final
     * slice drops the incomplete positions. Shorter-than-n docs keep the
     * historical one-shingle-of-everything behavior. */
-  def allShingles(text: Column, n: Int): Column = {
+  def allShingles(text: Column, n: Int): Column =
+    allShinglesOf(tokens(text), n)
+
+  /** [[allShingles]] over a PRE-TOKENIZED array column. The token array
+    * is referenced ~2(n−1)+3 times in the zip/slice/guard tree; passing
+    * `tokens(text)` here re-runs the regex tokenizer at every reference
+    * wherever subexpression elimination cannot reach (the explode
+    * Generate path) — project `tokens(textCol)` once and shingle from
+    * the attribute (measured on the d74 kernel: 2.15 s → 1.50 s at
+    * sf0.1, identical rows). */
+  def allShinglesOf(t: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = tokens(text)
     val zipped = (2 to n).foldLeft(t) { (acc, k) =>
       zip_with(acc, slice(t, lit(k), greatest(size(t) - (k - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
@@ -342,17 +357,19 @@ object TextFunctions {
       maxDup3GramFrac: Double = 0.02,
       minTokens: Int = 20): org.apache.spark.sql.DataFrame = {
     val top = df
-      .select(col(idCol), explode(allShingles(col(textCol), 2)).as("g"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(allShinglesOf(col("__toks"), 2)).as("g"))
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
         .as("top_bigram_frac"))
     val dup = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(
         col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
-        allShingles(col(textCol), 3).as("a3"))
+        size(col("__toks")).cast("long").as("n_tokens"),
+        allShinglesOf(col("__toks"), 3).as("a3"))
       .select(
         col(idCol),
         col("n_tokens"),
@@ -399,7 +416,8 @@ object TextFunctions {
       flagNum: Int = 1,
       flagDen: Int = 5): org.apache.spark.sql.DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(allShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(allShinglesOf(col("__toks"), n)).as("gram"))
     val shared = exploded
       .distinct() // (doc, gram) pairs — then count DOCS per gram
       .groupBy(col("gram"))
@@ -410,7 +428,8 @@ object TextFunctions {
       .join(shared, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_grams"))
-    df.select(col(idCol), size(allShingles(col(textCol), n)).cast("long").as("n_grams"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(allShinglesOf(col("__toks"), n)).cast("long").as("n_grams"))
       .join(dupPerDoc, Seq(idCol), "left")
       .select(
         col(idCol),
@@ -528,8 +547,8 @@ object TextFunctions {
     * broadcast), one per-doc fold. All counts are exact integers; the
     * single float division rounds to 6. */
   def novelty(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("g"))
+    val sh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("__toks"), n)).as("g"))
     // sh is distinct per doc, so the count per shingle IS its document
     // frequency
     val dfv = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -577,15 +577,25 @@ object RelationalQueries {
       import graft.functions.HistogramSketch
       val li = t(s, dir, "lineitem")
       val bins = 128
-      val (lo, hi) = HistogramSketch.range(li, col("l_extendedprice"))
+      // ONE fused stats pass instead of three: exact (min, max) for the
+      // bin geometry, the exact-p50 self-audit, and n — all from a single
+      // lineitem scan (was: range pass + percentile pass + hist-sum
+      // action). Values are identical: min/max/percentile are the same
+      // aggregates, and n = count(non-null values) ≡ sum of bin counts
+      // (build drops exactly the null rows).
+      val st = li.agg(
+        min(col("l_extendedprice").cast("double")),
+        max(col("l_extendedprice").cast("double")),
+        expr("percentile(l_extendedprice, 0.5)"),
+        count(col("l_extendedprice").cast("double"))).head
+      val (lo, hi, exactP50, n) =
+        (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getLong(3))
       // ≤128 rows: localCheckpoint pins them for the quantile collect
       // and the output below
       val hist = HistogramSketch.build(li, col("l_extendedprice"), lo, hi, bins)
         .localCheckpoint(true)
       val est = HistogramSketch
         .quantiles(hist, lo, hi, bins, Seq(0.25, 0.5, 0.75, 0.95, 0.99)).toMap
-      val exactP50 = li.agg(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
-      val n = hist.agg(sum(col("cnt"))).head.getLong(0)
       hist
         .withColumn("n", lit(n))
         .withColumn("lo", round(lit(lo), 6))
