@@ -801,6 +801,22 @@ object Retrieval {
     // ONE fp per eval sentence: its first k-gram, in the stored fp space
     val evalFps = longPh
       .select(col("phrase_id"), windowFp(col("ptoks"), lit(1), k).as("fp"))
+    // ONE bounded probe over the eval list answers BOTH construction
+    // questions — the distinct long-phrase fp set (for the literal
+    // pushdown below) and whether any short phrase exists (for the
+    // classic-path union at the end). Separately those were two driver
+    // jobs per construction (the fp distinct-collect and
+    // shortPh.isEmpty); an over-cap eval list falls back to the old
+    // per-question actions. fp is null exactly for short phrases.
+    val phProbe: Option[(Seq[Long], Boolean)] = {
+      val rows = ph
+        .select(when(size(col("ptoks")) >= k, windowFp(col("ptoks"), lit(1), k)).as("fp"))
+        .limit(maxTermPushdown + 1).collect()
+      if (rows.length > maxTermPushdown) None
+      else Some((
+        rows.filterNot(_.isNullAt(0)).map(_.getLong(0)).distinct.toSeq,
+        rows.exists(_.isNullAt(0))))
+    }
     // density-gated literal pushdown over the fp-clustered anchor dirs
     // (the StreamingDedup suspect trick): bounded collect, never the
     // full set past the cap, and — past one chunk — engaged only while
@@ -814,11 +830,13 @@ object Retrieval {
     // jobs per construction. The scan is a narrow (fp, doc_id) long
     // table either way — the point of anchoring is that ITS size, not
     // the eval list's, bounds the pass.
-    val fpVals = {
-      val rows = evalFps.select(col("fp")).distinct()
-        .limit(maxTermPushdown + 1).collect()
-      if (rows.length <= maxTermPushdown) Some(rows.map(_.getLong(0)).toSeq)
-      else None
+    val fpVals = phProbe match {
+      case Some((fps, _)) => Some(fps)
+      case None =>
+        val rows = evalFps.select(col("fp")).distinct()
+          .limit(maxTermPushdown + 1).collect()
+        if (rows.length <= maxTermPushdown) Some(rows.map(_.getLong(0)).toSeq)
+        else None
     }
     val probedAnchors = fpVals match {
       case Some(fps) if fps.isEmpty => anchors.limit(0) // every phrase is short
@@ -888,7 +906,8 @@ object Retrieval {
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val longHits = phraseSearchFromPostings(
       vPostings, hitPh, phraseIdCol, phraseCol, "doc_id", minOccurrences)
-    if (shortPh.isEmpty) longHits
+    val anyShort = phProbe.map(_._2).getOrElse(!shortPh.isEmpty)
+    if (!anyShort) longHits
     else longHits.unionByName(phraseSearchFromIndex(
       spark, root, shortPh, phraseIdCol, phraseCol, minOccurrences))
   }
