@@ -109,10 +109,21 @@ object TextFunctions {
     // doc count as a lazy 1-row aggregate cross-joined in (an eager
     // df.count() here would run a job at query-construction time)
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val docTerms = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // staged by semantic hash (the hashedTermCounts convention): the
+    // table is planned TWICE below (df aggregate + scoring join), and
+    // un-staged each branch re-runs the corpus tokenize. At 100 TB the
+    // alternative window-df formulation pays a full doc-term sort —
+    // worse than the re-scan — so staging is the local fix and the
+    // re-scan the cluster fallback.
+    val docTerms = graft.sources.StagingCache.getOrElseUpdate(
+      df.sparkSession,
+      s"tfidfTerms:plan=${df.select(col(idCol), col(textCol))
+        .queryExecution.analyzed.semanticHash()}") {
+      df
+        .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
     val docFreq = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window
       .partitionBy(col("id"))

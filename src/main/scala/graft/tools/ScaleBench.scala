@@ -2159,49 +2159,8 @@ object ScaleBench {
     // at 4× so the suite finishes, and expect+document e > 1
     val capped = Set("d50_setsim_join")
 
-    def buildDir(k: Int): String = {
-      val dir = s"$root/x$k"
-      val done = new java.io.File(s"$dir/_DONE")
-      if (!done.exists()) {
-        val docs = Tables.load(spark, baseDir, "documents")
-        val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-        val docCopies = (0 until k).map { c =>
-          if (c == 0) docs
-          else docs.select(
-            (col("doc_id") + lit(c * nDocs)).as("doc_id"),
-            array_join(
-              transform(split(col("text"), " "), t => concat(lit(s"c${c}x"), t)),
-              " ").as("text"),
-            col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
-        }
-        docCopies.reduce(_ unionByName _).coalesce(8)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        val emb = Tables.load(spark, baseDir, "embeddings")
-        val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-        val embCopies = (0 until k).map { c =>
-          if (c == 0) emb
-          else emb.select(
-            (col("vec_id") + lit(c * nVecs)).as("vec_id"),
-            transform(col("embedding"), x => x + lit(c.toFloat * 1e-3f)).as("embedding"),
-            col("label"))
-        }
-        embCopies.reduce(_ unionByName _).coalesce(8)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-        new java.io.File(baseDir).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") &&
-            !Set("documents.parquet", "embeddings.parquet").contains(f.getName))
-          .foreach { f =>
-            val link = java.nio.file.Paths.get(dir, f.getName)
-            if (!java.nio.file.Files.exists(link))
-              java.nio.file.Files.createSymbolicLink(link, f.toPath)
-          }
-        done.createNewFile()
-      }
-      dir
-    }
-
     val scales = Seq(1, 4, 16)
-    val dirs = scales.map(k => k -> buildDir(k)).toMap
+    val dirs = scales.map(k => k -> buildScaledDir(spark, baseDir, root, k)).toMap
     // untimed JIT/codegen warmup at the base dir
     queries.foreach { q =>
       try graft.SparkEntry.queries(q)(spark, baseDir).count()
@@ -2230,6 +2189,133 @@ object ScaleBench {
 
   /** Queries scaling worse than rows^1.2 need a documented reason. */
   val suiteFlagExponent = 1.2
+
+  /** The suite's vocabulary-disjoint scaled corpus (see [[suiteMain]]):
+    * copy c prefixes every token with `c<c>x` and remaps ids by +c·N,
+    * embeddings nudged by c·10⁻³; all other tables symlinked. Shared
+    * with [[pipelineScaleMain]]. */
+  private def buildScaledDir(
+      spark: SparkSession, baseDir: String, root: String, k: Int): String = {
+    val dir = s"$root/x$k"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists()) {
+      val docs = Tables.load(spark, baseDir, "documents")
+      val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val docCopies = (0 until k).map { c =>
+        if (c == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(c * nDocs)).as("doc_id"),
+          array_join(
+            transform(split(col("text"), " "), t => concat(lit(s"c${c}x"), t)),
+            " ").as("text"),
+          col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      }
+      docCopies.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = Tables.load(spark, baseDir, "embeddings")
+      val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val embCopies = (0 until k).map { c =>
+        if (c == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(c * nVecs)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(c.toFloat * 1e-3f)).as("embedding"),
+          col("label"))
+      }
+      embCopies.reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      new java.io.File(baseDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !Set("documents.parquet", "embeddings.parquet").contains(f.getName))
+        .foreach { f =>
+          val link = java.nio.file.Paths.get(dir, f.getName)
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        }
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** Per-STAGE scaling of the d82 composed pipeline (the deployment's
+    * recurring job — previously benched as one opaque number): each of
+    * the five registered stages (exact dedup → decontam → quality gate
+    * → per-source cap → pack), timed in isolation at 1×/4×/16× corpus
+    * scale over the suite's vocabulary-disjoint scaled dirs, inputs
+    * materialized between stages (localCheckpoint) so a stage's time is
+    * ITS work, not its upstream's. Fits wall ∝ rows^e per stage from
+    * the endpoints — naming the dominant stage at scale instead of
+    * guessing it. Stage composition replicates d82_pipeline_composed
+    * verbatim. Usage: runMain graft.tools.ScaleBench pipelinescale
+    * [baseDir] [outDirRoot] */
+  def pipelineScaleMain(spark: SparkSession, baseDir: String, root: String): Unit = {
+    import graft.functions.{Dedup, Packing, Sampling, TextFunctions => TF}
+    import graft.sources.StagingCache
+    val scales = Seq(1, 4, 16)
+    val dirs = scales.map(k => k -> buildScaledDir(spark, baseDir, root, k)).toMap
+
+    // d82's five stages, verbatim; dOrig is the UNSTAGED original corpus
+    // (the eval slice is carved from it so dedup can't move the benchmark)
+    def stages(dOrig: DataFrame): Seq[(String, DataFrame => DataFrame)] = Seq(
+      "s1_dedup" -> { d =>
+        val keep = Dedup.exactDedup(d, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        d.join(keep, Seq("doc_id"), "left_semi")
+      },
+      "s2_decontam" -> { d =>
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        train.join(
+          Dedup.contaminationReport(train, dOrig.filter(col("doc_id") % 97 === 0),
+            "text", "doc_id", minContamination = 0.03).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      },
+      "s3_quality" -> { d =>
+        d.select(col("doc_id"), col("source"), col("text"),
+          round(TF.qualityScore(col("text")), 6).as("quality_score"))
+          .filter(col("quality_score") >= 0.6)
+      },
+      "s4_cap" -> { d =>
+        d.join(
+          Sampling.capPerGroup(
+            d.select(col("doc_id"), col("source"), col("quality_score")),
+            "source", "quality_score", "doc_id", cap = 150)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      },
+      "s5_pack" -> { d =>
+        Packing.packSequences(
+          d.select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "source", "doc_id", "n_tokens", seqLen = 256)
+      })
+
+    // untimed JIT/codegen warmup at the base dir
+    { var cur = Tables.load(spark, baseDir, "documents")
+      stages(cur).foreach { case (_, f) => cur = f(cur).localCheckpoint(true) }
+    }
+    val perScale: Map[Int, Seq[(String, Long, Double)]] = scales.map { k =>
+      StagingCache.clear(Some(spark))
+      val dOrig = Tables.load(spark, dirs(k), "documents")
+      var cur = dOrig.localCheckpoint(true)
+      k -> stages(dOrig).map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val out = f(cur).localCheckpoint(true) // eager: the stage runs HERE
+        val n = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        cur = out
+        (name, n, sec)
+      }
+    }.toMap
+    val names = perScale(scales.head).map(_._1)
+    names.foreach { name =>
+      val times = scales.map(k => k -> perScale(k).find(_._1 == name).get)
+      val (k1, (_, n1, t1)) = times.head
+      val (kN, (_, nN, tN)) = times.last
+      val e = math.log(tN / t1) / math.log(kN.toDouble / k1)
+      val ts = times.map { case (k, (_, n, t)) =>
+        s""""x$k":{"rows":$n,"sec":${f"$t%.3f".toDouble}}""" }.mkString(",")
+      println(s"""{"stage":"$name",$ts,"exponent":${f"$e%.3f".toDouble}}""")
+    }
+  }
 
   /** One bootstrap for every mode: local[SPARK_GRAFT_CPUS] with the
     * bench session shape. `tuned` preserves each mode's historical
@@ -2353,6 +2439,12 @@ object ScaleBench {
       case Some("suite") => withSession(tuned = true)(s =>
         suiteMain(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           args.drop(1).toSeq))
+      case Some("pipelinescale") => withSession(tuned = true)(s =>
+        pipelineScaleMain(
+          s,
+          if (args.length > 1) args(1)
+          else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          if (args.length > 2) args(2) else "/tmp/graft_scale"))
       case _ => withSession(tuned = true)(s => mappingMain(s, argL(0, 200000L), argI(1, 30)))
     }
   }
