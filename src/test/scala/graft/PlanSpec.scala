@@ -198,6 +198,22 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"scans=$snScans pruned=$snPruned\n$sp")
   }
 
+  test("m32: pair aggregate runs above a by-pair exchange of RAW rows, not duplicated partials") {
+    // the r13 shape: the exchange feeding the pair corr aggregate
+    // repartitions the JOINED rows by (key_a, key_b); the partial+final
+    // HashAggregate pair sits ABOVE it. The old shape ran the partial
+    // aggregate in the join's map stage, duplicating per-pair corr state
+    // across every map partition (M x |pairs| partial rows — measured
+    // 249 MB shuffled at sf0.1 for a top-50 answer).
+    val p = plan("m32_pair_corr")
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    // no partial_corr may appear BELOW the repartition exchange: the
+    // text between the exchange line and the end (deeper plan) must be
+    // corr-free
+    val below = p.substring(p.indexOf("REPARTITION_BY_COL"))
+    assert(!below.contains("partial_corr"), s"partial corr below the pair exchange:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is allowed only where intentional (d6 brute
     // force, single-row stat crosses in m9/q8)

@@ -180,4 +180,35 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val b = run().orderBy($"doc_id").collect().map(_.toSeq)
     assert(a.sameElements(b), "perceptron training is not deterministic")
   }
+
+  test("hashedTermCounts is staged: repeated calls share one cached table") {
+    // the r13 serve-path optimization: d36's softmax serve and d65's
+    // perceptron serve read the IDENTICAL (id, bucket, c) table; the
+    // StagingCache memo (semantic-hash keyed) must hand back the same
+    // cached frame, and a semantically different input must not collide
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val c1 = QualityClassifier.hashedTermCounts(d, "text", "doc_id", 64)
+    val c2 = QualityClassifier.hashedTermCounts(d, "text", "doc_id", 64)
+    assert(c1 eq c2, "same plan + params must return the memoized cached table")
+    val c3 = QualityClassifier.hashedTermCounts(d, "text", "doc_id", 32)
+    assert(!(c1 eq c3), "different numBuckets must not share a cache entry")
+    val c4 = QualityClassifier
+      .hashedTermCounts(d.filter($"doc_id" % 2 === 0), "text", "doc_id", 64)
+    assert(!(c1 eq c4), "different input plan must not share a cache entry")
+    // and the counts themselves are what the unstaged subtree computes
+    val direct = d
+      .select($"doc_id".as("id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.concat(
+            graft.functions.TextFunctions.tokens($"text"),
+            graft.functions.TextFunctions.allShingles($"text", 2))).as("term"))
+      .groupBy($"id",
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.TextFunctions.portableHash($"term"),
+          org.apache.spark.sql.functions.lit(64)).cast("int").as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    assert(c1.exceptAll(direct).isEmpty && direct.exceptAll(c1).isEmpty,
+      "staged counts differ from the direct subtree")
+  }
 }
